@@ -1,0 +1,324 @@
+"""Query catalog: the declared correctness surface (SURVEY §2.13 Q1–Q12).
+
+Each entry pairs a Spark DataFrame query (built from the operator layer)
+with the equivalent ANSI SQL the DuckDB oracle runs on the same parquet
+tables. Column names/aliases are identical on both sides — the driver's
+compare sorts columns by name before hashing.
+
+The reference's queries were written against its Kafka topics (orders /
+customers / payments / transactions); here they are instantiated on the
+driver's fixture tables (TESTDATA.md): `events` plays the keyed stream,
+`orders`⋈`customer` the enrichment join, `orders`⋈`lineitem` the
+interval join. Constants (thresholds, window sizes) are chosen so each
+query exercises both the pass and fail branch on the fixtures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_learning_spark.functions.timestamps import event_time_cascade
+from kafka_streams_learning_spark.operators import core, fraud, joins, sliding
+from kafka_streams_learning_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# constants (part of each query's contract; oracle SQL embeds the same)
+
+HIGH_VALUE = 250_000.0  # o_totalprice threshold (reference: total_amount ≥ 500,
+# `processor/FraudProcessor.java:41` — scaled to the TPC-H price distribution)
+ALERT_AFTER = 3  # alert strictly after 3 qualifying records (`FraudProcessor.java:61`)
+TUMBLE = "1 day"  # tumbling size (reference: 1 min, `OrderCountTumblingWindow.java:88`;
+# scaled to the events fixture's 30-day span)
+SLIDE_LOOKBACK = "24 hours"  # sliding time-difference (reference: 5 min,
+# `CreditCardTransactions.java:119`)
+JOIN_LOWER = "0 days"  # interval-join bounds (reference: ±5 min,
+JOIN_UPPER = "90 days"  # `StreamStreamJoinExample.java:121` — one-sided here:
+# a lineitem ships on or after its order date)
+FETCH_KEY = 7  # interactive-query fetch key (reference fetches key "107",
+# `OrderCountTumblingWindow.java:139`)
+FETCH_FROM = "2024-01-05 00:00:00"
+FETCH_TO = "2024-01-20 00:00:00"
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
+    doc: str
+
+
+# ---------------------------------------------------------------------------
+# Q1 — mapValues/upper (`basics/WordCountApp.java:63`, SURVEY P1)
+
+
+def _q01(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id", "user_id", F.upper(F.col("event_type")).alias("event_type_upper")
+    )
+
+
+_Q01_SQL = """
+SELECT event_id, user_id, UPPER(event_type) AS event_type_upper FROM events
+"""
+
+# Q2 — decimal-text threshold filter (`processor/FraudProcessor.java:41`, F2)
+
+
+def _q02(spark: SparkSession, sf: str) -> DataFrame:
+    return core.value_threshold(
+        load_table(spark, sf, "orders"), F.col("o_totalprice"), HIGH_VALUE
+    )
+
+
+_Q02_SQL = f"""
+SELECT * FROM orders WHERE TRY_CAST(o_totalprice AS DOUBLE) >= {HIGH_VALUE}
+"""
+
+# Q3 — re-key → null-guard → count (`state_store/ProductCountApp.java:92-140`, P3+A1)
+
+
+def _q03(spark: SparkSession, sf: str) -> DataFrame:
+    # customer_id == 0 means "missing" and becomes a null key, which the
+    # null-guard then drops (`ProductCountApp.java:95-100`).
+    key = F.when(F.col("o_custkey") != 0, F.col("o_custkey").cast("string"))
+    df = core.rekey(load_table(spark, sf, "orders"), key, "key")
+    df = core.rekey_null_guard(df, "key")
+    return core.count_by_key(df, "key")
+
+
+_Q03_SQL = """
+SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS cnt
+FROM orders WHERE o_custkey IS NOT NULL AND o_custkey != 0 GROUP BY 1
+"""
+
+# Q4 — tumbling-window count (`OrderCountTumblingWindow.java:85-92`, A3)
+
+
+def _q04(spark: SparkSession, sf: str) -> DataFrame:
+    return core.tumbling_count(load_table(spark, sf, "events"), "ts", TUMBLE, "user_id")
+
+
+_Q04_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+       user_id, COUNT(*) AS cnt
+FROM events GROUP BY 1, 2, 3
+"""
+
+# Q5 — event-anchored sliding count (`CreditCardTransactions.java:117-120`, A4)
+
+
+def _q05(spark: SparkSession, sf: str) -> DataFrame:
+    return sliding.sliding_count(
+        load_table(spark, sf, "events").select("user_id", "event_id", "ts"),
+        key="user_id",
+        ts_col="ts",
+        lookback=SLIDE_LOOKBACK,
+        id_cols=["user_id", "event_id", "ts"],
+    )
+
+
+_Q05_SQL = """
+SELECT e1.user_id, e1.event_id, e1.ts, COUNT(*) AS cnt
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts BETWEEN e1.ts - INTERVAL 24 HOUR AND e1.ts
+GROUP BY 1, 2, 3
+"""
+
+# Q6 — interval stream-stream join (`StreamStreamJoinExample.java:118-123`, J2)
+
+
+def _q06(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    items = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    )
+    j = joins.interval_join(
+        orders, items,
+        left_key="o_orderkey", right_key="l_orderkey",
+        left_ts="o_orderdate", right_ts="l_shipdate",
+        lower=JOIN_LOWER, upper=JOIN_UPPER,
+    )
+    return j.select("o_orderkey", "o_custkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+
+
+_Q06_SQL = """
+SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_extendedprice, l.l_shipdate
+FROM orders o JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+"""
+
+# Q7 — stream-table enrichment join (`StreamTableJoinExample.java:151-155`, J1)
+
+
+def _q07(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey"), "c_name", "c_mktsegment", "c_acctbal"
+    )
+    j = joins.enrich_join(
+        orders.withColumn("c_custkey", F.col("o_custkey")), cust, on="c_custkey"
+    )
+    return j.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "c_name", "c_mktsegment", "c_acctbal",
+    )
+
+
+_Q07_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderdate,
+       c.c_name, c.c_mktsegment, c.c_acctbal
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+# Q8 — stateful fraud alert, batch-oracle form (`FraudProcessor.java:36-84`, A5)
+
+
+def _q08(spark: SparkSession, sf: str) -> DataFrame:
+    return fraud.running_alerts(
+        load_table(spark, sf, "orders"),
+        key="o_custkey",
+        amount=F.col("o_totalprice"),
+        threshold=HIGH_VALUE,
+        order_by=["o_orderdate", "o_orderkey"],
+        alert_after=ALERT_AFTER,
+    )
+
+
+_Q08_SQL = f"""
+SELECT * FROM (
+  SELECT *, COUNT(*) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS UNBOUNDED PRECEDING) AS running_cnt
+  FROM orders WHERE TRY_CAST(o_totalprice AS DOUBLE) >= {HIGH_VALUE}
+) WHERE running_cnt > {ALERT_AFTER}
+"""
+
+# Q9 — event-time extractor cascade (`OrderTimestampStreamApp.java:136-208`, T1)
+# The fixtures carry no mixed-format string timestamp, so the query first
+# derives one deterministically (format chosen by o_orderkey % 5: ISO
+# instant / ISO date / epoch-millis string / garbage / NULL), then applies
+# the cascade. Both engines derive the identical raw string.
+
+
+def _q09(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    m = F.col("o_orderkey") % 5
+    raw = (
+        F.when(m == 0, F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .when(m == 1, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(m == 2, (F.unix_timestamp(F.col("o_orderdate")) * 1000).cast("string"))
+        .when(m == 3, F.lit("not-a-timestamp"))
+    )
+    ingest = F.expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, o_orderkey)")
+    return (
+        o.withColumn("raw_ts", raw)
+        .withColumn("ingest_ts", ingest)
+        .select(
+            "o_orderkey",
+            "raw_ts",
+            event_time_cascade(F.col("raw_ts"), F.col("ingest_ts")).alias("event_ts"),
+        )
+    )
+
+
+_Q09_SQL = """
+WITH derived AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 5
+           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')
+           WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+           WHEN 2 THEN CAST(epoch_ms(o_orderdate) AS VARCHAR)
+           WHEN 3 THEN 'not-a-timestamp'
+           ELSE NULL END AS raw_ts,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (o_orderkey) SECOND AS ingest_ts
+  FROM orders
+)
+SELECT o_orderkey, raw_ts,
+       COALESCE(try_strptime(raw_ts, '%Y-%m-%dT%H:%M:%SZ'),
+                try_strptime(raw_ts, '%Y-%m-%d'),
+                epoch_ms(TRY_CAST(raw_ts AS BIGINT)),
+                ingest_ts) AS event_ts
+FROM derived
+"""
+
+# Q10 — windowed count + threshold (`windows/tumbling/FraudDetectionApp.java:38-58`, F3+A3)
+
+
+def _q10(spark: SparkSession, sf: str) -> DataFrame:
+    return core.having_count_above(_q04(spark, sf), ALERT_AFTER)
+
+
+_Q10_SQL = _Q04_SQL.strip() + f"\nHAVING COUNT(*) > {ALERT_AFTER}"
+
+# Q11 — interactive windowed-store fetch (`OrderCountTumblingWindow.java:130-145`, IQ1)
+
+
+def _q11(spark: SparkSession, sf: str) -> DataFrame:
+    return _q04(spark, sf).filter(
+        (F.col("user_id") == FETCH_KEY)
+        & (F.col("window_start") >= F.lit(FETCH_FROM).cast("timestamp"))
+        & (F.col("window_start") <= F.lit(FETCH_TO).cast("timestamp"))
+    )
+
+
+_Q11_SQL = f"""
+SELECT * FROM ({_Q04_SQL})
+WHERE user_id = {FETCH_KEY}
+  AND window_start BETWEEN TIMESTAMP '{FETCH_FROM}' AND TIMESTAMP '{FETCH_TO}'
+"""
+
+# Q12 — nested EnrichedOrder projection (`models/EnrichedOrder.java:5-6`, Q12).
+# Struct value-hash representations differ across engines, so the oracle
+# flattens the same fields with path-style aliases — same values, flat names.
+
+
+def _q12(spark: SparkSession, sf: str) -> DataFrame:
+    j = _q07(spark, sf)
+    return j.select(
+        F.col("o_orderkey").alias("fact_o_orderkey"),
+        F.col("o_custkey").alias("fact_o_custkey"),
+        F.col("o_totalprice").alias("fact_o_totalprice"),
+        F.col("c_name").alias("dim_c_name"),
+        F.col("c_mktsegment").alias("dim_c_mktsegment"),
+    )
+
+
+_Q12_SQL = """
+SELECT o.o_orderkey AS fact_o_orderkey, o.o_custkey AS fact_o_custkey,
+       o.o_totalprice AS fact_o_totalprice,
+       c.c_name AS dim_c_name, c.c_mktsegment AS dim_c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+
+REFERENCE_QUERIES: list[QuerySpec] = [
+    QuerySpec("q01_uppercase", _q01, _Q01_SQL, "mapValues/upper (P1)"),
+    QuerySpec("q02_high_value_filter", _q02, _Q02_SQL, "cast+threshold filter (F2)"),
+    QuerySpec("q03_count_by_key", _q03, _Q03_SQL, "re-key → null-guard → count (P3+A1)"),
+    QuerySpec("q04_tumbling_count", _q04, _Q04_SQL, "tumbling-window count (A3)"),
+    QuerySpec("q05_sliding_count", _q05, _Q05_SQL, "event-anchored sliding count (A4)"),
+    QuerySpec("q06_interval_join", _q06, _Q06_SQL, "windowed stream-stream join (J2)"),
+    QuerySpec("q07_enrich_join", _q07, _Q07_SQL, "stream-table enrichment join (J1)"),
+    QuerySpec("q08_fraud_running_alert", _q08, _Q08_SQL, "stateful threshold alert (A5)"),
+    QuerySpec("q09_event_time_cascade", _q09, _Q09_SQL, "timestamp extractor cascade (T1)"),
+    QuerySpec("q10_window_threshold", _q10, _Q10_SQL, "windowed count + HAVING (F3+A3)"),
+    QuerySpec("q11_window_fetch", _q11, _Q11_SQL, "interactive window-store fetch (IQ1)"),
+    QuerySpec("q12_enriched_nested", _q12, _Q12_SQL, "EnrichedOrder nested projection"),
+]
+
+
+def all_queries() -> list[QuerySpec]:
+    from kafka_streams_learning_spark.catalog_ext import EXTENSION_QUERIES
+
+    return REFERENCE_QUERIES + EXTENSION_QUERIES

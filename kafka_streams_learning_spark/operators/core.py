@@ -1,0 +1,81 @@
+"""Core reference-parity operators (SURVEY §2.3–§2.7).
+
+Each function is a thin, semantics-pinned wrapper that returns a DataFrame
+transformation — the logical plan stays fully declarative so Catalyst can
+push filters, prune columns, and choose physical strategies. The wrappers
+exist to pin *semantics* (null-guards, sentinel keys, half-open windows,
+grace-0), not to schedule execution.
+
+Works identically on bounded and streaming DataFrames; the streaming
+variants (watermarks, output modes) live in `streaming/`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rekey(df: DataFrame, key_expr: Column, key_name: str = "key") -> DataFrame:
+    """selectKey-equivalent (`state_store/ProductCountApp.java:92-99`,
+    SURVEY §2.3 P3): choosing the grouping/join column *is* the re-key; the
+    shuffle the reference performs via an internal repartition topic is
+    inserted by Spark's planner as Exchange(hashpartitioning) only when a
+    downstream stateful op needs it — no eager repartition here."""
+    return df.withColumn(key_name, key_expr)
+
+
+def rekey_null_guard(df: DataFrame, key_col: str = "key", value_col: str | None = None) -> DataFrame:
+    """Drop null-key (and optionally null-value) records before stateful ops
+    (`state_store/ProductCountApp.java:95-100`, SURVEY §2.4 F1). This filter
+    sits before the shuffle, so dropped rows never hit the network."""
+    cond = F.col(key_col).isNotNull()
+    if value_col is not None:
+        cond = cond & F.col(value_col).isNotNull()
+    return df.filter(cond)
+
+
+def value_threshold(df: DataFrame, amount_col: Column, threshold: float) -> DataFrame:
+    """Decimal-text-aware value filter (`processor/FraudProcessor.java:41-43`,
+    SURVEY §2.4 F2): cast-then-compare, nulls dropped. `try_cast` keeps the
+    expression total under ANSI mode, like the reference's parse-or-skip."""
+    return df.filter(amount_col.try_cast("double") >= threshold)
+
+
+def count_by_key(df: DataFrame, *keys: str, count_name: str = "cnt") -> DataFrame:
+    """groupByKey().count() (`state_store/ProductCountApp.java:133-140`,
+    SURVEY §2.6 A1). Batch form; a partial (map-side) aggregate runs before
+    the shuffle, so the exchange carries one row per key per partition —
+    the property that keeps this viable at 100 TB."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_name))
+
+
+def tumbling_count(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    *keys: str,
+    count_name: str = "cnt",
+    start_name: str = "window_start",
+    end_name: str = "window_end",
+) -> DataFrame:
+    """Tumbling-window count (`windows/tumbling/OrderCountTumblingWindow.java:85-92`,
+    SURVEY §2.6 A3): half-open `[start, end)`, wall-aligned buckets. The
+    window struct is computed pre-shuffle; grouping is by (window, keys)."""
+    w = F.window(F.col(ts_col), size)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias(count_name))
+        .select(
+            F.col("w.start").alias(start_name),
+            F.col("w.end").alias(end_name),
+            *keys,
+            count_name,
+        )
+    )
+
+
+def having_count_above(df: DataFrame, threshold: int, count_name: str = "cnt") -> DataFrame:
+    """Post-aggregation threshold (`windows/tumbling/FraudDetectionApp.java:51-57`,
+    SURVEY §2.4 F3): strictly `count > threshold`."""
+    return df.filter(F.col(count_name) > threshold)

@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the same config block is what we would ship
+on a 1000-executor cluster (AQE on, skew-join handling, broadcast threshold,
+UTC session time) — only `master` and memory sizing change per deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the 100 TB design point, not the laptop:
+# - AQE: runtime coalescing of shuffle partitions + skew-join splitting means
+#   a static `shuffle.partitions` misconfiguration does not sink the job.
+# - UTC session time zone: deterministic window bucketing and parity with
+#   external engines (the DuckDB oracle stores naive/UTC timestamps).
+# - Arrow enabled: every Pandas-UDF boundary is Arrow-batched.
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    # The fixture parquet stores TIMESTAMP(NANOS) (pyarrow default), which
+    # Spark cannot read as a timestamp type; read the raw int64 and convert
+    # in load_table (nanos → micros via integer division).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Streaming state: RocksDB provider (the scale-ready store; the
+    # reference materializes state in RocksDB too — SURVEY §2.12).
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "kafka-streams-learning-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    `master` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) when
+    no cluster master is supplied — in a real deployment the launcher sets
+    the master and these SQL confs apply unchanged.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_BASE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark

@@ -1,0 +1,120 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every `queries()` entry through Spark AND its `oracle_sql()` through
+DuckDB on the same parquet tables, then compares row count, sorted column
+names, and an order-insensitive value hash (rows canonicalized to strings,
+sorted, md5'd). Catches hash-relevant divergences (float formatting,
+timestamp tz, column naming) before the driver does.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon_rows = sorted(
+        "\x1f".join(canon_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.md5()
+    for r in canon_rows:
+        h.update(r.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from kafka_streams_learning_spark import get_spark
+
+    spark = get_spark("oracle-check")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"{name:32s} rows-only: {len(srows)} rows ({t_spark:.1f}s spark)")
+            continue
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        t_duck = time.time() - t0
+        ok_rows = len(srows) == len(drows)
+        ok_schema = sorted(scols) == sorted(dcols)
+        ok_hash = False
+        if ok_rows and ok_schema:
+            ok_hash = table_hash(scols, srows) == table_hash(dcols, drows)
+        status = "OK" if (ok_rows and ok_schema and ok_hash) else "FAIL"
+        print(
+            f"{name:32s} {status}  rows {len(srows)}/{len(drows)} "
+            f"schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(dcols)}'} "
+            f"hash={'ok' if ok_hash else 'MISMATCH'} "
+            f"({t_spark:.1f}s spark, {t_duck:.1f}s duckdb)"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if ok_rows and ok_schema:
+                # show a few mismatching canonical rows for debugging
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                sset = {"\x1f".join(canon_cell(r[i]) for i in so) for r in srows}
+                dset = {"\x1f".join(canon_cell(r[i]) for i in do) for r in drows}
+                for row in list(sset - dset)[:3]:
+                    print("   spark-only:", row.replace("\x1f", " | "))
+                for row in list(dset - sset)[:3]:
+                    print("   duck-only: ", row.replace("\x1f", " | "))
+    print("FAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
