@@ -1,0 +1,147 @@
+"""Unit tests pinning operator semantics on hand-built micro-fixtures —
+the edge cases SURVEY §7.6 calls out (null keys, sentinel routing, strict
+thresholds, half-open windows, latest-per-key ties)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_streams_learning_spark.functions.json_ import json_key_or_unknown
+from kafka_streams_learning_spark.functions.timestamps import event_time_cascade
+from kafka_streams_learning_spark.operators import core, fraud, joins, sliding
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_rekey_null_guard_drops_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", None)], "key string, v int"
+    )
+    out = core.rekey_null_guard(df, "key", "v").collect()
+    assert [(r.key, r.v) for r in out] == [("a", 1)]
+
+
+def test_json_key_unknown_routing(spark):
+    # malformed JSON and missing field both route to UNKNOWN, not error
+    # (`OrderCountTumblingWindow.java:71-73`)
+    df = spark.createDataFrame(
+        [('{"order_id": "7"}',), ("not json",), ('{"other": 1}',), (None,)],
+        "value string",
+    )
+    out = df.select(json_key_or_unknown(F.col("value"), "order_id").alias("k")).collect()
+    assert [r.k for r in out] == ["7", "UNKNOWN", "UNKNOWN", "UNKNOWN"]
+
+
+def test_tumbling_window_half_open(spark):
+    # boundary-exact timestamp belongs to the *next* window: [start, end)
+    rows = [
+        ("k", ts("2024-01-01T00:00:59")),
+        ("k", ts("2024-01-01T00:01:00")),  # exactly on the boundary
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = core.tumbling_count(df, "ts", "1 minute", "key").collect()
+    by_start = {r.window_start: r.cnt for r in out}
+    assert by_start[ts("2024-01-01T00:00:00")] == 1
+    assert by_start[ts("2024-01-01T00:01:00")] == 1
+
+
+def test_having_strictly_greater(spark):
+    df = spark.createDataFrame([("a", 3), ("b", 4)], "key string, cnt long")
+    out = core.having_count_above(df, 3).collect()
+    assert [r.key for r in out] == ["b"]
+
+
+def test_sliding_count_event_anchored(spark):
+    # events at t, t+3m, t+10m with 5m lookback: counts 1, 2, 1
+    base = ts("2024-01-01T00:00:00")
+    rows = [
+        ("k", 1, base),
+        ("k", 2, base + dt.timedelta(minutes=3)),
+        ("k", 3, base + dt.timedelta(minutes=10)),
+        ("other", 4, base + dt.timedelta(minutes=3)),  # other key never mixes
+    ]
+    df = spark.createDataFrame(rows, "key string, id int, ts timestamp")
+    out = sliding.sliding_count(df, "key", "ts", "5 minutes", ["key", "id"])
+    got = {(r.key, r.id): r.cnt for r in out.collect()}
+    assert got == {("k", 1): 1, ("k", 2): 2, ("k", 3): 1, ("other", 4): 1}
+
+
+def test_latest_per_key_picks_max_version(spark):
+    rows = [
+        ("c1", "Alice", ts("2024-01-01T00:00:00")),
+        ("c1", "Alicia", ts("2024-01-02T00:00:00")),  # later version wins
+        ("c2", "Bob", ts("2024-01-01T00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "k string, name string, version_ts timestamp")
+    out = {r.k: r.name for r in joins.latest_per_key(df, "k", "version_ts").collect()}
+    assert out == {"c1": "Alicia", "c2": "Bob"}
+
+
+def test_enrich_join_inner_drops_unmatched(spark):
+    facts = spark.createDataFrame([("c1", 1), ("cX", 2)], "k string, v int")
+    dim = spark.createDataFrame([("c1", "Alice")], "k string, name string")
+    out = joins.enrich_join(facts, dim, on="k").collect()
+    assert [(r.k, r.name) for r in out] == [("c1", "Alice")]
+
+
+def test_interval_join_bounds_inclusive(spark):
+    base = ts("2024-01-01T00:00:00")
+    left = spark.createDataFrame([("o1", base)], "k string, lts timestamp")
+    right = spark.createDataFrame(
+        [
+            ("o1", base - dt.timedelta(minutes=5)),   # exactly lower bound: in
+            ("o1", base + dt.timedelta(minutes=5)),   # exactly upper bound: in
+            ("o1", base + dt.timedelta(minutes=5, seconds=1)),  # out
+            ("o2", base),                              # wrong key: out
+        ],
+        "k string, rts timestamp",
+    )
+    out = joins.interval_join(
+        left, right, "k", "k", "lts", "rts", "5 minutes", "5 minutes"
+    )
+    assert out.count() == 2
+
+
+def test_fraud_alert_fires_from_fourth(spark):
+    base = ts("2024-01-01T00:00:00")
+    rows = [
+        ("c1", i, float(600), base + dt.timedelta(minutes=i)) for i in range(5)
+    ] + [
+        ("c1", 99, 100.0, base + dt.timedelta(minutes=2, seconds=30)),  # below threshold
+        ("c2", 7, 700.0, base),  # only one qualifying record: never alerts
+    ]
+    df = spark.createDataFrame(rows, "cust string, id int, amount double, ts timestamp")
+    out = fraud.running_alerts(
+        df, "cust", F.col("amount"), 500.0, ["ts", "id"], alert_after=3
+    ).collect()
+    # 5 qualifying records for c1 → alerts on the 4th and 5th
+    assert [(r.cust, r.id, r.running_cnt) for r in out] == [
+        ("c1", 3, 4),
+        ("c1", 4, 5),
+    ]
+
+
+def test_event_time_cascade_order(spark):
+    ingest = ts("2024-06-01T00:00:00")
+    rows = [
+        ("2024-01-02T03:04:05Z",),
+        ("2024-01-02",),
+        ("1704164645000",),  # epoch millis as string
+        ("garbage",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "raw string").withColumn(
+        "ingest", F.lit(ingest)
+    )
+    out = df.select(
+        event_time_cascade(F.col("raw"), F.col("ingest")).alias("et")
+    ).collect()
+    assert out[0].et == ts("2024-01-02T03:04:05")
+    assert out[1].et == ts("2024-01-02T00:00:00")
+    assert out[2].et == dt.datetime.utcfromtimestamp(1704164645000 / 1000)
+    assert out[3].et == ingest
+    assert out[4].et == ingest
