@@ -1,11 +1,354 @@
 """Extension query catalog — large-scale training-data pipeline operators.
 
-Placeholder for round-1 milestone 1; filled in milestone 3 (dedup,
-similarity search, text analysis, multimodal).
+Beyond reference parity (SURVEY §7.2 step 7): deduplication (exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine), similarity
+search (brute-force exact + random-hyperplane LSH), text analysis
+(token counting, quality scoring, language ID, fingerprinting), and
+multimodal binary-column plumbing.
+
+Every sketch uses the portable md5-derived hash family
+(`functions/hashing.py`), so the DuckDB oracles replay signatures
+bit-for-bit — the correctness gate covers the sketches themselves, not
+just their downstream effects. Oracle SQL for the hash-heavy operators is
+*generated from the same Python constants* as the Spark expressions, so
+the two sides cannot drift.
 """
 
 from __future__ import annotations
 
-from kafka_streams_learning_spark.catalog import QuerySpec
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-EXTENSION_QUERIES: list[QuerySpec] = []
+from kafka_streams_learning_spark.catalog import QuerySpec
+from kafka_streams_learning_spark.functions.hashing import seeded_hash60_sql
+from kafka_streams_learning_spark.functions.text import STOPWORDS, _LANG_MARKERS
+from kafka_streams_learning_spark.operators import dedup, multimodal, similarity, textops
+from kafka_streams_learning_spark.sources.batch import load_table
+
+# constants — part of each query's contract
+MINHASH_PERMS = 4
+JACCARD_K = 3
+JACCARD_THRESHOLD = 0.3
+ANN_K = 5
+ANN_QUERY_MOD = 50  # query set = vec_id % 50 == 0
+EMB_DUP_THRESHOLD = 0.35
+TOPK_TOKENS = 20
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (mirror functions/text.py exactly)
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS_RAW = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
+_TOKS_NORM = rf"list_filter(string_split_regex({_NORM}, '\s+'), x -> x != '')"
+# k-word shingles of the normalized tokens (k=3), matching word_shingles():
+_SHINGLES = f"""
+  CASE WHEN len(toks) <= {JACCARD_K} THEN [array_to_string(toks, ' ')]
+       ELSE list_transform(generate_series(1, len(toks) - {JACCARD_K - 1}),
+                           j -> array_to_string(list_slice(toks, j, j + {JACCARD_K - 1}), ' '))
+  END
+"""
+
+
+# ---------------------------------------------------------------------------
+# X1 — text stats (token counting + quality scoring)
+
+
+def _x01(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.text_stats(load_table(spark, sf, "documents"))
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+_X01_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         {_TOKS_RAW} AS toks,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ltoks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT)
+         + len(toks) AS n_subwords,
+       CASE WHEN len(ltoks) > 0
+            THEN len(list_filter(ltoks, x -> x IN ({_STOP_IN}))) / len(ltoks)
+            ELSE 0.0 END AS stop_ratio,
+       CASE WHEN length(text) > 0
+            THEN length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) / length(text)
+            ELSE 0.0 END AS punct_ratio,
+       least(len(toks) / 100.0, 1.0) * 0.4
+         + least((CASE WHEN len(ltoks) > 0
+                       THEN len(list_filter(ltoks, x -> x IN ({_STOP_IN}))) / len(ltoks)
+                       ELSE 0.0 END) * 4.0, 1.0) * 0.3
+         + greatest(1.0 - (CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) / length(text)
+                       ELSE 0.0 END) * 4.0, 0.0) * 0.3 AS quality
+FROM t
+"""
+
+# X2 — language ID (marker-token heuristic)
+
+
+def _x02(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.lang_id(load_table(spark, sf, "documents"))
+
+
+def _lang_sql() -> str:
+    score_cols = ",\n         ".join(
+        f"len(list_filter(ltoks, x -> x IN ({', '.join(repr(m) for m in markers)}))) AS s_{lang}"
+        for lang, markers in _LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANG_MARKERS) + ")"
+    cases = "\n            ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in _LANG_MARKERS
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ltoks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM t
+), b AS (
+  SELECT *, {best} AS best FROM s
+)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+            {cases}
+            ELSE 'und' END AS lang_guess
+FROM b
+"""
+
+
+# X3 — document fingerprint
+
+
+def _x03(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.fingerprints(load_table(spark, sf, "documents"))
+
+
+_X03_SQL = f"SELECT doc_id, md5({_NORM}) AS fp FROM documents"
+
+# X4 — exact dedup groups
+
+
+def _x04(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dup_groups(load_table(spark, sf, "documents"))
+
+
+_X04_SQL = f"""
+SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+# X5 — global top-k tokens (heavy hitters with sort+limit)
+
+
+def _x05(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.token_topk(load_table(spark, sf, "documents"), TOPK_TOKENS)
+
+
+_X05_SQL = rf"""
+WITH toks AS (
+  SELECT unnest({_TOKS_NORM}) AS token FROM documents
+)
+SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1
+ORDER BY cnt DESC, token LIMIT {TOPK_TOKENS}
+"""
+
+# X6 — MinHash signatures
+
+
+def _x06(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_signatures(
+        load_table(spark, sf, "documents"), MINHASH_PERMS, JACCARD_K
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ",\n       ".join(
+        f"MIN({seeded_hash60_sql('sh', i)}) AS mh{i}" for i in range(MINHASH_PERMS)
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS shingles FROM t),
+u AS (SELECT doc_id, unnest(shingles) AS sh FROM s)
+SELECT doc_id,
+       {mins}
+FROM u GROUP BY doc_id
+"""
+
+
+# X7 — n-gram Jaccard near-dup pairs (inverted shingle index)
+
+
+def _x07(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), JACCARD_THRESHOLD, JACCARD_K
+    )
+
+
+_X07_SQL = rf"""
+WITH t AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS shingles FROM t),
+post AS (SELECT DISTINCT doc_id AS id, unnest(shingles) AS shingle FROM s),
+sizes AS (SELECT id, COUNT(*) AS n FROM post GROUP BY 1),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS ni
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ni / (sa.n + sb.n - ni) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.id JOIN sizes sb ON doc_b = sb.id
+WHERE ni / (sa.n + sb.n - ni) >= {JACCARD_THRESHOLD}
+"""
+
+# X8 — SimHash (bit-majority fingerprint)
+
+
+def _x08(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf, "documents"))
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM((h >> {b}) & 1) AS b{b}" for b in range(dedup.SIMHASH_BITS)
+    )
+    bit_cases = "\n         + ".join(
+        f"(CASE WHEN 2 * b{b} >= n THEN {2**b} ELSE 0 END)"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+u AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(toks)), 1, 8) AS BIGINT) AS h FROM t),
+g AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {bit_sums}
+  FROM u GROUP BY doc_id
+), v AS (
+  SELECT doc_id,
+         {bit_cases} AS simhash
+  FROM g
+)
+SELECT d.doc_id, CAST(COALESCE(v.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+"""
+
+
+# X9 — brute-force exact ANN (cosine top-k)
+
+
+def _x09(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return similarity.brute_force_topk(emb, q, ANN_K)
+
+
+# explicit double-precision cosine (list_cosine_similarity may accumulate in
+# float32; this mirrors the Spark zip_with/aggregate double fold exactly)
+_COS = (
+    "list_sum(list_transform(generate_series(1, len(q.qv)), "
+    "i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, len(q.qv)), "
+    "i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))"
+)
+
+_X09_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {ANN_QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS} AS score
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {ANN_K}
+"""
+
+# X10 — embedding-cosine near-dup pairs
+
+
+def _x10(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf, "embeddings"), EMB_DUP_THRESHOLD
+    )
+
+
+_COS_AB = (
+    "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), "
+    "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+)
+
+_X10_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_AB} AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_AB} >= {EMB_DUP_THRESHOLD}
+"""
+
+# X11 — MinHash-LSH candidate pairs (rows checked; set is deterministic)
+
+
+def _x11(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(
+        load_table(spark, sf, "documents"), n_perm=MINHASH_PERMS, bands=MINHASH_PERMS
+    )
+
+
+def _lsh_sql() -> str:
+    # bands of 1 row: bucket b = md5(CAST(mh_b AS VARCHAR)); a pair is a
+    # candidate iff any single minhash matches — mirror of lsh_candidate_pairs
+    # with rows_per_band=1.
+    sig = _minhash_sql()
+    ors = " OR ".join(f"x.mh{i} = y.mh{i}" for i in range(MINHASH_PERMS))
+    return f"""
+WITH sig AS ({sig})
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ({ors})
+"""
+
+
+# X12 — multimodal binary metadata (JVM-side pass before any decode)
+
+
+def _x12(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.lit("text").alias("modality"),
+        F.col("text").cast("binary").alias("blob"),
+    )
+    return multimodal.binary_meta(docs)
+
+
+_X12_SQL = """
+SELECT doc_id AS id, 'text' AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents
+"""
+
+
+EXTENSION_QUERIES: list[QuerySpec] = [
+    QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
+    QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
+    QuerySpec("x03_fingerprint", _x03, _X03_SQL, "normalized md5 fingerprint"),
+    QuerySpec("x04_dedup_exact", _x04, _X04_SQL, "exact dedup via hash-groupBy"),
+    QuerySpec("x05_token_topk", _x05, _X05_SQL, "global heavy-hitter tokens"),
+    QuerySpec("x06_minhash_signatures", _x06, _minhash_sql(), "MinHash signatures"),
+    QuerySpec("x07_ngram_jaccard_dups", _x07, _X07_SQL, "n-gram Jaccard near-dups"),
+    QuerySpec("x08_simhash", _x08, _simhash_sql(), "SimHash fingerprints"),
+    QuerySpec("x09_ann_brute_topk", _x09, _X09_SQL, "exact cosine top-k ANN baseline"),
+    QuerySpec("x10_embedding_near_dups", _x10, _X10_SQL, "embedding-cosine near-dups"),
+    QuerySpec("x11_lsh_candidates", _x11, _lsh_sql(), "MinHash-LSH candidate pairs"),
+    QuerySpec("x12_multimodal_meta", _x12, _X12_SQL, "binary-column metadata pass"),
+]

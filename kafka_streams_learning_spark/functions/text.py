@@ -46,9 +46,18 @@ def subword_count(text: Column) -> Column:
     return (F.ceil(nonspace / F.lit(4.0)) + token_count(text)).cast("long")
 
 
+def _is_in(t: Column, words: tuple[str, ...]) -> Column:
+    """Membership test usable on lambda variables inside higher-order
+    functions (Column.isin is not supported there)."""
+    cond = t == F.lit(words[0])
+    for w in words[1:]:
+        cond = cond | (t == F.lit(w))
+    return cond
+
+
 def stopword_ratio(text: Column) -> Column:
     toks = tokens(F.lower(text))
-    stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    stop = F.filter(toks, lambda t: _is_in(t, STOPWORDS))
     return F.when(F.size(toks) > 0, F.size(stop) / F.size(toks)).otherwise(F.lit(0.0))
 
 
@@ -73,8 +82,13 @@ def lang_guess(text: Column) -> Column:
     """Marker-token language ID: pick the language with the most marker
     hits; ties and zero hits → 'und'. Cheap n-gram LID in expression form."""
     toks = tokens(F.lower(text))
+    def _marker_filter(markers: tuple[str, ...]):
+        # NB: the returned lambda must be unary — F.filter treats a binary
+        # lambda as (element, index).
+        return lambda t: _is_in(t, markers)
+
     scores = [
-        (lang, F.size(F.filter(toks, lambda t, m=markers: t.isin(*m))))
+        (lang, F.size(F.filter(toks, _marker_filter(markers))))
         for lang, markers in _LANG_MARKERS.items()
     ]
     best = F.greatest(*[s for _, s in scores])

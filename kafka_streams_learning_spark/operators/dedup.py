@@ -1,0 +1,165 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the 100 TB story):
+
+- **exact** — hash-groupBy on a 128-bit fingerprint: one shuffle keyed by
+  the fingerprint; partial aggregation collapses duplicates map-side.
+- **n-gram Jaccard** — never all-pairs: an inverted shingle index
+  (explode → join on shingle) produces only co-shingled candidate pairs,
+  then intersection/union counts come from one groupBy. All-pairs is
+  O(n²); the index is O(total postings × bucket density).
+- **MinHash+LSH** — signatures are per-row expressions (min over shingle
+  hashes per permutation); banding buckets hash a band's slice; pairs
+  emerge from a self-join *within buckets only*. Tunable (n_perm, bands)
+  recall/cost trade-off, the standard web-scale near-dup pipeline.
+- **SimHash** — bit-majority over token hashes; a single 32-bit value per
+  doc, groupable/sortable for Hamming-neighborhood blocking.
+
+All hashes are the portable md5-derived family (`functions/hashing.py`) so
+the DuckDB oracle replays every sketch exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_learning_spark.functions import text as T
+from kafka_streams_learning_spark.functions.hashing import seeded_hash60
+from kafka_streams_learning_spark.functions.text import word_shingles
+
+SIMHASH_BITS = 32
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group documents by normalized-text fingerprint: (fp, keep_id, n_dups).
+    `keep_id` = min id is the canonical survivor."""
+    fp = T.fingerprint(F.col(text_col))
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, shingle) postings, distinct per document."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs (a < b) with k-shingle Jaccard ≥ threshold, via an
+    inverted shingle index — candidate pairs only ever materialize for
+    docs that share ≥1 shingle."""
+    post = _shingled(df, text_col, id_col, k)
+    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = post.alias("a")
+    b = post.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_perm: int,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document MinHash signature as columns mh0..mh{n-1}.
+
+    Each permutation is `min(seeded_hash60(seed, shingle))` — computed as
+    an array expression per row (no explode, no shuffle): the signature of
+    a row depends only on that row."""
+    sh = word_shingles(F.col(text_col), k)
+
+    def _perm(seed: int):
+        # unary lambda required: F.transform treats binary lambdas as
+        # (element, index) and would pass the index as the seed
+        return lambda s: seeded_hash60(s, seed)
+
+    cols = [F.col(id_col)]
+    for i in range(n_perm):
+        mh = F.array_min(F.transform(sh, _perm(i)))
+        cols.append(mh.alias(f"mh{i}"))
+    return df.select(*cols)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    n_perm: int,
+    bands: int,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (a < b): docs whose signatures collide
+    in at least one band. rows_per_band = n_perm // bands. The self-join
+    runs per (band, bucket) group — the only shuffle keys are band buckets,
+    never the full cross product."""
+    assert n_perm % bands == 0, "n_perm must divide evenly into bands"
+    rows = n_perm // bands
+    sig = minhash_signatures(df, n_perm, k, text_col, id_col)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("bucket"))
+        )
+    buckets = sig.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document: bit b of the result is 1 iff at least
+    half of the document's tokens (by term frequency) have bit b set in
+    their 32-bit hash. Pure expression: one pass, no shuffle."""
+    toks = T.tokens(T.normalized_text(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    n = F.size(hashes)
+    def _bit_counter(bit: int):
+        # binary lambda required by F.aggregate's merge step; the bit index
+        # must come in via closure, not a default arg (arity detection)
+        return lambda acc, h: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1))
+
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        ones = F.aggregate(hashes, F.lit(0).cast("long"), _bit_counter(b))
+        bit_terms.append(
+            F.when(ones * 2 >= n, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    sh = sum(bit_terms[1:], bit_terms[0])
+    return df.select(id_col, F.when(n > 0, sh).otherwise(F.lit(0)).alias("simhash"))

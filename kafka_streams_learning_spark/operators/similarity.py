@@ -1,0 +1,144 @@
+"""Similarity search over an `array<float>` embedding column.
+
+- brute_force_topk — exact cosine top-k for a set of query vectors.
+  Plan shape: the (small) query set is broadcast against the (huge)
+  corpus — the corpus never shuffles; per-query ranking is a window over
+  query_id, which shuffles only (query × k-ish) candidate rows after a
+  cheap per-partition pre-ranking could be applied. This is the exact
+  baseline and the oracle-checkable surface.
+
+- random-hyperplane LSH (`rh_lsh_buckets` / `lsh_topk`) — the scale path:
+  sign-pattern bucketing of a deterministic pseudo-random hyperplane set
+  (seeded from the portable md5 hash family, so buckets are reproducible
+  anywhere). Neighbors are only searched within matching buckets —
+  sub-linear candidate generation at the cost of recall; candidates are
+  re-scored exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from kafka_streams_learning_spark.functions.vectors import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (self-matches
+    excluded). Deterministic ranking: (cosine desc, neighbor id asc).
+    Returns (query_id, neighbor_id, rank, score)."""
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j of
+    plane p is derived from md5(p||j) mapped into [-1, 1). Reproducible in
+    any engine with md5 — no RNG state, no library dependence."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"{plane}|{j}".encode()).hexdigest()[:15], 16)
+        comps.append((h / float(16**15)) * 2.0 - 1.0)
+    return comps
+
+
+def rh_lsh_buckets(
+    df: DataFrame,
+    n_planes: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-pattern bucket id per vector: bit p = 1 iff v · plane_p ≥ 0."""
+    terms = []
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p)
+        dot = None
+        for j, wj in enumerate(plane):
+            t = F.element_at(F.col(vec_col), j + 1).cast("double") * F.lit(wj)
+            dot = t if dot is None else dot + t
+        terms.append(F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0)))
+    bucket = terms[0]
+    for t in terms[1:]:
+        bucket = bucket + t
+    return df.select(F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine re-scoring + ranking. Equi-join on bucket → hash join,
+    never a cross product."""
+    cb = rh_lsh_buckets(corpus, n_planes, dim, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    qb = broadcast(
+        rh_lsh_buckets(queries, n_planes, dim, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+        )
+    )
+    scored = (
+        cb.join(qb, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with cosine ≥ threshold. Exact form is
+    a self cross-join — quadratic, fine for oracle scale; at 100 TB the
+    LSH-bucketed variant (join within `rh_lsh_buckets` buckets) bounds the
+    pair generation. Both re-score exactly."""
+    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= threshold)
+        .select("vec_a", "vec_b", "score")
+    )
