@@ -1,0 +1,75 @@
+"""Streaming query runners/sinks (SURVEY §2.2 K1–K3, §2.11 IQ).
+
+- run_to_memory — the test/interactive sink: drives a query to completion
+  over staged replay input (`processAllAvailable`) and exposes the result
+  as a queryable table. This is also how IQ1-style interactive lookups
+  work: the windowed aggregate streams into a queryable sink table and
+  point/range queries run against it (`OrderCountTumblingWindow.java:130-145`).
+- run_collect_batches — foreachBatch capture of each micro-batch's rows:
+  the observable emission sequence (KTable changelog semantics,
+  `StreamsOrderCount.java:130-134`).
+- to_console — the reference's ubiquitous `.foreach(print)` sink.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _checkpoint() -> str:
+    return tempfile.mkdtemp(prefix="ksl-ckpt-")
+
+
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "update",
+    checkpoint: str | None = None,
+) -> None:
+    """Run a streaming DataFrame to completion into an in-memory table
+    named `name`; query it afterwards with spark.sql/spark.table."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint or _checkpoint())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+
+def run_collect_batches(
+    df: DataFrame,
+    output_mode: str = "update",
+    checkpoint: str | None = None,
+) -> list[list]:
+    """Run to completion, capturing each micro-batch's emitted rows in
+    order — the update-mode emission sequence as observable behavior."""
+    batches: list[list] = []
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batches.append(batch_df.collect())
+
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint or _checkpoint())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return batches
+
+
+def to_console(df: DataFrame, output_mode: str = "update", label: str | None = None):
+    """Console sink (`.print(Printed.toSysOut().withLabel(...))`,
+    `OrderCountTumblingWindow.java:81-82`). Returns the running query."""
+    w = df.writeStream.outputMode(output_mode).format("console")
+    if label:
+        w = w.queryName(label)
+    return w.option("checkpointLocation", _checkpoint()).start()

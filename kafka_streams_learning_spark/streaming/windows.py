@@ -1,0 +1,73 @@
+"""Streaming windowed/keyed aggregations (SURVEY §2.6 A1/A3, §2.7).
+
+The watermark encodes the reference's grace semantics: grace-0 windows
+(`ofSizeWithNoGrace`) = `withWatermark(ts, "0 seconds")` — a record older
+than the max seen event time is dropped once its window is below the
+watermark, and window state is purged as the watermark passes
+(`StreamsOrderCount.java:46-53`). State lives in the RocksDB-backed store
+configured in `session.py`; checkpoint replay is the changelog-restore
+equivalent (`ProductCountApp.java:31-36`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_count_by_key(df: DataFrame, *keys: str, count_name: str = "cnt") -> DataFrame:
+    """Unwindowed running count per key — KTable-from-count. Run in
+    `update` output mode: every input record emits the key's new count
+    (changelog emission, `StreamsOrderCount.java:130-134`)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_name))
+
+
+def streaming_tumbling_count(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    *keys: str,
+    grace: str = "0 seconds",
+    count_name: str = "cnt",
+) -> DataFrame:
+    """Tumbling-window count with grace-as-watermark. Append mode emits a
+    window once finalized (watermark past window end); update mode emits
+    per-record running window counts."""
+    w = F.window(F.col(ts_col), size)
+    return (
+        df.withWatermark(ts_col, grace)
+        .groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias(count_name))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            count_name,
+        )
+    )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    bound: str,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream windowed inner equi-join (SURVEY §2.5 J2): keys equal
+    and |left_ts - right_ts| ≤ bound
+    (`StreamStreamJoinExample.java:118-123`). Watermarks on BOTH sides let
+    Spark purge join state once a row can no longer find a match — without
+    them stream-stream join state grows forever."""
+    wm = watermark if watermark is not None else bound
+    l = left.withWatermark(left_ts, wm).alias("l")
+    r = right.withWatermark(right_ts, wm).alias("r")
+    cond = F.expr(
+        f"l.{left_key} = r.{right_key} AND "
+        f"r.{right_ts} BETWEEN l.{left_ts} - INTERVAL {bound} "
+        f"AND l.{left_ts} + INTERVAL {bound}"
+    )
+    return l.join(r, cond, "inner")

@@ -1,0 +1,184 @@
+"""Streaming-semantics tests (SURVEY §5.2-2/3/5): incremental emission
+sequences, grace-0 late-data drops, stream-stream join, stateful alerts,
+and checkpoint recovery — on hermetic staged-replay sources."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_learning_spark.sources.replay import (
+    replay_stream,
+    stage_explicit_chunks,
+)
+from kafka_streams_learning_spark.streaming import runner, stateful, windows
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="ksl-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+EVENTS_SCHEMA = "key string, record_id long, amount double, ts timestamp"
+
+
+def test_update_mode_emission_sequence(spark, tmpdir):
+    """A1: running count per key emits an updated row per input batch
+    (KTable changelog semantics, `StreamsOrderCount.java:130-134`)."""
+    base = ts("2024-01-01T00:00:00")
+    chunks = [
+        [("a", 1, 10.0, base), ("b", 2, 10.0, base)],
+        [("a", 3, 10.0, base + dt.timedelta(minutes=1))],
+        [("a", 4, 10.0, base + dt.timedelta(minutes=2))],
+    ]
+    stage_explicit_chunks(spark, chunks, EVENTS_SCHEMA, tmpdir)
+    stream = replay_stream(spark, tmpdir, EVENTS_SCHEMA)
+    counted = windows.streaming_count_by_key(stream, "key")
+    batches = runner.run_collect_batches(counted, "update")
+    seq = [sorted((r.key, r.cnt) for r in b) for b in batches if b]
+    # batch 1: both keys at 1; batch 2: a→2; batch 3: a→3 (b unchanged, not re-emitted)
+    assert seq == [[("a", 1), ("b", 1)], [("a", 2)], [("a", 3)]]
+
+
+def test_tumbling_append_and_late_drop(spark, tmpdir):
+    """A3 + grace-0: append mode finalizes a window when the watermark
+    passes; a record older than the watermark is dropped, not applied
+    (`StreamsOrderCount.java:50-53`)."""
+    base = ts("2024-01-01T00:00:00")
+    chunks = [
+        [("k", 1, 1.0, base), ("k", 2, 1.0, base + dt.timedelta(seconds=30))],
+        # advance event time well past the first window
+        [("k", 3, 1.0, base + dt.timedelta(minutes=5))],
+        # watermark (updated after the previous batch) now closes + evicts
+        # the first window during this batch
+        [("k", 9, 1.0, base + dt.timedelta(minutes=5, seconds=10))],
+        # late record for the first (closed, evicted) window → dropped.
+        # NB Spark micro-batch granularity: a late row arriving in the
+        # *same* batch that evicts its window still counts (state is
+        # merged before eviction); one batch later it is dropped — that is
+        # the grace-0 contract at micro-batch resolution.
+        [("k", 4, 1.0, base + dt.timedelta(seconds=45))],
+        # more progress so a re-created window (if the drop failed) would
+        # also be evicted and become visible in the sink
+        [("k", 5, 1.0, base + dt.timedelta(minutes=6))],
+    ]
+    stage_explicit_chunks(spark, chunks, EVENTS_SCHEMA, tmpdir)
+    stream = replay_stream(spark, tmpdir, EVENTS_SCHEMA)
+    counted = windows.streaming_tumbling_count(stream, "ts", "1 minute", "key")
+    runner.run_to_memory(counted, "tumbling_out", "append")
+    rows = [
+        (r.window_start, r.cnt)
+        for r in spark.table("tumbling_out").collect()
+        if r.window_start == base
+    ]
+    # first window emitted exactly once, with exactly 2 (late record
+    # neither counted nor re-opened the window)
+    assert rows == [(base, 2)]
+
+
+def test_streaming_interval_join(spark, tmpdir):
+    """J2: orders⋈payments within ±5 minutes on the key; outside-window
+    and unmatched records never emit (`StreamStreamJoinExample.java:48-78`)."""
+    base = ts("2024-01-01T00:00:00")
+    orders_dir = tmpdir + "/orders"
+    pays_dir = tmpdir + "/pays"
+    o_schema = "o_key string, o_id long, o_ts timestamp"
+    p_schema = "p_key string, p_amount double, p_ts timestamp"
+    stage_explicit_chunks(
+        spark,
+        [[("1", 10, base), ("2", 20, base)]],
+        o_schema,
+        orders_dir,
+    )
+    stage_explicit_chunks(
+        spark,
+        [
+            [
+                ("1", 99.0, base + dt.timedelta(minutes=3)),   # in window → joins
+                ("2", 77.0, base + dt.timedelta(minutes=30)),  # outside → never
+                ("3", 55.0, base),                             # unmatched key
+            ]
+        ],
+        p_schema,
+        pays_dir,
+    )
+    j = windows.streaming_interval_join(
+        replay_stream(spark, orders_dir, o_schema),
+        replay_stream(spark, pays_dir, p_schema),
+        "o_key", "p_key", "o_ts", "p_ts", "5 minutes",
+    )
+    runner.run_to_memory(j, "join_out", "append")
+    got = [(r.o_key, r.p_amount) for r in spark.table("join_out").collect()]
+    assert got == [("1", 99.0)]
+
+
+def test_stateful_fraud_alerts_across_batches(spark, tmpdir):
+    """A5: counter state persists across micro-batches; alerts fire from
+    the 4th qualifying record onward, once per record
+    (`FraudProcessor.java:51-83`)."""
+    base = ts("2024-01-01T00:00:00")
+    mk = lambda i, amt: ("c1", i, amt, base + dt.timedelta(minutes=i))
+    chunks = [
+        [mk(1, 600.0), mk(2, 700.0)],          # count 2 — no alert
+        [mk(3, 100.0), mk(4, 800.0)],          # low-value skipped; count 3
+        [mk(5, 900.0), mk(6, 950.0)],          # counts 4, 5 → two alerts
+    ]
+    stage_explicit_chunks(spark, chunks, EVENTS_SCHEMA, tmpdir)
+    stream = replay_stream(spark, tmpdir, EVENTS_SCHEMA)
+    alerts = stateful.fraud_alert_stream(stream, "key", threshold=500.0)
+    batches = runner.run_collect_batches(alerts, "append")
+    flat = [(r.record_id, r.running_cnt) for b in batches for r in b]
+    assert flat == [(5, 4), (6, 5)]
+    assert all("High-value order streak" in r.alert for b in batches for r in b)
+
+
+def test_checkpoint_recovery(spark, tmpdir):
+    """§5.2-5: kill the query mid-stream, restart from the same
+    checkpoint over a source that has grown — final counts identical to a
+    single uninterrupted run (changelog-restore semantics,
+    `ProductCountApp.java:31-36`)."""
+    base = ts("2024-01-01T00:00:00")
+    data_dir = tmpdir + "/data"
+    ckpt = tmpdir + "/ckpt"
+    stage_explicit_chunks(
+        spark,
+        [[("a", 1, 1.0, base)], [("a", 2, 1.0, base), ("b", 3, 1.0, base)]],
+        EVENTS_SCHEMA,
+        data_dir,
+    )
+    stream = replay_stream(spark, data_dir, EVENTS_SCHEMA)
+    counted = windows.streaming_count_by_key(stream, "key")
+    # foreachBatch sink: the memory sink cannot recover from a checkpoint
+    run1 = runner.run_collect_batches(counted, "update", checkpoint=ckpt)
+    assert run1  # first run emitted something
+
+    # more data arrives while the query is down
+    stage_explicit_chunks(
+        spark,
+        [[("a", 4, 1.0, base), ("b", 5, 1.0, base)]],
+        EVENTS_SCHEMA,
+        data_dir + "/chunk=99999-extra",
+    )
+    stream2 = replay_stream(spark, data_dir, EVENTS_SCHEMA)
+    counted2 = windows.streaming_count_by_key(stream2, "key")
+    run2 = runner.run_collect_batches(counted2, "update", checkpoint=ckpt)
+
+    # fold the full update-mode changelog (run1 then run2): latest value
+    # per key must equal the uninterrupted totals — and run2 must resume,
+    # not reprocess (no count regression)
+    final: dict[str, int] = {}
+    for batch in run1 + run2:
+        for r in batch:
+            assert r.cnt > final.get(r.key, 0), "count regressed after restart"
+            final[r.key] = r.cnt
+    assert final == {"a": 3, "b": 2}
