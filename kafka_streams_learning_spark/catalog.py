@@ -320,5 +320,6 @@ REFERENCE_QUERIES: list[QuerySpec] = [
 
 def all_queries() -> list[QuerySpec]:
     from kafka_streams_learning_spark.catalog_ext import EXTENSION_QUERIES
+    from kafka_streams_learning_spark.catalog_streaming import STREAMING_QUERIES
 
-    return REFERENCE_QUERIES + EXTENSION_QUERIES
+    return REFERENCE_QUERIES + EXTENSION_QUERIES + STREAMING_QUERIES

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_learning_spark.catalog import QuerySpec
-from kafka_streams_learning_spark.functions.hashing import seeded_hash60_sql
+from kafka_streams_learning_spark.functions.hashing import hash32_sql, perm_hash_sql
 from kafka_streams_learning_spark.functions.text import STOPWORDS, _LANG_MARKERS
 from kafka_streams_learning_spark.operators import dedup, multimodal, similarity, textops
 from kafka_streams_learning_spark.sources.batch import load_table
@@ -167,13 +167,15 @@ def _x06(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    # mirror of dedup.minhash_signatures: one 32-bit md5-derived hash per
+    # shingle, then arithmetic permutations (A_i*h + B_i) mod P
     mins = ",\n       ".join(
-        f"MIN({seeded_hash60_sql('sh', i)}) AS mh{i}" for i in range(MINHASH_PERMS)
+        f"MIN({perm_hash_sql('h', i)}) AS mh{i}" for i in range(MINHASH_PERMS)
     )
     return rf"""
 WITH t AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
 s AS (SELECT doc_id, {_SHINGLES} AS shingles FROM t),
-u AS (SELECT doc_id, unnest(shingles) AS sh FROM s)
+u AS (SELECT doc_id, {hash32_sql('unnest(shingles)')} AS h FROM s)
 SELECT doc_id,
        {mins}
 FROM u GROUP BY doc_id
@@ -281,19 +283,22 @@ def _x10(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_COS_AB = (
-    "list_sum(list_transform(generate_series(1, len(a.embedding)), "
-    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
-    "(sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), "
-    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * "
-    "sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), "
-    "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
-)
-
+# mirror of similarity.embedding_near_dup_pairs: normalize once per
+# vector (x/||v|| in double), then pairs score with a single dot product
 _X10_SQL = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_AB} AS score
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_COS_AB} >= {EMB_DUP_THRESHOLD}
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_sum(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(generate_series(1, len(a.nv)),
+              i -> a.nv[i] * b.nv[i])) AS score
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, score FROM scored WHERE score >= {EMB_DUP_THRESHOLD}
 """
 
 # X11 — MinHash-LSH candidate pairs (rows checked; set is deterministic)

@@ -52,3 +52,31 @@ def hash32_sql(expr: str) -> str:
 def seeded_hash60_sql(expr: str, seed: int) -> str:
     """DuckDB SQL mirror of :func:`seeded_hash60`."""
     return hash60_sql(f"'{seed}|' || {expr}")
+
+
+# ---------------------------------------------------------------------------
+# Linear permutation family over a 32-bit base hash:
+#   perm_i(h) = (A_i * h + B_i) mod P
+# One md5 per input feeds any number of permutations with two integer ops
+# each — the standard MinHash trick, and the reason n_perm=64 is cheap.
+# Bounds: A_i < 2^31, h < 2^32 ⇒ A_i*h < 2^63 (no signed-64 overflow in any
+# engine); P is the Mersenne prime 2^61-1.
+
+PERM_P = (1 << 61) - 1
+
+
+def perm_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic (A_i, B_i) for permutation i (LCG-spread constants)."""
+    a = ((1103515245 * (i + 1) + 12345) % ((1 << 31) - 1)) | 1
+    b = (69069 * (i + 1) + 1) % ((1 << 31) - 1)
+    return a, b
+
+
+def perm_hash(h: Column, i: int) -> Column:
+    a, b = perm_coeffs(i)
+    return (h * F.lit(a) + F.lit(b)) % F.lit(PERM_P)
+
+
+def perm_hash_sql(expr: str, i: int) -> str:
+    a, b = perm_coeffs(i)
+    return f"(({expr}) * {a} + {b}) % {PERM_P}"

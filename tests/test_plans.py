@@ -1,0 +1,75 @@
+"""Plan-shape regression tests: the 100 TB contract of each operator is a
+physical-plan property (pushdown, pruning, broadcast, no cartesian
+product, bounded shuffle count). A timing can't regress in CI; a plan
+shape can — these tests pin the shapes."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_streams_learning_spark.catalog import REFERENCE_QUERIES
+from kafka_streams_learning_spark.catalog_ext import EXTENSION_QUERIES
+from kafka_streams_learning_spark.plans import explain as E
+
+from .conftest import SF_DIR
+
+_BY_NAME = {q.name: q for q in REFERENCE_QUERIES + EXTENSION_QUERIES}
+
+
+def _df(spark, name):
+    return _BY_NAME[name].spark(spark, SF_DIR)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    # the threshold comparison must reach the parquet reader, not run post-scan
+    pf = E.pushed_filters(_df(spark, "q02_high_value_filter"))
+    assert "GreaterThanOrEqual(o_totalprice,250000.0)" in pf
+
+
+def test_column_pruning(spark):
+    # q05 projects 3 columns; the scan must not read the rest of events
+    rs = E.read_schema(_df(spark, "q05_sliding_count"))
+    assert "event_type" not in rs and "props" not in rs
+
+
+def test_enrich_join_broadcasts_dimension(spark):
+    df = _df(spark, "q07_enrich_join")
+    plan = E.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the fact side must NOT shuffle: zero shuffle exchanges in the plan
+    assert E.exchange_count(df) == 0
+
+
+def test_no_cartesian_products(spark):
+    # every join in the catalog must be key-based (hash/broadcast), never
+    # a cartesian product — x09's broadcast nested loop over the tiny
+    # query set is the one sanctioned exception
+    for name in [
+        "q05_sliding_count",
+        "q06_interval_join",
+        "q07_enrich_join",
+        "x07_ngram_jaccard_dups",
+        "x11_lsh_candidates",
+    ]:
+        assert not E.has_cartesian(_df(spark, name)), name
+
+
+def test_sliding_join_is_equi_keyed(spark):
+    # the range self-join must hash on the key with the range as a
+    # post-condition — a pure range join would be quadratic per partition
+    plan = E.formatted_plan(_df(spark, "q05_sliding_count"))
+    assert "Join" in plan and not E.has_cartesian(_df(spark, "q05_sliding_count"))
+    assert "user_id" in plan
+
+
+def test_agg_is_partial_before_shuffle(spark):
+    # count-by-key must partial-aggregate map-side: HashAggregate appears
+    # both below and above the exchange
+    plan = E.formatted_plan(_df(spark, "q03_count_by_key"))
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", ["q01_uppercase", "x01_text_stats", "x08_simhash"])
+def test_expression_only_ops_have_no_shuffle(spark, name):
+    # per-row expression operators must be shuffle-free single passes
+    assert E.exchange_count(_df(spark, name)) == 0, name
