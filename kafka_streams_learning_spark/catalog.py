@@ -300,6 +300,64 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+# Q13 — hopping-window count (SURVEY §2.7: mentioned in reference comments
+# only, `StreamStreamJoinExample.java:24`; free in Spark so exposed)
+
+HOP_SIZE = "2 days"
+HOP_SLIDE = "1 day"
+
+
+def _q13(spark: SparkSession, sf: str) -> DataFrame:
+    return core.hopping_count(
+        load_table(spark, sf, "events"), "ts", HOP_SIZE, HOP_SLIDE, "user_id"
+    )
+
+
+_Q13_SQL = """
+WITH h AS (
+  SELECT user_id, ts,
+         unnest(generate_series(
+           CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 1 DAY,
+           CAST(date_trunc('day', ts) AS TIMESTAMP),
+           INTERVAL 1 DAY)) AS window_start
+  FROM events
+)
+SELECT window_start, window_start + INTERVAL 2 DAY AS window_end,
+       user_id, COUNT(*) AS cnt
+FROM h
+WHERE ts >= window_start AND ts < window_start + INTERVAL 2 DAY
+GROUP BY 1, 2, 3
+"""
+
+# Q14 — session-window count (SURVEY §2.7). Sessions split when consecutive
+# per-key events are >= gap apart; window end = last event + gap.
+
+SESSION_GAP = "12 hours"
+
+
+def _q14(spark: SparkSession, sf: str) -> DataFrame:
+    return core.session_count(load_table(spark, sf, "events"), "ts", SESSION_GAP, "user_id")
+
+
+_Q14_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w >= INTERVAL 12 HOUR THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT MIN(ts) AS window_start, MAX(ts) + INTERVAL 12 HOUR AS window_end,
+       user_id, COUNT(*) AS cnt
+FROM s GROUP BY user_id, sess
+"""
+
+
 # ---------------------------------------------------------------------------
 
 REFERENCE_QUERIES: list[QuerySpec] = [
@@ -315,6 +373,8 @@ REFERENCE_QUERIES: list[QuerySpec] = [
     QuerySpec("q10_window_threshold", _q10, _Q10_SQL, "windowed count + HAVING (F3+A3)"),
     QuerySpec("q11_window_fetch", _q11, _Q11_SQL, "interactive window-store fetch (IQ1)"),
     QuerySpec("q12_enriched_nested", _q12, _Q12_SQL, "EnrichedOrder nested projection"),
+    QuerySpec("q13_hopping_count", _q13, _Q13_SQL, "hopping-window count (§2.7)"),
+    QuerySpec("q14_session_count", _q14, _Q14_SQL, "session-window count (§2.7)"),
 ]
 
 

@@ -75,6 +75,62 @@ def tumbling_count(
     )
 
 
+def hopping_count(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str,
+    *keys: str,
+    count_name: str = "cnt",
+    start_name: str = "window_start",
+    end_name: str = "window_end",
+) -> DataFrame:
+    """Hopping-window count (SURVEY §2.7 — mentioned at
+    `joins/stream_stream/StreamStreamJoinExample.java:24`, never
+    instantiated in the reference; exposed because Spark gives it free).
+    Overlapping wall-aligned windows: each record lands in size/slide
+    windows — the fan-out happens pre-shuffle so partial aggregation still
+    collapses per (window, key) map-side."""
+    w = F.window(F.col(ts_col), size, slide)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias(count_name))
+        .select(
+            F.col("w.start").alias(start_name),
+            F.col("w.end").alias(end_name),
+            *keys,
+            count_name,
+        )
+    )
+
+
+def session_count(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    *keys: str,
+    count_name: str = "cnt",
+    start_name: str = "window_start",
+    end_name: str = "window_end",
+) -> DataFrame:
+    """Session-window count (SURVEY §2.7): per-key sessions that extend
+    while consecutive events are < gap apart; window = [first_ts,
+    last_ts + gap). Spark's `session_window` merges overlapping per-event
+    [ts, ts+gap) ranges after the shuffle on the keys — exactly the
+    gaps-and-islands semantics the DuckDB oracle replays with LAG."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias(count_name))
+        .select(
+            F.col("w.start").alias(start_name),
+            F.col("w.end").alias(end_name),
+            *keys,
+            count_name,
+        )
+    )
+
+
 def having_count_above(df: DataFrame, threshold: int, count_name: str = "cnt") -> DataFrame:
     """Post-aggregation threshold (`windows/tumbling/FraudDetectionApp.java:51-57`,
     SURVEY §2.4 F3): strictly `count > threshold`."""
