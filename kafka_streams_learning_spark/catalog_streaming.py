@@ -103,6 +103,105 @@ WHERE running_cnt > {ALERT_AFTER}
 """
 
 
+# s04 — stream-stream interval join, streamed (J2 via the streaming engine).
+# Same query as q06 (orders⋈lineitem, ship within 90 days of order) but both
+# sides replayed as event-time-ordered streams; watermarked join state is
+# purged as the streams advance.
+
+
+def _s04(spark: SparkSession, sf: str) -> DataFrame:
+    # watermarks require TIMESTAMP (ltz); the fixture dates are NTZ — the
+    # cast is interpretation-only under the UTC session timezone
+    orders = replay_table(
+        spark, sf, "orders", tempfile.mkdtemp(prefix="ksl-replay-"),
+        REPLAY_CHUNKS, order_by="o_orderdate",
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    items = replay_table(
+        spark, sf, "lineitem", tempfile.mkdtemp(prefix="ksl-replay-"),
+        REPLAY_CHUNKS, order_by="l_shipdate",
+    ).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        F.col("l_shipdate").cast("timestamp").alias("l_shipdate"),
+    )
+    j = windows.streaming_interval_join(
+        orders, items,
+        "o_orderkey", "l_orderkey", "o_orderdate", "l_shipdate",
+        bound="90 days", lower="0 days", upper="90 days",
+    )
+    out = j.select(
+        "o_orderkey", "o_custkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    )
+    name = _fresh_name("s04_out")
+    runner.run_to_memory(out, name, "append")
+    return spark.table(name)
+
+
+_S04_SQL = """
+SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_extendedprice, l.l_shipdate
+FROM orders o JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+"""
+
+# s05 — stream-table enrichment with a CHANGING dimension (J1+S3 via the
+# streaming engine, SURVEY §7.4b). The customer dimension arrives as a
+# 2-version changelog stream (stale rows first, then the real ones); a
+# foreachBatch upsert maintains the latest-per-key snapshot (the KTable);
+# the orders stream then enrich-joins the snapshot broadcast-static. The
+# batch oracle joins against the final customer table — which IS the final
+# snapshot, the deterministic semantic of `StreamTableJoinExample.java:85-88`.
+
+
+def _s05(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators.joins import enrich_join
+    from kafka_streams_learning_spark.sources.batch import load_table
+    from kafka_streams_learning_spark.sources.replay import (
+        replay_stream,
+        stage_replay_chunks,
+    )
+    from kafka_streams_learning_spark.streaming import ktable
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    stale = cust.withColumn("c_name", F.lit("STALE")).withColumn("_version", F.lit(0))
+    fresh = cust.withColumn("_version", F.lit(1))
+    changelog_dir = tempfile.mkdtemp(prefix="ksl-chlog-")
+    staged = stage_replay_chunks(
+        stale.unionByName(fresh), changelog_dir, chunks=2, order_by="_version"
+    )
+    snapshot_dir = tempfile.mkdtemp(prefix="ksl-snap-")
+    ktable.materialize_ktable(
+        replay_stream(spark, staged, stale.schema),
+        snapshot_dir, key="c_custkey", version_col="_version",
+    )
+    dim = ktable.read_snapshot(spark, snapshot_dir).drop("_version")
+
+    orders = replay_table(
+        spark, sf, "orders", tempfile.mkdtemp(prefix="ksl-replay-"),
+        REPLAY_CHUNKS, order_by="o_orderdate",
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    joined = enrich_join(
+        orders.withColumn("c_custkey", F.col("o_custkey")), dim, on="c_custkey"
+    ).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "c_name", "c_mktsegment", "c_acctbal",
+    )
+    name = _fresh_name("s05_out")
+    runner.run_to_memory(joined, name, "append")
+    return spark.table(name)
+
+
+_S05_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderdate,
+       c.c_name, c.c_mktsegment, c.c_acctbal
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -110,4 +209,8 @@ STREAMING_QUERIES: list[QuerySpec] = [
               "tumbling-window count through the streaming engine (A3)"),
     QuerySpec("s03_stream_fraud_alerts", _s03, _S03_SQL,
               "stateful alert operator through the streaming engine (A5)"),
+    QuerySpec("s04_stream_interval_join", _s04, _S04_SQL,
+              "watermarked stream-stream interval join (J2)"),
+    QuerySpec("s05_stream_ktable_enrich", _s05, _S05_SQL,
+              "changing-dimension KTable enrichment (J1+S3, §7.4b)"),
 ]

@@ -56,18 +56,23 @@ def streaming_interval_join(
     right_ts: str,
     bound: str,
     watermark: str | None = None,
+    lower: str | None = None,
+    upper: str | None = None,
 ) -> DataFrame:
     """Stream-stream windowed inner equi-join (SURVEY §2.5 J2): keys equal
-    and |left_ts - right_ts| ≤ bound
-    (`StreamStreamJoinExample.java:118-123`). Watermarks on BOTH sides let
+    and right_ts ∈ [left_ts - lower, left_ts + upper]
+    (`StreamStreamJoinExample.java:118-123` is the symmetric ±bound case;
+    lower/upper override for one-sided joins). Watermarks on BOTH sides let
     Spark purge join state once a row can no longer find a match — without
     them stream-stream join state grows forever."""
-    wm = watermark if watermark is not None else bound
+    lo = lower if lower is not None else bound
+    hi = upper if upper is not None else bound
+    wm = watermark if watermark is not None else hi
     l = left.withWatermark(left_ts, wm).alias("l")
     r = right.withWatermark(right_ts, wm).alias("r")
     cond = F.expr(
         f"l.{left_key} = r.{right_key} AND "
-        f"r.{right_ts} BETWEEN l.{left_ts} - INTERVAL {bound} "
-        f"AND l.{left_ts} + INTERVAL {bound}"
+        f"r.{right_ts} BETWEEN l.{left_ts} - INTERVAL {lo} "
+        f"AND l.{left_ts} + INTERVAL {hi}"
     )
     return l.join(r, cond, "inner")

@@ -182,3 +182,30 @@ def test_checkpoint_recovery(spark, tmpdir):
             assert r.cnt > final.get(r.key, 0), "count regressed after restart"
             final[r.key] = r.cnt
     assert final == {"a": 3, "b": 2}
+
+
+def test_ktable_changelog_snapshot(spark, tmpdir):
+    """S3/§7.4b: a changelog stream materializes as latest-value-per-key —
+    later versions overwrite, untouched keys survive
+    (`StreamTableJoinExample.java:114-140`)."""
+    from kafka_streams_learning_spark.streaming import ktable
+
+    schema = "k string, name string, v long"
+    data_dir = tmpdir + "/chlog"
+    snap_dir = tmpdir + "/snap"
+    stage_explicit_chunks(
+        spark,
+        [
+            [("c1", "old-1", 0), ("c2", "old-2", 0)],
+            [("c1", "new-1", 1), ("c3", "only-3", 1)],
+        ],
+        schema,
+        data_dir,
+    )
+    ktable.materialize_ktable(
+        replay_stream(spark, data_dir, schema), snap_dir, key="k", version_col="v"
+    )
+    snap = ktable.read_snapshot(spark, snap_dir)
+    got = {r.k: r.name for r in snap.collect()}
+    # c1 upserted, c2 untouched from v0, c3 inserted at v1
+    assert got == {"c1": "new-1", "c2": "old-2", "c3": "only-3"}
