@@ -343,6 +343,76 @@ FROM documents
 """
 
 
+# X13 — IVF approximate top-k ANN (the 100 TB scale path for x09).
+# Deterministic end-to-end (modular centroid seeding, tie-broken argmax),
+# so the oracle replays the identical algorithm: the check verifies the
+# full IVF pipeline — assignment, probing, candidate generation, exact
+# re-scoring — not just "some neighbors came back".
+
+IVF_CENTROID_MOD = 20
+IVF_NPROBE = 2
+
+_NORM_NV = (
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+    "sqrt(list_sum(list_transform(embedding, "
+    "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"
+)
+
+
+def _x13(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ivf_topk(
+        load_table(spark, sf, "embeddings"),
+        k=ANN_K,
+        centroid_mod=IVF_CENTROID_MOD,
+        query_mod=ANN_QUERY_MOD,
+        nprobe=IVF_NPROBE,
+    )
+
+
+_X13_SQL = f"""
+WITH n AS (
+  SELECT vec_id, {_NORM_NV} AS nv FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, nv AS cv FROM n WHERE vec_id % {IVF_CENTROID_MOD} = 0
+), scored AS (
+  SELECT v.vec_id, c.cid,
+         list_sum(list_transform(generate_series(1, len(v.nv)),
+              i -> v.nv[i] * c.cv[i])) AS score
+  FROM n v CROSS JOIN cent c
+), best AS (
+  SELECT vec_id, MAX(score) AS ms FROM scored GROUP BY vec_id
+), assign AS (
+  -- argmax by (score desc, cid asc), two-pass form of Spark's max_by
+  SELECT s.vec_id, MIN(s.cid) AS cluster
+  FROM scored s JOIN best b ON s.vec_id = b.vec_id AND s.score = b.ms
+  GROUP BY s.vec_id
+), probe AS (
+  SELECT vec_id AS query_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cid) AS rn
+    FROM scored WHERE vec_id % {ANN_QUERY_MOD} = 0
+  ) WHERE rn <= {IVF_NPROBE}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON p.cluster = a.cluster
+  WHERE a.vec_id != p.query_id
+), rescored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.nv)),
+              i -> q.nv[i] * v.nv[i])) AS score
+  FROM cand
+  JOIN n q ON q.vec_id = cand.query_id
+  JOIN n v ON v.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rn AS rank, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rn
+  FROM rescored
+) WHERE rn <= {ANN_K}
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -356,4 +426,5 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x10_embedding_near_dups", _x10, _X10_SQL, "embedding-cosine near-dups"),
     QuerySpec("x11_lsh_candidates", _x11, _lsh_sql(), "MinHash-LSH candidate pairs"),
     QuerySpec("x12_multimodal_meta", _x12, _X12_SQL, "binary-column metadata pass"),
+    QuerySpec("x13_ann_ivf_topk", _x13, _X13_SQL, "IVF approximate top-k ANN (scale path)"),
 ]

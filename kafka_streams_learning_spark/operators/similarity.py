@@ -137,6 +137,79 @@ def normalized_vectors(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    k: int,
+    centroid_mod: int,
+    query_mod: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the 100 TB ANN scale path.
+
+    Fully deterministic so the DuckDB oracle replays it bit-for-bit:
+    centroids are the vectors with `id % centroid_mod == 0` (no RNG, no
+    training iterations), every vector is assigned to its nearest centroid
+    (ties → lowest centroid id), queries (`id % query_mod == 0`) probe
+    their `nprobe` nearest centroids, and only vectors in probed clusters
+    are scored exactly.
+
+    Plan shape at scale: the centroid table is broadcast, so assignment is
+    a map-side scan + one partial-aggregated groupBy (shuffle = one row
+    per vector); the probe set is broadcast back, so candidate generation
+    is a broadcast hash join on cluster id — the corpus itself never
+    shuffles more than once, and scored candidates per query are bounded
+    by nprobe × average cluster size instead of N. In production the
+    assignment is computed once and persisted alongside the embeddings."""
+    n = normalized_vectors(corpus, id_col, vec_col)
+    cent = broadcast(
+        n.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("cid"), F.col("nv").alias("cv")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = n.crossJoin(cent).withColumn("score", dot)
+    # argmax by (score desc, cid asc): the struct ordering embeds the
+    # tie-break, so one max_by pass map-side-aggregates the assignment
+    assign = scored.groupBy(id_col).agg(
+        F.max_by("cid", F.struct(F.col("score"), (-F.col("cid")).alias("neg"))).alias(
+            "cluster"
+        ),
+        F.first("nv").alias("nv"),  # constant within the group
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cid"))
+    probed = broadcast(
+        scored.filter(F.col(id_col) % query_mod == 0)
+        .select(
+            F.col(id_col).alias("query_id"), F.col("nv").alias("qv"), "cid", "score"
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("cluster"))
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        assign.join(probed, "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("score", qdot)
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "score")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,

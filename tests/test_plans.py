@@ -50,8 +50,17 @@ def test_no_cartesian_products(spark):
         "q07_enrich_join",
         "x07_ngram_jaccard_dups",
         "x11_lsh_candidates",
+        "x13_ann_ivf_topk",
     ]:
         assert not E.has_cartesian(_df(spark, name)), name
+
+
+def test_ivf_broadcasts_centroids_and_probes(spark):
+    # the corpus side must never shuffle for candidate generation: the
+    # centroid table and probe set are broadcast, the only exchange is the
+    # per-vector assignment groupBy (+ the small windows)
+    plan = E.formatted_plan(_df(spark, "x13_ann_ivf_topk"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_sliding_join_is_equi_keyed(spark):
