@@ -413,6 +413,44 @@ SELECT query_id, neighbor_id, rn AS rank, score FROM (
 """
 
 
+# X14 — multimodal feature extraction through the ARROW/PYTHON path.
+# The one mapInPandas operator in the catalog: the deterministic fake
+# decoder runs the exact production plumbing (Arrow batches, explicit
+# schema, bounded memory) and the oracle recomputes every output column —
+# including the 8-dim rolling-byte-sum feature vector — in SQL, so the
+# Python boundary itself is hash-verified, not just row-counted.
+# (documents.text is pure ASCII in the fixtures, so DuckDB character
+# positions equal Python byte positions.)
+
+FEAT_DIM = 8
+
+
+def _x14(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.lit("text").alias("modality"),
+        F.col("text").cast("binary").alias("blob"),
+    )
+    return multimodal.fake_decode_features(docs, feat_dim=FEAT_DIM)
+
+
+_X14_SQL = f"""
+SELECT doc_id AS id,
+       'text' AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha,
+       CAST(1 + length(text) % 64 AS INTEGER) AS width,
+       CAST(1 + length(text) % 48 AS INTEGER) AS height,
+       1 AS n_frames,
+       list_transform(generate_series(0, {FEAT_DIM - 1}), i ->
+         CAST(COALESCE(list_sum(list_transform(
+                generate_series(i + 1, length(text), {FEAT_DIM}),
+                p -> ord(substr(text, p, 1)))), 0) % 997 AS DOUBLE)
+       ) AS feature
+FROM documents
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -427,4 +465,6 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x11_lsh_candidates", _x11, _lsh_sql(), "MinHash-LSH candidate pairs"),
     QuerySpec("x12_multimodal_meta", _x12, _X12_SQL, "binary-column metadata pass"),
     QuerySpec("x13_ann_ivf_topk", _x13, _X13_SQL, "IVF approximate top-k ANN (scale path)"),
+    QuerySpec("x14_multimodal_decode", _x14, _X14_SQL,
+              "Arrow-batched mapInPandas decode plumbing (fake codec)"),
 ]
