@@ -202,6 +202,32 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+# s06 — event-anchored sliding count, streamed (A4 via keyed state). The
+# low-latency alternative to q05's range self-join: per-key timestamp
+# buffers bounded by the lookback. Same oracle as q05.
+
+SLIDE_LOOKBACK_MICROS = 24 * 3600 * 1_000_000
+
+
+def _s06(spark: SparkSession, sf: str) -> DataFrame:
+    stream = replay_table(
+        spark, sf, "events", tempfile.mkdtemp(prefix="ksl-replay-"), REPLAY_CHUNKS
+    ).select("user_id", "event_id", "ts")
+    counted = stateful.sliding_count_stream(stream, SLIDE_LOOKBACK_MICROS)
+    name = _fresh_name("s06_out")
+    runner.run_to_memory(counted, name, "append")
+    return spark.table(name)
+
+
+_S06_SQL = """
+SELECT e1.user_id, e1.event_id, e1.ts, COUNT(*) AS cnt
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts BETWEEN e1.ts - INTERVAL 24 HOUR AND e1.ts
+GROUP BY 1, 2, 3
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -213,4 +239,6 @@ STREAMING_QUERIES: list[QuerySpec] = [
               "watermarked stream-stream interval join (J2)"),
     QuerySpec("s05_stream_ktable_enrich", _s05, _S05_SQL,
               "changing-dimension KTable enrichment (J1+S3, §7.4b)"),
+    QuerySpec("s06_stream_sliding_count", _s06, _S06_SQL,
+              "event-anchored sliding count via keyed state (A4, §7.5ii)"),
 ]

@@ -83,6 +83,62 @@ def fraud_alert_stream(
     )
 
 
+SLIDING_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, cnt long"
+_SLIDING_STATE_SCHEMA = "buf array<long>"  # event times (micros), newest window only
+
+
+def _sliding_fn(lookback_micros: int):
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        buf: list[int] = list(state.get[0]) if state.exists else []
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples():
+                t = row.ts.value // 1000  # pandas nanos → micros
+                lo = t - lookback_micros
+                # events arrive in event-time order, so everything below
+                # the new event's lower bound is dead for all future events
+                buf = [b for b in buf if b >= lo]
+                buf.append(t)
+                out_rows.append(
+                    {
+                        "user_id": key[0],
+                        "event_id": int(row.event_id),
+                        "ts": row.ts,
+                        "cnt": len(buf),
+                    }
+                )
+        state.update((buf,))
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return fn
+
+
+def sliding_count_stream(df: DataFrame, lookback_micros: int) -> DataFrame:
+    """Streaming event-anchored sliding count (SURVEY §2.6 A4, §7.5ii):
+    the Kafka `SlidingWindows` semantic (`CreditCardTransactions.java:
+    117-120`) as a custom stateful operator — for each event, the count of
+    same-key events in `[ts - lookback, ts]`. The batch equivalent is the
+    range self-join (`operators/sliding.py`, q05); this variant keeps a
+    per-key timestamp buffer bounded by the lookback (state size =
+    events-in-window per key, evicted as event time advances), trading the
+    self-join's shuffle for O(window) keyed state — the low-latency path.
+    Requires per-key event-time-ordered arrival (the replay source's
+    contract; in production, a watermark-sorted repartition precedes it).
+
+    Input columns: (user_id, event_id, ts)."""
+    return df.groupBy("user_id").applyInPandasWithState(
+        _sliding_fn(lookback_micros),
+        outputStructType=SLIDING_OUTPUT_SCHEMA,
+        stateStructType=_SLIDING_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def _has_protobuf() -> bool:
     try:
         import google.protobuf  # noqa: F401
