@@ -1,0 +1,110 @@
+"""Property-based cross-engine portability tests (SURVEY §5.2).
+
+The sketch operators' correctness rests on two contracts that must hold
+for ANY input, not just the fixtures:
+
+1. the portable hash family (`functions/hashing.py`) computes identical
+   values in Spark and DuckDB — otherwise every MinHash/SimHash/LSH
+   oracle comparison is fixture luck;
+2. the event-time cascade resolves the same instant in both engines for
+   every branch (ISO instant / ISO date / epoch-millis / fallback).
+
+Hypothesis generates adversarial inputs (empty strings, huge epochs,
+almost-ISO garbage); each batch round-trips once through each engine.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_streams_learning_spark.functions.hashing import (
+    hash32,
+    hash32_sql,
+    hash60,
+    hash60_sql,
+    perm_hash,
+    perm_hash_sql,
+)
+from kafka_streams_learning_spark.functions.timestamps import event_time_cascade
+
+# printable ASCII without the quote chars that would need SQL escaping
+_TEXT = st.text(
+    st.characters(min_codepoint=32, max_codepoint=126, exclude_characters="'\\"),
+    max_size=40,
+)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_TEXT, min_size=1, max_size=8, unique=True))
+def test_hash_family_portable(spark, strings):
+    sdf = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r.s: (r.h32, r.h60, r.p0, r.p7)
+        for r in sdf.select(
+            "s",
+            hash32(F.col("s")).alias("h32"),
+            hash60(F.col("s")).alias("h60"),
+            perm_hash(hash32(F.col("s")), 0).alias("p0"),
+            perm_hash(hash32(F.col("s")), 7).alias("p7"),
+        ).collect()
+    }
+    for s in strings:
+        lit = f"'{s}'"
+        want = duckdb.sql(
+            f"SELECT {hash32_sql(lit)}, {hash60_sql(lit)}, "
+            f"{perm_hash_sql(hash32_sql(lit), 0)}, "
+            f"{perm_hash_sql(hash32_sql(lit), 7)}"
+        ).fetchone()
+        assert got[s] == want, s
+
+
+_EPOCH_MS = st.integers(min_value=0, max_value=4_102_444_800_000)  # ≤ year 2100
+_DATES = st.dates(min_value=dt.date(1970, 1, 1), max_value=dt.date(2100, 1, 1))
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            _DATES.map(lambda d: d.isoformat()),  # ISO date branch
+            _DATES.map(lambda d: d.isoformat() + "T12:34:56Z"),  # ISO instant
+            _EPOCH_MS.map(str),  # epoch-millis branch
+            _TEXT,  # garbage → ingest fallback
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_event_time_cascade_portable(spark, raws):
+    ingest = dt.datetime(2024, 6, 1, 0, 0, 0)
+    sdf = spark.createDataFrame(
+        [(i, r, ingest) for i, r in enumerate(raws)],
+        "i long, raw string, ingest timestamp",
+    )
+    got = {
+        r.i: r.event_ts
+        for r in sdf.select(
+            "i", event_time_cascade(F.col("raw"), F.col("ingest")).alias("event_ts")
+        ).collect()
+    }
+    for i, raw in enumerate(raws):
+        lit = f"'{raw}'"
+        want = duckdb.sql(
+            f"SELECT COALESCE(try_strptime({lit}, '%Y-%m-%dT%H:%M:%SZ'), "
+            f"try_strptime({lit}, '%Y-%m-%d'), "
+            f"epoch_ms(TRY_CAST({lit} AS BIGINT)), "
+            f"TIMESTAMP '2024-06-01 00:00:00')"
+        ).fetchone()[0]
+        assert got[i] == want, raw
