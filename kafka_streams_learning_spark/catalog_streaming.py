@@ -228,6 +228,61 @@ GROUP BY 1, 2, 3
 """
 
 
+# s07 — session-window count, streamed (§2.7 via the streaming engine).
+# Append mode only emits a session once the watermark passes its end, so
+# the replay is followed by a flush-sentinel chunk (dummy key, far-future
+# timestamp) that advances the global watermark past every real session —
+# the streaming analogue of "the topic kept moving". The sentinel's own
+# session is filtered from the result; the oracle is q14's
+# gaps-and-islands SQL.
+
+SESSION_GAP_S07 = "12 hours"
+
+
+def _s07(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from kafka_streams_learning_spark.sources.batch import load_table
+    from kafka_streams_learning_spark.sources.replay import (
+        replay_stream,
+        stage_replay_chunks,
+    )
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    staging = tempfile.mkdtemp(prefix="ksl-replay-")
+    stage_replay_chunks(ev, staging, REPLAY_CHUNKS, order_by="ts")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    flush = [(-1, max_ts + __import__("datetime").timedelta(hours=13))]
+    spark.createDataFrame(flush, "user_id long, ts timestamp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(staging, f"chunk={REPLAY_CHUNKS + 1:05d}"))
+
+    stream = replay_stream(spark, staging, ev.schema)
+    counted = windows.streaming_session_count(stream, "ts", SESSION_GAP_S07, "user_id")
+    name = _fresh_name("s07_out")
+    runner.run_to_memory(counted, name, "append")
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+_S07_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w >= INTERVAL 12 HOUR THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT MIN(ts) AS window_start, MAX(ts) + INTERVAL 12 HOUR AS window_end,
+       user_id, COUNT(*) AS cnt
+FROM s GROUP BY user_id, sess
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -241,4 +296,6 @@ STREAMING_QUERIES: list[QuerySpec] = [
               "changing-dimension KTable enrichment (J1+S3, §7.4b)"),
     QuerySpec("s06_stream_sliding_count", _s06, _S06_SQL,
               "event-anchored sliding count via keyed state (A4, §7.5ii)"),
+    QuerySpec("s07_stream_session_count", _s07, _S07_SQL,
+              "session-window count with watermark finalization (§2.7)"),
 ]

@@ -47,6 +47,33 @@ def streaming_tumbling_count(
     )
 
 
+def streaming_session_count(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    *keys: str,
+    grace: str = "0 seconds",
+    count_name: str = "cnt",
+) -> DataFrame:
+    """Session-window count over a stream (SURVEY §2.7). Sessions merge
+    while consecutive per-key events are < gap apart; a session finalizes
+    (append-mode emission + state eviction) once the watermark passes its
+    end — so the last open sessions only emit after event time advances
+    past them (see the flush-sentinel pattern in catalog_streaming s07)."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.withWatermark(ts_col, grace)
+        .groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias(count_name))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            count_name,
+        )
+    )
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -209,3 +209,32 @@ def test_ktable_changelog_snapshot(spark, tmpdir):
     got = {r.k: r.name for r in snap.collect()}
     # c1 upserted, c2 untouched from v0, c3 inserted at v1
     assert got == {"c1": "new-1", "c2": "old-2", "c3": "only-3"}
+
+
+def test_stateful_checkpoint_recovery(spark, tmpdir):
+    """§5.2-5 for the custom stateful operator: the per-key counter in
+    applyInPandasWithState state survives a restart — alerts continue
+    from the persisted count, without re-emitting or double-counting."""
+    base = ts("2024-01-01T00:00:00")
+    data_dir = tmpdir + "/data"
+    ckpt = tmpdir + "/ckpt"
+    mk = lambda i, amt: ("c1", i, amt, base + dt.timedelta(minutes=i))
+    # run 1: three qualifying records — state cnt=3, no alerts yet
+    stage_explicit_chunks(
+        spark, [[mk(1, 600.0), mk(2, 700.0)], [mk(3, 800.0)]], EVENTS_SCHEMA, data_dir
+    )
+    stream = replay_stream(spark, data_dir, EVENTS_SCHEMA)
+    alerts = stateful.fraud_alert_stream(stream, "key", threshold=500.0)
+    run1 = runner.run_collect_batches(alerts, "append", checkpoint=ckpt)
+    assert [r for b in run1 for r in b] == []
+
+    # the query dies; two more qualifying records arrive
+    stage_explicit_chunks(
+        spark, [[mk(4, 900.0), mk(5, 950.0)]], EVENTS_SCHEMA, data_dir + "/chunk=99999-extra"
+    )
+    stream2 = replay_stream(spark, data_dir, EVENTS_SCHEMA)
+    alerts2 = stateful.fraud_alert_stream(stream2, "key", threshold=500.0)
+    run2 = runner.run_collect_batches(alerts2, "append", checkpoint=ckpt)
+    flat = [(r.record_id, r.running_cnt) for b in run2 for r in b]
+    # counts resume at 4 and 5 — state restored, records 1-3 not replayed
+    assert flat == [(4, 4), (5, 5)]
