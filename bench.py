@@ -45,6 +45,9 @@ def main() -> None:
         df = spec.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[spec.name] = round(time.time() - t0, 3)
+        # free persisted intermediates (LSH buckets, shingle postings) so
+        # cache pressure from one query can't tax the next one's timing
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

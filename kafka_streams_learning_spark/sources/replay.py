@@ -32,16 +32,22 @@ def stage_replay_chunks(
     event-time order. Returns the directory to stream from."""
     ranked = df.withColumn(
         "_chunk", F.ntile(chunks).over(Window.orderBy(F.col(order_by)))
-    )
-    for i in range(1, chunks + 1):
-        chunk_dir = os.path.join(staging_dir, f"chunk={i:05d}")
-        (
-            ranked.filter(F.col("_chunk") == i)
-            .drop("_chunk")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(chunk_dir)
-        )
+    ).persist()  # sort once; each chunk write filters the cached ranking
+    try:
+        # chunks are written sequentially ON PURPOSE: the file stream
+        # source orders files by modification time, and increasing mtimes
+        # are what guarantee chunk k replays before chunk k+1
+        for i in range(1, chunks + 1):
+            chunk_dir = os.path.join(staging_dir, f"chunk={i:05d}")
+            (
+                ranked.filter(F.col("_chunk") == i)
+                .drop("_chunk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(chunk_dir)
+            )
+    finally:
+        ranked.unpersist()
     return staging_dir
 
 
