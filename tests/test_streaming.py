@@ -238,3 +238,38 @@ def test_stateful_checkpoint_recovery(spark, tmpdir):
     flat = [(r.record_id, r.running_cnt) for b in run2 for r in b]
     # counts resume at 4 and 5 — state restored, records 1-3 not replayed
     assert flat == [(4, 4), (5, 5)]
+
+
+def test_interactive_state_store_fetch(spark, tmpdir):
+    """IQ1 (`OrderCountTumblingWindow.java:130-145`): fetch one key's
+    windowed counts for a window-start range directly from the LIVE state
+    store of a running query's checkpoint — no sink table involved."""
+    from kafka_streams_learning_spark.streaming import interactive
+
+    base = ts("2024-01-01T00:00:00")
+    data_dir = tmpdir + "/data"
+    ckpt = tmpdir + "/ckpt"
+    rows = [
+        ("107", 1, 1.0, base),
+        ("107", 2, 1.0, base + dt.timedelta(seconds=30)),
+        ("107", 3, 1.0, base + dt.timedelta(minutes=1)),
+        ("200", 4, 1.0, base),
+    ]
+    stage_explicit_chunks(spark, [rows], EVENTS_SCHEMA, data_dir)
+    # grace plays Kafka's window-retention role here: with grace 0 the
+    # watermark evicts a window's state the moment it closes (only open
+    # windows remain queryable — closed ones live in the sink, q11); a
+    # 1-day grace retains them in the store like the reference's RocksDB
+    counted = windows.streaming_tumbling_count(
+        replay_stream(spark, data_dir, EVENTS_SCHEMA), "ts", "1 minute", "key",
+        grace="1 day",
+    )
+    runner.run_to_memory(counted, "iq_out", "update", checkpoint=ckpt)
+
+    got = sorted(
+        (r.window_start, r.cnt)
+        for r in interactive.fetch_window_counts(
+            spark, ckpt, "107", "2024-01-01 00:00:00", "2024-01-01 00:05:00"
+        ).collect()
+    )
+    assert got == [(base, 2), (base + dt.timedelta(minutes=1), 1)]
