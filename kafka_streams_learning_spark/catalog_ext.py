@@ -451,6 +451,25 @@ FROM documents
 """
 
 
+# X15 — exact distinct-cardinality per key (two-stage distinct aggregate).
+# The approximate HLL variant (core.approx_distinct_count_by_key) rides the
+# same API but is estimator-specific, so only the exact form is oracle-
+# hashed; the test suite bounds the approx form against it.
+
+
+def _x15(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators import core
+
+    return core.distinct_count_by_key(
+        load_table(spark, sf, "events"), "user_id", "event_type"
+    )
+
+
+_X15_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS cnt FROM events GROUP BY 1
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -467,4 +486,6 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x13_ann_ivf_topk", _x13, _X13_SQL, "IVF approximate top-k ANN (scale path)"),
     QuerySpec("x14_multimodal_decode", _x14, _X14_SQL,
               "Arrow-batched mapInPandas decode plumbing (fake codec)"),
+    QuerySpec("x15_distinct_cardinality", _x15, _X15_SQL,
+              "exact distinct-count per key (+ HLL approx variant)"),
 ]

@@ -240,6 +240,7 @@ SESSION_GAP_S07 = "12 hours"
 
 
 def _s07(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime
     import os
 
     from kafka_streams_learning_spark.sources.batch import load_table
@@ -252,7 +253,7 @@ def _s07(spark: SparkSession, sf: str) -> DataFrame:
     staging = tempfile.mkdtemp(prefix="ksl-replay-")
     stage_replay_chunks(ev, staging, REPLAY_CHUNKS, order_by="ts")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    flush = [(-1, max_ts + __import__("datetime").timedelta(hours=13))]
+    flush = [(-1, max_ts + datetime.timedelta(hours=13))]
     spark.createDataFrame(flush, "user_id long, ts timestamp").coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(staging, f"chunk={REPLAY_CHUNKS + 1:05d}"))

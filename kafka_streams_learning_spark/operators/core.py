@@ -131,6 +131,30 @@ def session_count(
     )
 
 
+def distinct_count_by_key(
+    df: DataFrame, value_col: str, *keys: str, count_name: str = "cnt"
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key — the cardinality pass a
+    training-data pipeline runs constantly (distinct users per source,
+    distinct docs per domain). Spark plans it as a two-stage aggregate:
+    partial de-dup of (key, value) map-side, then the count — the shuffle
+    carries distinct pairs, not raw rows. For 100 TB dashboards where ±2%
+    is fine, `approx_distinct_count_by_key` replaces the distinct shuffle
+    with fixed-size HLL sketches."""
+    return df.groupBy(*keys).agg(F.count_distinct(F.col(value_col)).alias(count_name))
+
+
+def approx_distinct_count_by_key(
+    df: DataFrame, value_col: str, *keys: str, count_name: str = "cnt", rsd: float = 0.05
+) -> DataFrame:
+    """HyperLogLog++ cardinality per key: constant state per key instead
+    of the distinct-pair shuffle. Not oracle-hashable (estimator internals
+    are engine-specific) — verified by bounds, not equality."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(F.col(value_col), rsd=rsd).alias(count_name)
+    )
+
+
 def having_count_above(df: DataFrame, threshold: int, count_name: str = "cnt") -> DataFrame:
     """Post-aggregation threshold (`windows/tumbling/FraudDetectionApp.java:51-57`,
     SURVEY §2.4 F3): strictly `count > threshold`."""

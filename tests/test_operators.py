@@ -145,3 +145,27 @@ def test_event_time_cascade_order(spark):
     assert out[2].et == dt.datetime.utcfromtimestamp(1704164645000 / 1000)
     assert out[3].et == ingest
     assert out[4].et == ingest
+
+
+def test_approx_distinct_within_rsd(spark):
+    """The HLL estimate tracks the exact distinct count within a loose
+    multiple of the requested relative standard deviation."""
+    from kafka_streams_learning_spark.operators import core
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.cnt
+        for r in core.distinct_count_by_key(ev, "user_id", "event_type").collect()
+    }
+    approx = {
+        r.event_type: r.cnt
+        for r in core.approx_distinct_count_by_key(
+            ev, "user_id", "event_type", rsd=0.05
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(3, 0.2 * v), (k, v, approx[k])
