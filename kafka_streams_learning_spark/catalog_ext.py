@@ -223,7 +223,7 @@ def _simhash_sql() -> str:
     )
     return rf"""
 WITH t AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
-u AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(toks)), 1, 8) AS BIGINT) AS h FROM t),
+u AS (SELECT doc_id, {hash32_sql('unnest(toks)')} AS h FROM t),
 g AS (
   SELECT doc_id, COUNT(*) AS n,
          {bit_sums}
@@ -292,6 +292,9 @@ WITH n AS (
            sqrt(list_sum(list_transform(embedding,
                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
   FROM embeddings
+  -- zero-norm vectors excluded, mirroring similarity.normalized_vectors
+  WHERE list_sum(list_transform(embedding,
+          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0
 ), scored AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          list_sum(list_transform(generate_series(1, len(a.nv)),
@@ -372,6 +375,9 @@ def _x13(spark: SparkSession, sf: str) -> DataFrame:
 _X13_SQL = f"""
 WITH n AS (
   SELECT vec_id, {_NORM_NV} AS nv FROM embeddings
+  -- zero-norm vectors excluded, mirroring similarity.normalized_vectors
+  WHERE list_sum(list_transform(embedding,
+          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0
 ), cent AS (
   SELECT vec_id AS cid, nv AS cv FROM n WHERE vec_id % {IVF_CENTROID_MOD} = 0
 ), scored AS (

@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_streams_learning_spark.functions import text as T
-from kafka_streams_learning_spark.functions.hashing import seeded_hash60
 from kafka_streams_learning_spark.functions.text import word_shingles
 
 SIMHASH_BITS = 32

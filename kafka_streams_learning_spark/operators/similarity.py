@@ -128,12 +128,20 @@ def normalized_vectors(
 ) -> DataFrame:
     """(id, nv) with nv = v / ||v|| in double — computed ONCE per vector.
     Cosine of two normalized vectors is a plain dot product, so pairwise
-    scoring drops from 3 array folds to 1. Zero-norm vectors yield null
-    components (excluded by any threshold filter)."""
+    scoring drops from 3 array folds to 1. Zero-norm vectors are EXCLUDED
+    (cosine is undefined for them, and under Spark 4's default ANSI mode
+    the division would otherwise abort the job); oracle SQL mirrors the
+    same exclusion."""
     nrm = norm(F.col(vec_col))
-    return df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm).alias("nv"),
+    return (
+        df.select(F.col(id_col), F.col(vec_col), nrm.alias("_nrm"))
+        .filter(F.col("_nrm") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")
+            ).alias("nv"),
+        )
     )
 
 
@@ -173,6 +181,10 @@ def ivf_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # scored feeds two plan arms, but deliberately UNpersisted: the probe
+    # arm's `id % query_mod` filter pushes below the cross join, so it
+    # only re-scores the tiny query subset — caching N×centroids rows to
+    # save that would cost far more than it saves at scale
     scored = n.crossJoin(cent).withColumn("score", dot)
     # argmax by (score desc, cid asc): the struct ordering embeds the
     # tie-break, so one max_by pass map-side-aggregates the assignment

@@ -29,9 +29,23 @@ def stage_replay_chunks(
     order_by: str,
 ) -> str:
     """Materialize `df` into `chunks` single-file parquet chunks in
-    event-time order. Returns the directory to stream from."""
+    event-time order. Returns the directory to stream from.
+
+    The ntile ordering includes every remaining column as a tiebreaker:
+    equal event times must land in a deterministic chunk, or order-
+    sensitive operators (running counts, keyed-state buffers) replay
+    nondeterministically versus their batch oracles."""
+    _ORDERABLE = {
+        "string", "long", "integer", "short", "byte", "double", "float",
+        "boolean", "date", "timestamp", "timestamp_ntz", "decimal",
+    }
+    tiebreak = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if f.name != order_by and f.dataType.typeName().split("(")[0] in _ORDERABLE
+    ]
     ranked = df.withColumn(
-        "_chunk", F.ntile(chunks).over(Window.orderBy(F.col(order_by)))
+        "_chunk", F.ntile(chunks).over(Window.orderBy(F.col(order_by), *tiebreak))
     ).persist()  # sort once; each chunk write filters the cached ranking
     try:
         # chunks are written sequentially ON PURPOSE: the file stream

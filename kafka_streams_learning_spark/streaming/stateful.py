@@ -36,28 +36,31 @@ def _alert_fn(threshold: float, alert_after: int):
     ) -> Iterator[pd.DataFrame]:
         cnt = state.get[0] if state.exists else 0
         out_rows = []
-        for pdf in pdfs:
-            # deterministic in-batch order: by record ts then id (the
-            # streaming analogue of the batch oracle's ORDER BY)
-            pdf = pdf.sort_values(["ts", "record_id"])
-            for row in pdf.itertuples():
-                amount = float(row.amount)
-                if amount < threshold:  # below-gate records don't count (:41-43)
-                    continue
-                cnt += 1
-                if cnt > alert_after:  # strictly >, fires from the 4th (:61)
-                    out_rows.append(
-                        {
-                            "key": key[0],
-                            "record_id": int(row.record_id),
-                            "amount": amount,
-                            "running_cnt": cnt,
-                            "alert": (
-                                f"High-value order streak for {key[0]}: "
-                                f"{cnt} orders >= {threshold:.0f}"
-                            ),
-                        }
-                    )
+        # a key's micro-batch may span multiple Arrow chunks; concatenate
+        # BEFORE sorting (per-chunk sorts would interleave out of order),
+        # then order by ts/id — the streaming analogue of the batch
+        # oracle's ORDER BY
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "record_id"]
+        )
+        for row in pdf.itertuples():
+            amount = float(row.amount)
+            if amount < threshold:  # below-gate records don't count (:41-43)
+                continue
+            cnt += 1
+            if cnt > alert_after:  # strictly >, fires from the 4th (:61)
+                out_rows.append(
+                    {
+                        "key": key[0],
+                        "record_id": int(row.record_id),
+                        "amount": amount,
+                        "running_cnt": cnt,
+                        "alert": (
+                            f"High-value order streak for {key[0]}: "
+                            f"{cnt} orders >= {threshold:.0f}"
+                        ),
+                    }
+                )
         state.update((cnt,))
         if out_rows:
             yield pd.DataFrame(out_rows)
@@ -93,23 +96,42 @@ def _sliding_fn(lookback_micros: int):
     ) -> Iterator[pd.DataFrame]:
         buf: list[int] = list(state.get[0]) if state.exists else []
         out_rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for row in pdf.itertuples():
-                t = row.ts.value // 1000  # pandas nanos → micros
-                lo = t - lookback_micros
-                # events arrive in event-time order, so everything below
-                # the new event's lower bound is dead for all future events
-                buf = [b for b in buf if b >= lo]
-                buf.append(t)
+        # concat chunks before sorting (a key's batch may span several
+        # Arrow chunks), then walk equal-timestamp RUNS together: the
+        # batch oracle counts simultaneous events symmetrically, so every
+        # event in a tie group must see the whole group in its count
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        run: list = []  # rows sharing the current timestamp
+        run_t = None
+
+        def _flush() -> None:
+            nonlocal buf
+            if not run:
+                return
+            lo = run_t - lookback_micros
+            # events arrive in event-time order, so everything below the
+            # run's lower bound is dead for all future events
+            buf = [b for b in buf if b >= lo]
+            buf.extend([run_t] * len(run))
+            for r in run:
                 out_rows.append(
                     {
                         "user_id": key[0],
-                        "event_id": int(row.event_id),
-                        "ts": row.ts,
+                        "event_id": int(r.event_id),
+                        "ts": r.ts,
                         "cnt": len(buf),
                     }
                 )
+
+        for row in pdf.itertuples():
+            t = row.ts.value // 1000  # pandas nanos → micros
+            if t != run_t:
+                _flush()
+                run, run_t = [], t
+            run.append(row)
+        _flush()
         state.update((buf,))
         if out_rows:
             yield pd.DataFrame(out_rows)
@@ -128,6 +150,10 @@ def sliding_count_stream(df: DataFrame, lookback_micros: int) -> DataFrame:
     self-join's shuffle for O(window) keyed state — the low-latency path.
     Requires per-key event-time-ordered arrival (the replay source's
     contract; in production, a watermark-sorted repartition precedes it).
+    Equal-timestamp events are counted symmetrically (each sees the whole
+    tie group, matching the batch oracle) when they arrive in the same
+    micro-batch; a tie split across micro-batches counts asymmetrically —
+    inherent to append-only emission.
 
     Input columns: (user_id, event_id, ts)."""
     return df.groupBy("user_id").applyInPandasWithState(
@@ -178,7 +204,9 @@ def fraud_alert_stream_tws(
         def handleInputRows(self, key, rows, timerValues):
             cnt = self.count.get()[0] if self.count.exists() else 0
             out_rows = []
-            for pdf in rows:
+            # concat before sorting — a key's batch may span Arrow chunks
+            batch = pd.concat(list(rows), ignore_index=True)
+            for pdf in [batch]:
                 pdf = pdf.sort_values(["ts", "record_id"])
                 for row in pdf.itertuples():
                     amount = float(row.amount)

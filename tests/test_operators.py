@@ -169,3 +169,18 @@ def test_approx_distinct_within_rsd(spark):
     assert set(exact) == set(approx)
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(3, 0.2 * v), (k, v, approx[k])
+
+
+def test_zero_norm_vectors_excluded(spark):
+    """ANSI mode makes x/0 fatal, not null — zero-norm embeddings must be
+    excluded before normalization, not crash the job."""
+    from kafka_streams_learning_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assert {r.vec_id for r in similarity.normalized_vectors(df).collect()} == {1, 3}
+    # pair scoring runs to completion with the zero vector present
+    pairs = similarity.embedding_near_dup_pairs(df, threshold=-1.0).collect()
+    assert {(r.vec_a, r.vec_b) for r in pairs} == {(1, 3)}
