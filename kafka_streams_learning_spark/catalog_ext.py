@@ -476,6 +476,38 @@ SELECT event_type, COUNT(DISTINCT user_id) AS cnt FROM events GROUP BY 1
 """
 
 
+# X16 — the end-to-end corpus-cleaning pipeline (lang ID → quality gate →
+# exact-dedup survivors), composed from x01/x02/x04's operators so the
+# whole sweep fuses into one scan + one semi-join. The oracle composes the
+# same three SQL bodies as CTEs.
+
+CLEAN_MIN_QUALITY = 0.55
+CLEAN_LANGS = ("en",)
+
+
+def _x16(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators.pipeline import clean_corpus
+
+    return clean_corpus(
+        load_table(spark, sf, "documents"), CLEAN_MIN_QUALITY, CLEAN_LANGS
+    )
+
+
+def _x16_sql() -> str:
+    langs_in = ", ".join(f"'{lang}'" for lang in CLEAN_LANGS)
+    return f"""
+WITH stats AS ({_X01_SQL}),
+lang AS ({_lang_sql()}),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM}))
+SELECT d.doc_id, lang.lang_guess, stats.n_tokens, stats.quality
+FROM documents d
+JOIN keep USING (doc_id)
+JOIN lang ON lang.doc_id = d.doc_id
+JOIN stats ON stats.doc_id = d.doc_id
+WHERE lang.lang_guess IN ({langs_in}) AND stats.quality >= {CLEAN_MIN_QUALITY}
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -494,4 +526,6 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               "Arrow-batched mapInPandas decode plumbing (fake codec)"),
     QuerySpec("x15_distinct_cardinality", _x15, _X15_SQL,
               "exact distinct-count per key (+ HLL approx variant)"),
+    QuerySpec("x16_clean_corpus", _x16, _x16_sql(),
+              "end-to-end corpus cleaning (lang → quality → dedup)"),
 ]

@@ -55,6 +55,19 @@ def test_no_cartesian_products(spark):
         assert not E.has_cartesian(_df(spark, name)), name
 
 
+def test_clean_corpus_is_one_scan_one_shuffle(spark):
+    # the composed cleaning pipeline must fuse: one parquet scan of
+    # documents (features are co-computed expressions) and one exchange
+    # (the fingerprint window) — not a scan per stage
+    import re
+
+    df = _df(spark, "x16_clean_corpus")
+    plan = E.formatted_plan(df)
+    # "(N) Scan parquet" appears once per scan node in the detail section
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert E.exchange_count(df) == 1
+
+
 def test_ivf_broadcasts_centroids_and_probes(spark):
     # the corpus side must never shuffle for candidate generation: the
     # centroid table and probe set are broadcast, the only exchange is the

@@ -80,6 +80,9 @@ def main() -> int:
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         t_spark = time.time() - t0
+        # operators with persisted intermediates (LSH buckets, shingle
+        # postings) would otherwise accumulate cache across 36 queries
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"{name:32s} rows-only: {len(srows)} rows ({t_spark:.1f}s spark)")
             continue
