@@ -508,6 +508,32 @@ WHERE lang.lang_guess IN ({langs_in}) AND stats.quality >= {CLEAN_MIN_QUALITY}
 """
 
 
+# X17 — rolling-hash (Rabin-Karp) bottom-k fingerprint sketch. The oracle
+# replays the identical Horner fold over every char window (documents are
+# pure ASCII, so ord(substr) == ascii byte).
+
+
+def _x17(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.rolling_fingerprints(load_table(spark, sf, "documents"))
+
+
+_X17_SQL = f"""
+SELECT doc_id,
+       CASE WHEN length(text) >= {textops.ROLLING_K}
+            THEN list_slice(list_sort(list_distinct(
+                   list_transform(
+                     generate_series(1, length(text) - {textops.ROLLING_K - 1}),
+                     i -> list_reduce(
+                            [CAST(0 AS BIGINT)] || list_transform(
+                              generate_series(i, i + {textops.ROLLING_K - 1}),
+                              p -> CAST(ord(substr(text, p, 1)) AS BIGINT)),
+                            (acc, c) -> acc * {textops.ROLLING_BASE} + c)))),
+                 1, {textops.ROLLING_BOTTOM})
+            ELSE [] END AS fp_sketch
+FROM documents
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -528,4 +554,6 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               "exact distinct-count per key (+ HLL approx variant)"),
     QuerySpec("x16_clean_corpus", _x16, _x16_sql(),
               "end-to-end corpus cleaning (lang → quality → dedup)"),
+    QuerySpec("x17_rolling_fingerprint", _x17, _X17_SQL,
+              "Rabin-Karp rolling-hash bottom-k sketch"),
 ]

@@ -37,6 +37,39 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.select(id_col, T.fingerprint(F.col(text_col)).alias("fp"))
 
 
+ROLLING_K = 8  # chars per rolling window
+ROLLING_BASE = 128  # Horner base; 128^8 = 2^56 keeps the hash in a signed long
+ROLLING_BOTTOM = 4  # bottom-k sketch size
+
+
+def rolling_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint: every ROLLING_K-char
+    window hashes via Horner's rule (acc*B + char — no powers, no
+    overflow), and the bottom-ROLLING_BOTTOM distinct hashes form the
+    sketch. Two documents sharing long substrings share window hashes, so
+    sketch overlap estimates containment — the winnowing-style complement
+    to the whole-document fingerprint (`fingerprints`) and the word-level
+    MinHash (x06). Pure expression: shuffle-free single pass. Documents
+    shorter than the window get an empty sketch (Spark's `sequence(1, 0)`
+    DESCENDS rather than returning empty — the guard is load-bearing)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    window_hash = lambda i: F.aggregate(  # noqa: E731
+        F.sequence(i, i + F.lit(ROLLING_K - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc * ROLLING_BASE + F.ascii(F.substring(t, p, 1)),
+    )
+    hashes = F.transform(F.sequence(F.lit(1), n - F.lit(ROLLING_K - 1)), window_hash)
+    sketch = F.slice(F.array_sort(F.array_distinct(hashes)), 1, ROLLING_BOTTOM)
+    empty = F.array().cast("array<long>")
+    return df.select(
+        id_col,
+        F.when(n >= ROLLING_K, sketch).otherwise(empty).alias("fp_sketch"),
+    )
+
+
 def token_topk(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     """Global top-k tokens by frequency (tie-break: token asc).
 

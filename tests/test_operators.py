@@ -184,3 +184,19 @@ def test_zero_norm_vectors_excluded(spark):
     # pair scoring runs to completion with the zero vector present
     pairs = similarity.embedding_near_dup_pairs(df, threshold=-1.0).collect()
     assert {(r.vec_a, r.vec_b) for r in pairs} == {(1, 3)}
+
+
+def test_rolling_fingerprint_short_docs(spark):
+    """Docs shorter than the window get an empty sketch (Spark's
+    sequence(1, 0) descends instead of returning empty — guard required);
+    identical docs share identical sketches."""
+    from kafka_streams_learning_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, ""), (3, "a longer shared document body"),
+         (4, "a longer shared document body")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.fp_sketch for r in textops.rolling_fingerprints(df).collect()}
+    assert got[1] == [] and got[2] == []
+    assert got[3] == got[4] and len(got[3]) == textops.ROLLING_BOTTOM
