@@ -534,6 +534,54 @@ FROM documents
 """
 
 
+# X18 — random-hyperplane LSH approximate top-k (the bucketed ANN variant
+# alongside x13's IVF). Hyperplane components are md5-derived in Python
+# and embedded as literals in BOTH the Spark expression and the oracle SQL
+# (repr round-trips doubles exactly), so bucketing and re-scoring replay
+# bit-for-bit.
+
+LSH_PLANES = 8
+EMB_DIM = 64
+
+
+def _x18(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return similarity.lsh_topk(emb, q, ANN_K, n_planes=LSH_PLANES, dim=EMB_DIM)
+
+
+def _x18_sql() -> str:
+    from kafka_streams_learning_spark.operators.similarity import _hyperplane
+
+    bucket_terms = []
+    for p in range(LSH_PLANES):
+        lit = "[" + ", ".join(repr(c) for c in _hyperplane(EMB_DIM, p)) + "]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+            f"j -> CAST(embedding[j] AS DOUBLE) * ({lit})[j]))"
+        )
+        bucket_terms.append(f"(CASE WHEN {dot} >= 0 THEN {2**p} ELSE 0 END)")
+    bucket = "\n         + ".join(bucket_terms)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {bucket} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+  WHERE vec_id % {ANN_QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS} AS score
+  FROM q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -556,4 +604,6 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               "end-to-end corpus cleaning (lang → quality → dedup)"),
     QuerySpec("x17_rolling_fingerprint", _x17, _X17_SQL,
               "Rabin-Karp rolling-hash bottom-k sketch"),
+    QuerySpec("x18_ann_lsh_topk", _x18, _x18_sql(),
+              "random-hyperplane LSH approximate top-k ANN"),
 ]

@@ -186,6 +186,35 @@ def test_zero_norm_vectors_excluded(spark):
     assert {(r.vec_a, r.vec_b) for r in pairs} == {(1, 3)}
 
 
+def test_lsh_topk_subset_of_bruteforce(spark):
+    """LSH candidates only come from matching buckets, so every (query,
+    neighbor, score) it returns must also appear in the exact brute-force
+    scoring — same cosine, never a fabricated pair — and co-directional
+    vectors (identical sign pattern on every hyperplane) are guaranteed
+    to share a bucket, so exact duplicates are always recalled."""
+    from kafka_streams_learning_spark.operators import similarity
+
+    base = [1.0, -2.0, 0.5, 3.0]
+    anti = [-x for x in base]
+    rows = [
+        (0, base),
+        (1, [2.0 * x for x in base]),  # co-directional with 0 → same bucket
+        (2, anti),
+        (3, [0.5 * x for x in anti]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") % 2 == 0)
+    got = similarity.lsh_topk(df, q, k=3, n_planes=4, dim=4)
+    exact = similarity.brute_force_topk(df, q, k=3)
+    got_pairs = {(r.query_id, r.neighbor_id, round(r.score, 9)) for r in got.collect()}
+    exact_pairs = {
+        (r.query_id, r.neighbor_id, round(r.score, 9)) for r in exact.collect()
+    }
+    assert got_pairs <= exact_pairs
+    assert (0, 1, 1.0) in got_pairs  # co-directional dup recalled
+    assert (2, 3, 1.0) in got_pairs
+
+
 def test_rolling_fingerprint_short_docs(spark):
     """Docs shorter than the window get an empty sketch (Spark's
     sequence(1, 0) descends instead of returning empty — guard required);
