@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 from kafka_streams_learning_spark.catalog import QuerySpec
 from kafka_streams_learning_spark.functions.hashing import hash32_sql, perm_hash_sql
 from kafka_streams_learning_spark.functions.text import STOPWORDS, _LANG_MARKERS
-from kafka_streams_learning_spark.operators import dedup, multimodal, similarity, textops
+from kafka_streams_learning_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    textops,
+)
 from kafka_streams_learning_spark.sources.batch import load_table
 
 # constants — part of each query's contract
@@ -582,6 +588,93 @@ SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+# X19 — deterministic hash-based train/val/test split. Pure per-row
+# expression (no shuffle); a document's assignment never changes as the
+# corpus grows, unlike randomSplit.
+
+SPLITS = [("train", 80), ("val", 10), ("test", 10)]
+
+
+def _x19(spark: SparkSession, sf: str) -> DataFrame:
+    return sampling.hash_split(load_table(spark, sf, "documents"), SPLITS)
+
+
+def _x19_sql() -> str:
+    cases, edge = [], 0
+    for name, pct in SPLITS:
+        edge += pct
+        cases.append(f"WHEN bucket < {edge} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH b AS (
+  SELECT doc_id, {sampling.hash_split_bucket_sql('doc_id')} AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket, {case} AS split FROM b
+"""
+
+
+# X20 — class-balanced sampling: every language stratum downsampled to the
+# smallest stratum's size by deterministic hash rank. The literal cap (a
+# one-row driver-side aggregate) is what lets Spark plan a WindowGroupLimit
+# so tasks prune to their local top-cap before the per-stratum exchange.
+
+
+def _x20(spark: SparkSession, sf: str) -> DataFrame:
+    lang = textops.lang_id(load_table(spark, sf, "documents"))
+    return sampling.balanced_sample(lang, strata_col="lang_guess")
+
+
+def _x20_sql() -> str:
+    return f"""
+WITH lang AS ({_lang_sql()}),
+c AS (
+  SELECT MIN(cnt) AS cap FROM (
+    SELECT COUNT(*) AS cnt FROM lang GROUP BY lang_guess
+  )
+),
+r AS (
+  SELECT doc_id, lang_guess,
+         CAST(row_number() OVER (
+           PARTITION BY lang_guess
+           ORDER BY {sampling.balanced_order_sql('doc_id')}, doc_id) AS INT) AS rk
+  FROM lang
+)
+SELECT doc_id, lang_guess, rk FROM r, c WHERE rk <= cap
+"""
+
+
+# X21 — top-k terms per document by smooth TF-IDF. The idf is quantized
+# (round(ln, 9)) because JVM Math.log and libm log differ by 1 ulp on ~9%
+# of inputs — measured portable after quantization (0/6000 mismatches).
+
+TFIDF_K = 5
+
+
+def _x21(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.tfidf_topk(load_table(spark, sf, "documents"), TFIDF_K)
+
+
+_X21_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_NORM}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.dfreq,
+         CAST(tf.tf AS DOUBLE)
+           * (round(ln((n.n_docs + 1) / (dfreq.dfreq + 1)), 9) + 1.0) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, dfreq, rank, score FROM ranked WHERE rank <= {TFIDF_K}
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -606,4 +699,10 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               "Rabin-Karp rolling-hash bottom-k sketch"),
     QuerySpec("x18_ann_lsh_topk", _x18, _x18_sql(),
               "random-hyperplane LSH approximate top-k ANN"),
+    QuerySpec("x19_hash_split", _x19, _x19_sql(),
+              "deterministic train/val/test hash split"),
+    QuerySpec("x20_balanced_sample", _x20, _x20_sql(),
+              "class-balanced per-stratum downsampling"),
+    QuerySpec("x21_tfidf_topk", _x21, _X21_SQL,
+              "smooth TF-IDF top-k terms per document"),
 ]

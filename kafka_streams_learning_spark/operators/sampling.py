@@ -1,0 +1,97 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+A training corpus needs reproducible train/val/test assignment and
+class-balanced subsampling that behave identically on every run, on any
+engine, at any parallelism. Randomness here is the portable md5-derived
+hash family (`functions/hashing.py`) — no RNG state, no seed plumbing, no
+sampleBy approximation — so the DuckDB oracle replays every assignment
+bit-for-bit and re-runs are stable even as the corpus grows (a document's
+split never changes when other documents are added).
+
+Reference scope note: the reference engine (its-rahulsoni/
+kafka-streams-learning) has no sampling surface at all (SURVEY §2.14);
+these are pipeline extensions in the same oracle-checked catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_learning_spark.functions import hashing
+
+SPLIT_SALT = "split"
+BALANCE_SALT = "bal"
+
+
+def _bucket(id_col: str, salt: str, mod: int) -> Column:
+    """Deterministic bucket in [0, mod) from the row id — hash60 is
+    non-negative in a signed long, so `%` is safe in every engine."""
+    h = hashing.hash60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    return (h % mod).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    splits: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Assign each row to a named split by hashing its id into one of 100
+    buckets and carving the bucket range by the given percentages
+    (e.g. [("train", 80), ("val", 10), ("test", 10)]).
+
+    Scale shape: a pure per-row expression — no shuffle, no state, fully
+    codegen'd next to the scan; at 100 TB the split column costs one md5
+    per row and partition pruning survives untouched. Adding documents
+    never reassigns existing ones (contrast `randomSplit`, which depends
+    on partition layout and seed)."""
+    assert sum(p for _, p in splits) == 100, "split percentages must total 100"
+    bucket = _bucket(id_col, salt, 100)
+    edge = 0
+    expr = None
+    for name, pct in splits:
+        edge += pct
+        cond = bucket < edge
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.select(
+        F.col(id_col), bucket.alias("bucket"), expr.alias("split")
+    )
+
+
+def hash_split_bucket_sql(id_expr: str, salt: str = SPLIT_SALT) -> str:
+    """DuckDB SQL computing the same bucket as :func:`hash_split`."""
+    h = hashing.hash60_sql(f"'{salt}|' || CAST({id_expr} AS VARCHAR)")
+    return f"CAST({h} % 100 AS INT)"
+
+
+def balanced_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = BALANCE_SALT,
+) -> DataFrame:
+    """Downsample every stratum to the size of the smallest one (exact
+    class balancing): rows within a stratum are ranked by a deterministic
+    hash of their id and the first `cap` survive.
+
+    The cap is computed eagerly (one tiny aggregate collected to the
+    driver) so the rank filter is a LITERAL — that lets Spark plan a
+    `WindowGroupLimit`, pruning each task's input to its local top-cap
+    rows BEFORE the per-stratum exchange. With few strata the exchange is
+    inherently skewed; the partial limit bounds what each task ships to
+    cap rows, so the skew costs memory proportional to cap, not to the
+    stratum size."""
+    cap = df.groupBy(strata_col).count().agg(F.min("count")).collect()[0][0]
+    order = hashing.hash60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(cap))
+        .select(F.col(id_col), F.col(strata_col), F.col("rk"))
+    )
+
+
+def balanced_order_sql(id_expr: str, salt: str = BALANCE_SALT) -> str:
+    """DuckDB SQL for the in-stratum ordering hash of :func:`balanced_sample`."""
+    return hashing.hash60_sql(f"'{salt}|' || CAST({id_expr} AS VARCHAR)")

