@@ -675,6 +675,84 @@ SELECT doc_id, term, tf, dfreq, rank, score FROM ranked WHERE rank <= {TFIDF_K}
 """
 
 
+# X22 — as-of (point-in-time) join: for every event, the most recent
+# PRIOR purchase by the same user (strictly before — no leakage from
+# same-instant or future rows). Feature-store lookup semantics; the Spark
+# side is the union-merge form (one exchange, zero row explosion), the
+# oracle is the naive candidate-join + argmax, so the two independently
+# derived formulations must agree row-for-row.
+
+
+def _x22(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators import joins
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    j = joins.asof_join(
+        ev,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"ts": "last_purchase_ts", "event_id": "last_purchase_id"},
+        right_id="event_id",
+        strict=True,
+    )
+    return j.withColumn(
+        "micros_since_purchase",
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_purchase_ts")),
+    )
+
+
+_X22_SQL = """
+WITH p AS (
+  SELECT user_id, ts AS pts, event_id AS pid FROM events
+  WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT e.event_id, p.pts, p.pid,
+         row_number() OVER (
+           PARTITION BY e.event_id ORDER BY p.pts DESC, p.pid DESC) AS rn
+  FROM events e JOIN p ON p.user_id = e.user_id AND p.pts < e.ts
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       c.pts AS last_purchase_ts, c.pid AS last_purchase_id,
+       epoch_us(e.ts) - epoch_us(c.pts) AS micros_since_purchase
+FROM events e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
+"""
+
+
+# X23 — PII redaction sweep. Patterns restricted to the Java-regex ∩ RE2
+# dialect so Spark and DuckDB replace identically; counts are measured on
+# the original text, redaction applies patterns in declared order.
+
+
+def _x23(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.redact_pii(load_table(spark, sf, "documents"))
+
+
+def _x23_sql() -> str:
+    from kafka_streams_learning_spark.functions.text import PII_PATTERNS
+
+    red = "text"
+    for _, pattern, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pattern}', '{repl}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pattern}')) AS INT) AS n_{name}"
+        for name, pattern, _ in PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id,
+       {red} AS clean_text,
+       {counts}
+FROM documents
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -705,4 +783,8 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               "class-balanced per-stratum downsampling"),
     QuerySpec("x21_tfidf_topk", _x21, _X21_SQL,
               "smooth TF-IDF top-k terms per document"),
+    QuerySpec("x22_asof_join", _x22, _X22_SQL,
+              "point-in-time as-of join (last prior purchase per event)"),
+    QuerySpec("x23_pii_redaction", _x23, _x23_sql(),
+              "PII redaction sweep (emails, IPs, phones)"),
 ]

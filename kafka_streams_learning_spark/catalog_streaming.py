@@ -284,6 +284,38 @@ FROM s GROUP BY user_id, sess
 """
 
 
+# s08 — streaming exact dedup: the fingerprint→(keeper, dup-count) state
+# of x04 maintained incrementally by the streaming engine. The winner is
+# min(doc_id) — an order-insensitive aggregate, so the result is
+# deterministic regardless of how rows interleave across micro-batches
+# (dropDuplicates' "first arrival wins" is NOT: within-batch order is
+# partition-dependent). Complete-mode memory sink = the final KTable.
+
+
+def _s08(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.functions.text import fingerprint
+
+    stream = replay_table(
+        spark, sf, "documents", tempfile.mkdtemp(prefix="ksl-replay-"),
+        REPLAY_CHUNKS, order_by="doc_id",
+    )
+    groups = (
+        stream.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+    name = _fresh_name("s08_out")
+    runner.run_to_memory(groups, name, "complete")
+    return spark.table(name)
+
+
+_S08_SQL = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -299,4 +331,6 @@ STREAMING_QUERIES: list[QuerySpec] = [
               "event-anchored sliding count via keyed state (A4, §7.5ii)"),
     QuerySpec("s07_stream_session_count", _s07, _S07_SQL,
               "session-window count with watermark finalization (§2.7)"),
+    QuerySpec("s08_stream_exact_dedup", _s08, _S08_SQL,
+              "streaming exact-dedup state (x04 maintained incrementally)"),
 ]

@@ -99,6 +99,36 @@ def lang_guess(text: Column) -> Column:
     return guess
 
 
+# PII patterns — restricted to syntax that Java regex (Spark) and RE2
+# (DuckDB) interpret identically: char classes, bounded repeats, ASCII \b.
+# No lookaround, no backrefs. The patterns are contract, not tuning.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, regex, replacement) — applied IN ORDER to the running text
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def redacted_text(text: Column) -> Column:
+    """Text with each PII pattern replaced by its tag, applied in the
+    declared order (email first, so an address's digits can't be half-
+    matched as a phone number later)."""
+    out = text
+    for _, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One match-count column per PII pattern, each measured on the
+    ORIGINAL text (counts are independent of redaction order)."""
+    return [
+        F.regexp_count(text, F.lit(pattern)).alias(f"n_{name}")
+        for name, pattern, _ in PII_PATTERNS
+    ]
+
+
 def normalized_text(text: Column) -> Column:
     """Canonical form used by fingerprint + exact dedup: lowercase,
     collapse whitespace, strip."""

@@ -20,7 +20,7 @@ Two reference joins, re-expressed for Spark's planner:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -57,6 +57,77 @@ def enriched_struct(facts_cols: list[str], dim_cols: list[str]) -> list[Column]:
         F.struct(*[F.col(c) for c in facts_cols]).alias("fact"),
         F.struct(*[F.col(c) for c in dim_cols]).alias("dim"),
     ]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    right_id: str,
+    strict: bool = True,
+) -> DataFrame:
+    """Point-in-time (as-of) join: each left row picks up the LATEST right
+    row of the same key with right_ts < left_ts (strict; <= when
+    strict=False), ties on right_ts broken by the highest right_id. Left
+    rows with no prior right row keep nulls — the point-in-time-correct
+    feature lookup of a feature store (no leakage from the future).
+
+    Not a band join: the naive formulation (equi-key join + ts <=
+    predicate + argmax) generates O(|left| x matches-per-key) candidate
+    rows. Instead both sides are UNIONed and sorted once per key by
+    (ts, side, right_id); a running `last(payload, ignorenulls)` carries
+    the newest right payload forward and left rows read it directly.
+    One exchange on the key, zero row explosion, and the window state is
+    O(1) per row — this survives a 100 TB left side with a hot key.
+    The sort places left rows BEFORE right rows at equal timestamps when
+    strict (so an equal-ts right row is invisible to them), AFTER when
+    not.
+
+    `payload` maps right-column -> output-column; output columns must not
+    collide with left's. All carried `last()` calls share one window
+    ordering, so every payload column comes from the same winning row."""
+    l_tag, r_tag = (0, 1) if strict else (1, 0)
+    r_types = dict(zip(right.schema.names, right.schema))
+    l_sel = (
+        [F.col(c) for c in left.columns]
+        + [F.lit(None).cast(r_types[rc].dataType).alias(out) for rc, out in payload.items()]
+        + [
+            F.col(left_ts).alias("_ts"),
+            F.lit(l_tag).alias("_tag"),
+            F.lit(None).cast(r_types[right_id].dataType).alias("_rid"),
+        ]
+    )
+    l_types = dict(zip(left.schema.names, left.schema))
+    r_sel = (
+        # the key column must survive on BOTH sides (it's the window
+        # partition); every other left column is null-padded
+        [
+            F.col(key) if c == key else F.lit(None).cast(l_types[c].dataType).alias(c)
+            for c in left.columns
+        ]
+        + [F.col(rc).alias(out) for rc, out in payload.items()]
+        + [
+            F.col(right_ts).alias("_ts"),
+            F.lit(r_tag).alias("_tag"),
+            F.col(right_id).alias("_rid"),
+        ]
+    )
+    merged = left.select(*l_sel).unionByName(right.select(*r_sel))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts"), F.col("_tag"), F.col("_rid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*", *[F.last(out, ignorenulls=True).over(w).alias(f"_c_{out}") for out in payload.values()]
+    )
+    return carried.filter(F.col("_tag") == l_tag).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_c_{out}").alias(out) for out in payload.values()],
+    )
 
 
 def interval_join(

@@ -70,6 +70,15 @@ def rolling_fingerprints(
     )
 
 
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing pass: redacted text + per-pattern match counts
+    (emails, IPv4 addresses, phone numbers). Pure regexp expressions —
+    the 100 TB sweep is one codegen'd pass over the text column, no
+    Python, no shuffle."""
+    t = F.col(text_col)
+    return df.select(id_col, T.redacted_text(t).alias("clean_text"), *T.pii_counts(t))
+
+
 def tfidf_topk(
     df: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -265,6 +265,64 @@ def test_tfidf_ranks_distinctive_terms_first(spark):
     assert top[2] == "x" and top[3] == "y"
 
 
+def test_asof_join_strict_prior_with_tiebreak(spark):
+    """Each left row sees only strictly-earlier right rows (an equal-ts
+    right row is invisible — no same-instant leakage); ties on right ts
+    resolve to the highest right id; no prior right row → nulls."""
+    import datetime as dt
+
+    from kafka_streams_learning_spark.operators import joins
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 7, t(5)), (2, 7, t(10)), (3, 7, t(2)), (4, 8, t(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 7, t(5)), (101, 7, t(3)), (102, 7, t(3))],
+        "rid long, user_id long, rts timestamp",
+    )
+    got = {
+        r.event_id: (r.prev_id, r.prev_ts)
+        for r in joins.asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="rts",
+            payload={"rid": "prev_id", "rts": "prev_ts"}, right_id="rid",
+        ).collect()
+    }
+    assert got[1] == (102, t(3))  # t(5) right row invisible (strict); tie → max rid
+    assert got[2] == (100, t(5))
+    assert got[3] == (None, None)  # nothing strictly before t(2)
+    assert got[4] == (None, None)  # user 8 has no right rows
+
+
+def test_redact_pii_matches_duckdb(spark):
+    """The PII patterns must behave identically under Java regex (Spark)
+    and RE2 (DuckDB) — the fixtures contain no PII, so this test feeds
+    synthetic PII through BOTH engines and compares exactly."""
+    import duckdb
+
+    from kafka_streams_learning_spark.catalog_ext import _x23_sql
+    from kafka_streams_learning_spark.operators import textops
+
+    rows = [
+        (1, "mail bob.smith+x@ex-ample.co.uk and 10.0.255.1 call 555-123-4567"),
+        (2, "no pii here, just 1.2.3 and 12-34"),
+        (3, "two mails a@b.io c_d%e@f.org, ip 1.2.3.4, 999-999-9999"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: tuple(r) for r in textops.redact_pii(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for r in con.execute(_x23_sql()).fetchall():
+        assert got[r[0]] == r, (got[r[0]], r)
+    assert got[1][1] == "mail <EMAIL> and <IP> call <PHONE>"
+    assert got[1][2:] == (1, 1, 1)
+    assert got[2][2:] == (0, 0, 0)
+    assert got[3][2:] == (2, 1, 1)
+
+
 def test_rolling_fingerprint_short_docs(spark):
     """Docs shorter than the window get an empty sketch (Spark's
     sequence(1, 0) descends instead of returning empty — guard required);

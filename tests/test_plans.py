@@ -91,8 +91,24 @@ def test_agg_is_partial_before_shuffle(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_asof_join_has_no_join_operator(spark):
+    # the union-merge as-of join must plan as union + ONE keyed exchange +
+    # window — no join node, no candidate-row explosion
+    df = _df(spark, "x22_asof_join")
+    plan = E.formatted_plan(df)
+    assert "Join" not in plan
+    assert E.exchange_count(df) == 1
+
+
 @pytest.mark.parametrize(
-    "name", ["q01_uppercase", "x01_text_stats", "x08_simhash", "x19_hash_split"]
+    "name",
+    [
+        "q01_uppercase",
+        "x01_text_stats",
+        "x08_simhash",
+        "x19_hash_split",
+        "x23_pii_redaction",
+    ],
 )
 def test_expression_only_ops_have_no_shuffle(spark, name):
     # per-row expression operators must be shuffle-free single passes
