@@ -753,6 +753,35 @@ FROM documents
 """
 
 
+# X24 — exact per-key quantile stats. Linear-interpolated percentiles on
+# identical sorted inputs are bitwise-portable (measured 25/25 vs DuckDB
+# quantile_cont); sum/avg of doubles are deliberately absent (addition
+# order isn't). The GK-sketch approx variant rides the same API and is
+# bounds-tested against this exact form.
+
+QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _x24(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators import core
+
+    return core.quantile_stats(
+        load_table(spark, sf, "orders"), "o_totalprice", QUANTILES, "o_orderpriority"
+    )
+
+
+def _x24_sql() -> str:
+    qs = ",\n       ".join(
+        f"quantile_cont(o_totalprice, {q}) AS p{int(q * 100):02d}" for q in QUANTILES
+    )
+    return f"""
+SELECT o_orderpriority, COUNT(*) AS n,
+       MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax,
+       {qs}
+FROM orders GROUP BY 1
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -787,4 +816,6 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               "point-in-time as-of join (last prior purchase per event)"),
     QuerySpec("x23_pii_redaction", _x23, _x23_sql(),
               "PII redaction sweep (emails, IPs, phones)"),
+    QuerySpec("x24_quantile_stats", _x24, _x24_sql(),
+              "exact per-key quantile stats (portable interpolation)"),
 ]

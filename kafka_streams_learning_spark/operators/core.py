@@ -155,6 +155,45 @@ def approx_distinct_count_by_key(
     )
 
 
+def quantile_stats(
+    df: DataFrame, value_col: str, quantiles: list[float], *keys: str
+) -> DataFrame:
+    """Exact per-key distribution stats: count, min, max, and linear-
+    interpolated percentiles (p_q columns). Exact `percentile` buffers a
+    group's values to sort them, so it's for bounded-cardinality keys;
+    `approx_quantile_stats` is the fixed-memory 100 TB path. Doubles and
+    floats only (sum/avg are deliberately ABSENT: a distributed double
+    sum is addition-order dependent and can't be oracle-hashed bitwise;
+    percentile interpolation on identical sorted inputs can — measured
+    25/25 bitwise-equal vs DuckDB quantile_cont)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    ] + [
+        F.percentile(value_col, q).alias(f"p{int(q * 100):02d}") for q in quantiles
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def approx_quantile_stats(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    *keys: str,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles: fixed sketch memory per
+    key, mergeable map-side — the scale path. Not oracle-hashable
+    (estimator internals are engine-specific) — verified by bounds
+    against the exact form, like the HLL cardinality pair."""
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.approx_percentile(value_col, q, accuracy).alias(f"p{int(q * 100):02d}")
+        for q in quantiles
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
 def having_count_above(df: DataFrame, threshold: int, count_name: str = "cnt") -> DataFrame:
     """Post-aggregation threshold (`windows/tumbling/FraudDetectionApp.java:51-57`,
     SURVEY §2.4 F3): strictly `count > threshold`."""

@@ -171,6 +171,34 @@ def test_approx_distinct_within_rsd(spark):
         assert abs(approx[k] - v) <= max(3, 0.2 * v), (k, v, approx[k])
 
 
+def test_approx_quantiles_track_exact(spark):
+    """The GK-sketch percentiles track the exact interpolated ones within
+    a small relative error at default accuracy."""
+    from kafka_streams_learning_spark.operators import core
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    qs = [0.25, 0.5, 0.9]
+    orders = load_table(spark, SF_DIR, "orders")
+    exact = {
+        r.o_orderpriority: r
+        for r in core.quantile_stats(orders, "o_totalprice", qs, "o_orderpriority").collect()
+    }
+    approx = {
+        r.o_orderpriority: r
+        for r in core.approx_quantile_stats(
+            orders, "o_totalprice", qs, "o_orderpriority"
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, e in exact.items():
+        for col in ("p25", "p50", "p90"):
+            assert abs(approx[k][col] - e[col]) <= 0.02 * abs(e[col]) + 1e-9, (
+                k, col, e[col], approx[k][col],
+            )
+
+
 def test_zero_norm_vectors_excluded(spark):
     """ANSI mode makes x/0 fatal, not null — zero-norm embeddings must be
     excluded before normalization, not crash the job."""
