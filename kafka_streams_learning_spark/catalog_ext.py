@@ -782,6 +782,36 @@ FROM orders GROUP BY 1
 """
 
 
+# X25 — multi-granularity rollup. One scan + one Expand + one exchange
+# yields every aggregation level of the (priority, status) hierarchy;
+# per-dim grouping flags instead of a packed grouping_id so Spark's and
+# DuckDB's bit conventions can't diverge. count/min/max only — they're
+# bitwise-portable; double sums are not (see x24).
+
+ROLLUP_DIMS = ["o_orderpriority", "o_orderstatus"]
+
+
+def _x25(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators import core
+
+    return core.rollup_stats(
+        load_table(spark, sf, "orders"), "o_totalprice", *ROLLUP_DIMS
+    )
+
+
+def _x25_sql() -> str:
+    flags = ",\n       ".join(
+        f"CAST(GROUPING({d}) AS INT) AS g_{d}" for d in ROLLUP_DIMS
+    )
+    return f"""
+SELECT {", ".join(ROLLUP_DIMS)},
+       {flags},
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax
+FROM orders GROUP BY ROLLUP ({", ".join(ROLLUP_DIMS)})
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -818,4 +848,6 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               "PII redaction sweep (emails, IPs, phones)"),
     QuerySpec("x24_quantile_stats", _x24, _x24_sql(),
               "exact per-key quantile stats (portable interpolation)"),
+    QuerySpec("x25_rollup_stats", _x25, _x25_sql(),
+              "multi-granularity rollup (all levels, one pass)"),
 ]

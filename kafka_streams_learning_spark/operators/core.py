@@ -194,6 +194,24 @@ def approx_quantile_stats(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def rollup_stats(df: DataFrame, value_col: str, *dims: str) -> DataFrame:
+    """Multi-granularity aggregate over a dimension hierarchy: one result
+    row per rollup level (dims, dims[:-1], ..., grand total), each with
+    count/min/max of `value_col` and per-dim grouping flags (g_<dim>: 1
+    when that dim is rolled up — disambiguates a rolled-up level from a
+    genuine NULL dim value). The 100 TB property: ALL levels come from a
+    single scan + one Expand + one keyed exchange with map-side partial
+    aggregation — K granularities never mean K passes over the data.
+    Grouping flags are emitted per-dim (not a packed grouping_id) so the
+    bit convention can't diverge across engines."""
+    aggs = [F.grouping(d).cast("int").alias(f"g_{d}") for d in dims] + [
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    ]
+    return df.rollup(*dims).agg(*aggs)
+
+
 def having_count_above(df: DataFrame, threshold: int, count_name: str = "cnt") -> DataFrame:
     """Post-aggregation threshold (`windows/tumbling/FraudDetectionApp.java:51-57`,
     SURVEY §2.4 F3): strictly `count > threshold`."""

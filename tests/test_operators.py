@@ -199,6 +199,32 @@ def test_approx_quantiles_track_exact(spark):
             )
 
 
+def test_rollup_levels_are_consistent(spark):
+    """Each rollup level must partition the same rows: leaf counts sum to
+    the per-priority subtotals, which sum to the grand total; grouping
+    flags identify the levels."""
+    from kafka_streams_learning_spark.operators import core
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    rows = core.rollup_stats(
+        orders, "o_totalprice", "o_orderpriority", "o_orderstatus"
+    ).collect()
+    total = orders.count()
+    leaves = [r for r in rows if r.g_o_orderpriority == 0 and r.g_o_orderstatus == 0]
+    subtotals = [r for r in rows if r.g_o_orderpriority == 0 and r.g_o_orderstatus == 1]
+    grand = [r for r in rows if r.g_o_orderpriority == 1 and r.g_o_orderstatus == 1]
+    assert len(grand) == 1 and grand[0].n == total
+    assert sum(r.n for r in leaves) == total
+    assert sum(r.n for r in subtotals) == total
+    by_pri = {}
+    for r in leaves:
+        by_pri[r.o_orderpriority] = by_pri.get(r.o_orderpriority, 0) + r.n
+    assert {r.o_orderpriority: r.n for r in subtotals} == by_pri
+
+
 def test_zero_norm_vectors_excluded(spark):
     """ANSI mode makes x/0 fatal, not null — zero-norm embeddings must be
     excluded before normalization, not crash the job."""

@@ -115,6 +115,20 @@ def test_expression_only_ops_have_no_shuffle(spark, name):
     assert E.exchange_count(_df(spark, name)) == 0, name
 
 
+def test_rollup_is_one_scan_one_shuffle(spark):
+    # every granularity level must come from ONE pass: a single parquet
+    # scan feeding an Expand, with map-side partial aggregation and one
+    # keyed exchange — never K scans for K levels
+    import re
+
+    df = _df(spark, "x25_rollup_stats")
+    plan = E.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+    assert E.exchange_count(df) == 1
+    assert plan.count("HashAggregate") >= 2
+
+
 @pytest.mark.parametrize("name", ["x20_balanced_sample", "x21_tfidf_topk"])
 def test_topk_windows_prune_map_side(spark, name):
     # a literal rank filter over row_number must plan a WindowGroupLimit:
