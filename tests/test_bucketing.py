@@ -1,0 +1,78 @@
+"""Bucketed-layout tests: the write-once-shuffle-never-again contract.
+
+The reference pays its co-location cost per-join via Kafka repartition
+topics (`StreamStreamJoinExample.java:131-141`); the batch-at-scale
+answer is bucketing — one shuffle at write time, then every join and
+aggregation on the bucket key plans with zero Exchange. These tests pin
+that plan property, which is the entire point of the layout."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from kafka_streams_learning_spark.operators import bucketing
+from kafka_streams_learning_spark.plans import explain as E
+from kafka_streams_learning_spark.sources.batch import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    tmp = tempfile.mkdtemp(prefix="bucketed_")
+    bucketing.write_bucketed(
+        load_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        "b_orders", f"{tmp}/orders", 8, "o_custkey",
+    )
+    bucketing.write_bucketed(
+        load_table(spark, SF_DIR, "customer").select(
+            "c_custkey", "c_name", "c_acctbal"
+        ),
+        "b_customer", f"{tmp}/customer", 8, "c_custkey",
+    )
+    yield "b_orders", "b_customer"
+    for t in ("b_orders", "b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    # co-bucketed same-count same-key tables must sort-merge join with
+    # ZERO shuffle exchanges — the layout already satisfies the join's
+    # distribution requirement (broadcast disabled so the plan can't
+    # sidestep the property under test)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders, customer = bucketed_tables
+        o = bucketing.read_bucketed(spark, orders)
+        c = bucketing.read_bucketed(spark, customer)
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        plan = E.formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert E.exchange_count(j) == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
+    # aggregation on the bucket key reuses the layout's distribution too
+    orders, _ = bucketed_tables
+    agg = bucketing.read_bucketed(spark, orders).groupBy("o_custkey").count()
+    assert E.exchange_count(agg) == 0
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    # layout must not change results: bucketed join == plain join
+    orders, customer = bucketed_tables
+    bo = bucketing.read_bucketed(spark, orders)
+    bc = bucketing.read_bucketed(spark, customer)
+    got = bo.join(bc, bo.o_custkey == bc.c_custkey).count()
+    po = load_table(spark, SF_DIR, "orders")
+    pc = load_table(spark, SF_DIR, "customer")
+    want = po.join(pc, po.o_custkey == pc.c_custkey).count()
+    assert got == want and got > 0
