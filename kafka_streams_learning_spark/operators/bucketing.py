@@ -40,6 +40,18 @@ def write_bucketed(
     writer.option("path", path).format("parquet").saveAsTable(table)
 
 
+def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:
+    """Persist `df` directory-partitioned on `cols` (hive layout:
+    `path/col=value/...`). The complement of bucketing: bucketing
+    co-locates by hash for joins, directory partitioning prunes whole
+    directories for filters. At 100 TB a date/category predicate then
+    skips the bytes entirely — the scan never opens non-matching
+    partitions (PartitionFilters in the plan, pinned by test). Keep
+    partition columns low-cardinality; high-cardinality keys belong in
+    bucket specs, not directories (small-file explosion)."""
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Scan a bucketed table. The bucket spec rides the catalog entry, so
     Catalyst knows the data is already hash-distributed on the bucket

@@ -66,6 +66,34 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
     assert E.exchange_count(agg) == 0
 
 
+def test_partitioned_layout_prunes_directories(spark):
+    # a filter on the partition column must become a PartitionFilter —
+    # pruned directories are never opened, so the predicate costs zero
+    # bytes of non-matching data at any scale
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="partitioned_")
+    try:
+        bucketing.write_partitioned(
+            load_table(spark, SF_DIR, "events").select(
+                "event_id", "user_id", "ts", "event_type"
+            ),
+            tmp, "event_type",
+        )
+        df = spark.read.parquet(tmp).filter("event_type = 'purchase'")
+        plan = E.formatted_plan(df)
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf and "event_type" in pf[0], plan
+        want = (
+            load_table(spark, SF_DIR, "events")
+            .filter("event_type = 'purchase'").count()
+        )
+        assert df.count() == want and want > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
     # layout must not change results: bucketed join == plain join
     orders, customer = bucketed_tables
