@@ -443,7 +443,18 @@ def _x14(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("text").alias("modality"),
         F.col("text").cast("binary").alias("blob"),
     )
-    return multimodal.fake_decode_features(docs, feat_dim=FEAT_DIM)
+    out = multimodal.fake_decode_features(docs, feat_dim=FEAT_DIM)
+    # Catalog projection only: external harnesses canonicalize results in
+    # pandas, which cannot sort/hash list cells, so serialize the feature
+    # vector to a CSV string. Values are integral (byte-sum % 997) so the
+    # bigint cast is exact and portable; the operator itself still returns
+    # the typed array<float>.
+    return out.withColumn(
+        "feature",
+        F.concat_ws(
+            ",", F.transform("feature", lambda v: v.cast("bigint").cast("string"))
+        ),
+    )
 
 
 _X14_SQL = f"""
@@ -454,11 +465,11 @@ SELECT doc_id AS id,
        CAST(1 + length(text) % 64 AS INTEGER) AS width,
        CAST(1 + length(text) % 48 AS INTEGER) AS height,
        1 AS n_frames,
-       list_transform(generate_series(0, {FEAT_DIM - 1}), i ->
+       array_to_string(list_transform(generate_series(0, {FEAT_DIM - 1}), i ->
          CAST(COALESCE(list_sum(list_transform(
                 generate_series(i + 1, length(text), {FEAT_DIM}),
-                p -> ord(substr(text, p, 1)))), 0) % 997 AS DOUBLE)
-       ) AS feature
+                p -> ord(substr(text, p, 1)))), 0) % 997 AS BIGINT)
+       ), ',') AS feature
 FROM documents
 """
 
@@ -520,12 +531,17 @@ WHERE lang.lang_guess IN ({langs_in}) AND stats.quality >= {CLEAN_MIN_QUALITY}
 
 
 def _x17(spark: SparkSession, sf: str) -> DataFrame:
-    return textops.rolling_fingerprints(load_table(spark, sf, "documents"))
+    out = textops.rolling_fingerprints(load_table(spark, sf, "documents"))
+    # Catalog projection only (same pandas-canonicalizer constraint as x14):
+    # bottom-k sketch serialized to CSV; the operator keeps array<bigint>.
+    return out.withColumn(
+        "fp_sketch", F.concat_ws(",", F.col("fp_sketch").cast("array<string>"))
+    )
 
 
 _X17_SQL = f"""
 SELECT doc_id,
-       CASE WHEN length(text) >= {textops.ROLLING_K}
+       array_to_string(CASE WHEN length(text) >= {textops.ROLLING_K}
             THEN list_slice(list_sort(list_distinct(
                    list_transform(
                      generate_series(1, length(text) - {textops.ROLLING_K - 1}),
@@ -535,7 +551,7 @@ SELECT doc_id,
                               p -> CAST(ord(substr(text, p, 1)) AS BIGINT)),
                             (acc, c) -> acc * {textops.ROLLING_BASE} + c)))),
                  1, {textops.ROLLING_BOTTOM})
-            ELSE [] END AS fp_sketch
+            ELSE [] END, ',') AS fp_sketch
 FROM documents
 """
 

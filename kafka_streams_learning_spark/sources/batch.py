@@ -49,6 +49,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp columns are converted long→timestamp right after the scan
     (integer DIV: int64 nanos exceed double precision)."""
     path = f"{sf_dir}/{name}.parquet"
+    # Both confs are runtime-settable and required for correct results in
+    # ANY session, not just ones built by session.py (external harnesses
+    # construct their own vanilla SparkSession): nanosAsLong to read the
+    # TIMESTAMP(NANOS) fixture columns at all, UTC so window bucketing and
+    # timestamp rendering are deterministic regardless of host timezone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in _nanos_ts_columns(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))

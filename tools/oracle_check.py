@@ -34,7 +34,15 @@ def canon_cell(v) -> str:
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+        # Mirror the driver's canonicalizer, which sorts a pandas frame and
+        # dies on list cells ("unhashable type: 'list'"). Failing here keeps
+        # local-green ⇒ driver-green: catalog queries must project arrays to
+        # scalars (CSV/JSON strings) before returning.
+        raise TypeError(
+            "array-typed output column reached the canonicalizer; the "
+            "driver's pandas sort cannot hash list cells — project arrays "
+            "to strings in the catalog query"
+        )
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -57,9 +65,18 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from kafka_streams_learning_spark import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("oracle-check")
+    # Deliberately a VANILLA session (no engine confs): the external driver
+    # builds its own plain SparkSession, so any catalog query that silently
+    # depends on session.py's config would pass here but fail there. Round 1
+    # shipped exactly that bug (nanosAsLong); keep the local gate honest.
+    spark = (
+        SparkSession.builder.appName("oracle-check")
+        .master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
