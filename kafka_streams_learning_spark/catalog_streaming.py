@@ -16,14 +16,13 @@ must equal the batch running-count oracle.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_learning_spark.catalog import QuerySpec
-from kafka_streams_learning_spark.sources.replay import replay_table
+from kafka_streams_learning_spark.sources.replay import replay_table, run_staging_dir
 from kafka_streams_learning_spark.streaming import runner, stateful, windows
 
 REPLAY_CHUNKS = 4
@@ -40,7 +39,7 @@ def _fresh_name(prefix: str) -> str:
 
 def _s01(spark: SparkSession, sf: str) -> DataFrame:
     stream = replay_table(
-        spark, sf, "events", tempfile.mkdtemp(prefix="ksl-replay-"), REPLAY_CHUNKS
+        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
     )
     counted = windows.streaming_count_by_key(stream, "user_id", count_name="cnt")
     name = _fresh_name("s01_out")
@@ -55,7 +54,7 @@ _S01_SQL = "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1"
 
 def _s02(spark: SparkSession, sf: str) -> DataFrame:
     stream = replay_table(
-        spark, sf, "events", tempfile.mkdtemp(prefix="ksl-replay-"), REPLAY_CHUNKS
+        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
     )
     counted = windows.streaming_tumbling_count(stream, "ts", "1 day", "user_id")
     name = _fresh_name("s02_out")
@@ -75,7 +74,7 @@ FROM events GROUP BY 1, 2, 3
 
 def _s03(spark: SparkSession, sf: str) -> DataFrame:
     stream = replay_table(
-        spark, sf, "events", tempfile.mkdtemp(prefix="ksl-replay-"), REPLAY_CHUNKS
+        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
     ).select(
         F.col("user_id").cast("string").alias("key"),
         F.col("event_id").alias("record_id"),
@@ -113,14 +112,14 @@ def _s04(spark: SparkSession, sf: str) -> DataFrame:
     # watermarks require TIMESTAMP (ltz); the fixture dates are NTZ — the
     # cast is interpretation-only under the UTC session timezone
     orders = replay_table(
-        spark, sf, "orders", tempfile.mkdtemp(prefix="ksl-replay-"),
+        spark, sf, "orders", run_staging_dir("replay"),
         REPLAY_CHUNKS, order_by="o_orderdate",
     ).select(
         "o_orderkey", "o_custkey",
         F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
     )
     items = replay_table(
-        spark, sf, "lineitem", tempfile.mkdtemp(prefix="ksl-replay-"),
+        spark, sf, "lineitem", run_staging_dir("replay"),
         REPLAY_CHUNKS, order_by="l_shipdate",
     ).select(
         "l_orderkey", "l_linenumber", "l_extendedprice",
@@ -169,11 +168,11 @@ def _s05(spark: SparkSession, sf: str) -> DataFrame:
     )
     stale = cust.withColumn("c_name", F.lit("STALE")).withColumn("_version", F.lit(0))
     fresh = cust.withColumn("_version", F.lit(1))
-    changelog_dir = tempfile.mkdtemp(prefix="ksl-chlog-")
+    changelog_dir = run_staging_dir("chlog")
     staged = stage_replay_chunks(
         stale.unionByName(fresh), changelog_dir, chunks=2, order_by="_version"
     )
-    snapshot_dir = tempfile.mkdtemp(prefix="ksl-snap-")
+    snapshot_dir = run_staging_dir("snap")
     ktable.materialize_ktable(
         replay_stream(spark, staged, stale.schema),
         snapshot_dir, key="c_custkey", version_col="_version",
@@ -181,7 +180,7 @@ def _s05(spark: SparkSession, sf: str) -> DataFrame:
     dim = ktable.read_snapshot(spark, snapshot_dir).drop("_version")
 
     orders = replay_table(
-        spark, sf, "orders", tempfile.mkdtemp(prefix="ksl-replay-"),
+        spark, sf, "orders", run_staging_dir("replay"),
         REPLAY_CHUNKS, order_by="o_orderdate",
     ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
     joined = enrich_join(
@@ -211,7 +210,7 @@ SLIDE_LOOKBACK_MICROS = 24 * 3600 * 1_000_000
 
 def _s06(spark: SparkSession, sf: str) -> DataFrame:
     stream = replay_table(
-        spark, sf, "events", tempfile.mkdtemp(prefix="ksl-replay-"), REPLAY_CHUNKS
+        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
     ).select("user_id", "event_id", "ts")
     counted = stateful.sliding_count_stream(stream, SLIDE_LOOKBACK_MICROS)
     name = _fresh_name("s06_out")
@@ -247,12 +246,15 @@ def _s07(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_learning_spark.sources.replay import (
         replay_stream,
         stage_replay_chunks,
+        staged_column_max,
     )
 
     ev = load_table(spark, sf, "events").select("user_id", "ts")
-    staging = tempfile.mkdtemp(prefix="ksl-replay-")
+    staging = run_staging_dir("replay")
     stage_replay_chunks(ev, staging, REPLAY_CHUNKS, order_by="ts")
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # sentinel timestamp from the staged chunks' parquet footer statistics —
+    # a metadata read, not a second full scan of the input
+    max_ts = staged_column_max(staging, "ts")
     flush = [(-1, max_ts + datetime.timedelta(hours=13))]
     spark.createDataFrame(flush, "user_id long, ts timestamp").coalesce(1).write.mode(
         "overwrite"
@@ -296,7 +298,7 @@ def _s08(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_learning_spark.functions.text import fingerprint
 
     stream = replay_table(
-        spark, sf, "documents", tempfile.mkdtemp(prefix="ksl-replay-"),
+        spark, sf, "documents", run_staging_dir("replay"),
         REPLAY_CHUNKS, order_by="doc_id",
     )
     groups = (

@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 from kafka_streams_learning_spark.functions import text as T
 from kafka_streams_learning_spark.functions.text import word_shingles
 
+from kafka_streams_learning_spark.operators.materialize import (
+    materialized as _materialized,
+)
+
 SIMHASH_BITS = 32
 
 
@@ -59,10 +63,9 @@ def ngram_jaccard_pairs(
     """Document pairs (a < b) with k-shingle Jaccard ≥ threshold, via an
     inverted shingle index — candidate pairs only ever materialize for
     docs that share ≥1 shingle. The postings table feeds three plan arms
-    (both self-join sides + sizes); persisting it computes the
-    explode+distinct once instead of three times (~20% measured). At
-    cluster scale this is a materialized postings table."""
-    post = _shingled(df, text_col, id_col, k).persist()
+    (both self-join sides + sizes); materializing it computes the
+    explode+distinct once instead of three times (~20% measured)."""
+    post = _materialized(_shingled(df, text_col, id_col, k))
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = post.alias("a")
     b = post.alias("b")
@@ -130,11 +133,10 @@ def lsh_candidate_pairs(
     buckets = sig.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
-    # the self-join reads the bucket table twice; without persisting, the
-    # whole shingle→minhash pipeline runs twice (Catalyst plans each side
-    # independently). At cluster scale this is a persisted intermediate
-    # table; locally MEMORY_AND_DISK.
-    buckets = buckets.persist()
+    # the self-join reads the bucket table twice; without materializing,
+    # the whole shingle→minhash pipeline runs twice (Catalyst plans each
+    # side independently)
+    buckets = _materialized(buckets)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -14,12 +14,57 @@ meaningful (a late row can be planted by assigning it to a later chunk).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_learning_spark.sources.batch import load_table
+
+_STAGING_ROOT: str | None = None
+
+
+def run_staging_dir(prefix: str = "stage") -> str:
+    """Allocate a staging/checkpoint directory under one per-process root
+    that is removed at interpreter exit, so replayed chunks and checkpoints
+    never outlive the run (they used to leak one mkdtemp per query)."""
+    global _STAGING_ROOT
+    if _STAGING_ROOT is None:
+        _STAGING_ROOT = tempfile.mkdtemp(prefix="ksl-run-")
+        atexit.register(shutil.rmtree, _STAGING_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix + "-", dir=_STAGING_ROOT)
+
+
+def staged_column_max(staging_dir: str, column: str):
+    """Max of `column` across staged chunk files, read from parquet footer
+    statistics only — no Spark job, no data scan. This is the metadata-level
+    answer a lakehouse table would serve from its stats; at 100 TB it reads
+    O(files) footers instead of re-scanning the table (replaces the
+    full-scan `agg(max).collect()` the s07 flush sentinel used to do)."""
+    import pyarrow.parquet as pq
+
+    best = None
+    for dirpath, _dirs, files in os.walk(staging_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(dirpath, fn))
+            try:
+                idx = pf.schema_arrow.names.index(column)
+            except ValueError:
+                continue
+            for rg in range(pf.metadata.num_row_groups):
+                stats = pf.metadata.row_group(rg).column(idx).statistics
+                if stats is None or not stats.has_min_max:
+                    continue
+                if best is None or stats.max > best:
+                    best = stats.max
+    if best is None:
+        raise ValueError(f"no footer statistics for column {column!r} in {staging_dir}")
+    return best
 
 
 def stage_replay_chunks(
@@ -35,6 +80,12 @@ def stage_replay_chunks(
     equal event times must land in a deterministic chunk, or order-
     sensitive operators (running counts, keyed-state buffers) replay
     nondeterministically versus their batch oracles."""
+    # Spark's default parquet timestamp encoding is the deprecated INT96,
+    # which carries NO footer min/max statistics — write INT64 micros so
+    # staged chunks keep column stats (staged_column_max depends on them).
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     _ORDERABLE = {
         "string", "long", "integer", "short", "byte", "double", "float",
         "boolean", "date", "timestamp", "timestamp_ntz", "decimal",

@@ -13,13 +13,34 @@
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
+
+_SPARK_DEFAULT_SHUFFLE_PARTITIONS = "200"
 
 
 def _checkpoint() -> str:
-    return tempfile.mkdtemp(prefix="ksl-ckpt-")
+    from kafka_streams_learning_spark.sources.replay import run_staging_dir
+
+    return run_staging_dir("ckpt")
+
+
+def _ensure_state_parallelism(spark: SparkSession) -> None:
+    """Size stateful-stream parallelism to the cluster, not Spark's static
+    default. `spark.sql.shuffle.partitions` fixes the state-store partition
+    count at first checkpoint, and AQE does NOT coalesce stateful streaming
+    shuffles — a vanilla session's 200 partitions means 200 state stores
+    per operator (measured 3-4x slower micro-batches on local[32] at
+    sf0.01). Only overrides the untouched default, so a deliberately tuned
+    session is left alone; on a real cluster defaultParallelism is the
+    executor-core count, which is the right state shard count."""
+    if (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        == _SPARK_DEFAULT_SHUFFLE_PARTITIONS
+    ):
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
 
 
 def run_to_memory(
@@ -30,6 +51,7 @@ def run_to_memory(
 ) -> None:
     """Run a streaming DataFrame to completion into an in-memory table
     named `name`; query it afterwards with spark.sql/spark.table."""
+    _ensure_state_parallelism(df.sparkSession)
     q = (
         df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -49,6 +71,7 @@ def run_collect_batches(
 ) -> list[list]:
     """Run to completion, capturing each micro-batch's emitted rows in
     order — the update-mode emission sequence as observable behavior."""
+    _ensure_state_parallelism(df.sparkSession)
     batches: list[list] = []
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
