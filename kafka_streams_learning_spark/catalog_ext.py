@@ -828,6 +828,74 @@ FROM orders GROUP BY ROLLUP ({", ".join(ROLLUP_DIMS)})
 """
 
 
+# X26 — LSH-bounded embedding near-dup pairs: the 100 TB-safe catalogued
+# path for x10's semantics. Candidates come from a banded random-hyperplane
+# bucket equi-join (never a cross product); survivors are re-scored with
+# exactly x10's normalized-dot scorer, so every emitted score is identical
+# to the exact variant. The oracle replays the identical algorithm (bit
+# pattern → band buckets → OR-collision join → exact re-score), so the
+# driver hashes the full approximate pipeline, not just "pairs came back".
+# x10 stays in the catalog as the exact small-N oracle of the semantics.
+
+NEARDUP_BANDS = 8
+NEARDUP_PPB = 2
+
+
+def _x26(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs_lsh(
+        load_table(spark, sf, "embeddings"),
+        EMB_DUP_THRESHOLD,
+        bands=NEARDUP_BANDS,
+        planes_per_band=NEARDUP_PPB,
+        dim=EMB_DIM,
+    )
+
+
+def _x26_sql() -> str:
+    from kafka_streams_learning_spark.operators.similarity import _hyperplane
+
+    band_exprs = []
+    for b in range(NEARDUP_BANDS):
+        terms = []
+        for j in range(NEARDUP_PPB):
+            plane = _hyperplane(EMB_DIM, b * NEARDUP_PPB + j)
+            lit = "[" + ", ".join(repr(c) for c in plane) + "]"
+            dot = (
+                f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {2**j} ELSE 0 END)")
+        band_exprs.append("(" + " + ".join(terms) + f") AS bb{b}")
+    buckets = ",\n         ".join(band_exprs)
+    orjoin = " OR ".join(f"a.bb{b} = b.bb{b}" for b in range(NEARDUP_BANDS))
+    return f"""
+WITH bb AS (
+  SELECT vec_id,
+         {buckets}
+  FROM embeddings
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bb a JOIN bb b ON a.vec_id < b.vec_id AND ({orjoin})
+), n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_sum(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+  FROM embeddings
+  WHERE list_sum(list_transform(embedding,
+          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0
+), scored AS (
+  SELECT c.vec_a, c.vec_b,
+         list_sum(list_transform(generate_series(1, len(na.nv)),
+              i -> na.nv[i] * nb.nv[i])) AS score
+  FROM cand c
+  JOIN n na ON na.vec_id = c.vec_a
+  JOIN n nb ON nb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, score FROM scored WHERE score >= {EMB_DUP_THRESHOLD}
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -866,4 +934,6 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               "exact per-key quantile stats (portable interpolation)"),
     QuerySpec("x25_rollup_stats", _x25, _x25_sql(),
               "multi-granularity rollup (all levels, one pass)"),
+    QuerySpec("x26_embedding_near_dups_lsh", _x26, _x26_sql(),
+              "banded-LSH embedding near-dups (100 TB-safe x10 path)"),
 ]

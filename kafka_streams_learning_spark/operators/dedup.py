@@ -65,7 +65,7 @@ def ngram_jaccard_pairs(
     docs that share ≥1 shingle. The postings table feeds three plan arms
     (both self-join sides + sizes); materializing it computes the
     explode+distinct once instead of three times (~20% measured)."""
-    post = _materialized(_shingled(df, text_col, id_col, k))
+    post = _materialized(_shingled(df, text_col, id_col, k), tag="x07-postings")
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = post.alias("a")
     b = post.alias("b")
@@ -136,7 +136,7 @@ def lsh_candidate_pairs(
     # the self-join reads the bucket table twice; without materializing,
     # the whole shingle→minhash pipeline runs twice (Catalyst plans each
     # side independently)
-    buckets = _materialized(buckets)
+    buckets = _materialized(buckets, tag="x11-buckets")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

