@@ -357,6 +357,64 @@ SELECT MIN(ts) AS window_start, MAX(ts) + INTERVAL 12 HOUR AS window_end,
 FROM s GROUP BY user_id, sess
 """
 
+# Q15 — re-key from a JSON payload with malformed→"UNKNOWN" routing, then
+# count per key (`windows/tumbling/OrderCountTumblingWindow.java:65-74`,
+# SURVEY P2): the reference extracts the customer id from each order's
+# JSON value and routes deserialization failures to the sentinel key
+# "UNKNOWN" — the bad record still counts, under the sentinel, CHANGING
+# the aggregate (this is the semantics the oracle must hash, not just
+# "no crash"). The fixtures carry no JSON column, so the query first
+# derives one deterministically (o_orderkey % 7 selects: truncated JSON /
+# valid-but-missing-field / NULL / well-formed); both engines build the
+# identical payload string.
+
+
+def _q15(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.functions.json_ import json_key_or_unknown
+
+    o = load_table(spark, sf, "orders")
+    m = F.col("o_orderkey") % 7
+    payload = (
+        F.when(m == 0, F.lit('{"cust": '))  # truncated → malformed
+        .when(m == 1, F.concat(F.lit('{"status": "'), F.col("o_orderstatus"), F.lit('"}')))
+        .when(m == 2, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit('{"cust": "C'),
+                F.col("o_custkey").cast("string"),
+                F.lit('", "status": "'),
+                F.col("o_orderstatus"),
+                F.lit('"}'),
+            )
+        )
+    )
+    return (
+        o.withColumn("payload", payload)
+        .select(json_key_or_unknown(F.col("payload"), "cust").alias("cust_key"))
+        .groupBy("cust_key")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_Q15_SQL = """
+WITH p AS (
+  SELECT CASE o_orderkey % 7
+           WHEN 0 THEN '{"cust": '
+           WHEN 1 THEN '{"status": "' || o_orderstatus || '"}'
+           WHEN 2 THEN NULL
+           ELSE '{"cust": "C' || CAST(o_custkey AS VARCHAR)
+                || '", "status": "' || o_orderstatus || '"}'
+         END AS payload
+  FROM orders
+)
+SELECT COALESCE(
+         CASE WHEN json_valid(payload)
+              THEN json_extract_string(payload, '$.cust') END,
+         'UNKNOWN') AS cust_key,
+       COUNT(*) AS n_orders
+FROM p GROUP BY cust_key
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -375,6 +433,8 @@ REFERENCE_QUERIES: list[QuerySpec] = [
     QuerySpec("q12_enriched_nested", _q12, _Q12_SQL, "EnrichedOrder nested projection"),
     QuerySpec("q13_hopping_count", _q13, _Q13_SQL, "hopping-window count (§2.7)"),
     QuerySpec("q14_session_count", _q14, _Q14_SQL, "session-window count (§2.7)"),
+    QuerySpec("q15_json_rekey_count", _q15, _Q15_SQL,
+              "JSON re-key with malformed→UNKNOWN routing + count (P2)"),
 ]
 
 

@@ -36,6 +36,24 @@ def test_json_key_unknown_routing(spark):
     assert [r.k for r in out] == ["7", "UNKNOWN", "UNKNOWN", "UNKNOWN"]
 
 
+def test_q15_unknown_bucket_absorbs_bad_rows(spark):
+    """P2 changes the aggregate: malformed/NULL/missing-field payloads
+    must all land in the UNKNOWN count, and total mass is conserved
+    (every order counts exactly once) — the reference's bad record still
+    counts, under the sentinel (`OrderCountTumblingWindow.java:65-74`)."""
+    from kafka_streams_learning_spark.catalog import REFERENCE_QUERIES
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    q15 = {q.name: q for q in REFERENCE_QUERIES}["q15_json_rekey_count"]
+    rows = {r.cust_key: r.n_orders for r in q15.spark(spark, SF_DIR).collect()}
+    orders = load_table(spark, SF_DIR, "orders")
+    bad = orders.filter((F.col("o_orderkey") % 7).isin(0, 1, 2)).count()
+    assert rows["UNKNOWN"] == bad
+    assert sum(rows.values()) == orders.count()
+
+
 def test_tumbling_window_half_open(spark):
     # boundary-exact timestamp belongs to the *next* window: [start, end)
     rows = [
