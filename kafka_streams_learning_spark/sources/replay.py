@@ -60,7 +60,12 @@ def staged_column_max(staging_dir: str, column: str):
     statistics only — no Spark job, no data scan. This is the metadata-level
     answer a lakehouse table would serve from its stats; at 100 TB it reads
     O(files) footers instead of re-scanning the table (replaces the
-    full-scan `agg(max).collect()` the s07 flush sentinel used to do)."""
+    full-scan `agg(max).collect()` the s07 flush sentinel used to do).
+
+    Only numeric/temporal physical types are accepted: parquet
+    BYTE_ARRAY (string/binary) stats may be TRUNCATED bounds, so their
+    `max` can exceed every real row — the writer's pyarrow predates
+    `is_max_value_exact`, so exactness is guaranteed by type instead."""
     import pyarrow.parquet as pq
 
     best = None
@@ -77,6 +82,12 @@ def staged_column_max(staging_dir: str, column: str):
                 stats = pf.metadata.row_group(rg).column(idx).statistics
                 if stats is None or not stats.has_min_max:
                     continue
+                if stats.physical_type in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+                    raise TypeError(
+                        f"column {column!r} is {stats.physical_type}: parquet "
+                        "string/binary stats may be truncated bounds, not exact "
+                        "maxima — use a numeric/timestamp column"
+                    )
                 if best is None or stats.max > best:
                     best = stats.max
     if best is None:
@@ -97,12 +108,6 @@ def stage_replay_chunks(
     equal event times must land in a deterministic chunk, or order-
     sensitive operators (running counts, keyed-state buffers) replay
     nondeterministically versus their batch oracles."""
-    # Spark's default parquet timestamp encoding is the deprecated INT96,
-    # which carries NO footer min/max statistics — write INT64 micros so
-    # staged chunks keep column stats (staged_column_max depends on them).
-    df.sparkSession.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
     _ORDERABLE = {
         "string", "long", "integer", "short", "byte", "double", "float",
         "boolean", "date", "timestamp", "timestamp_ntz", "decimal",
@@ -115,6 +120,15 @@ def stage_replay_chunks(
     ranked = df.withColumn(
         "_chunk", F.ntile(chunks).over(Window.orderBy(F.col(order_by), *tiebreak))
     ).persist()  # sort once; each chunk write filters the cached ranking
+    # Spark's default parquet timestamp encoding is the deprecated INT96,
+    # which carries NO footer min/max statistics — write INT64 micros so
+    # staged chunks keep column stats (staged_column_max depends on them).
+    # Scoped to the staging writes: the prior session value is restored so
+    # unrelated writes (bucketing, ktable snapshots) keep their default.
+    conf = df.sparkSession.conf
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prior_ts = conf.get(ts_key)
+    conf.set(ts_key, "TIMESTAMP_MICROS")
     try:
         # chunks are written sequentially ON PURPOSE: the file stream
         # source orders files by modification time, and increasing mtimes
@@ -129,6 +143,7 @@ def stage_replay_chunks(
                 .parquet(chunk_dir)
             )
     finally:
+        conf.set(ts_key, prior_ts)
         ranked.unpersist()
     return staging_dir
 

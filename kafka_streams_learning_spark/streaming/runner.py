@@ -32,15 +32,26 @@ def _ensure_state_parallelism(spark: SparkSession) -> None:
     per operator (measured 3-4x slower micro-batches on local[32] at
     sf0.01). Only overrides the untouched default, so a deliberately tuned
     session is left alone; on a real cluster defaultParallelism is the
-    executor-core count, which is the right state shard count."""
-    if (
-        spark.conf.get("spark.sql.shuffle.partitions")
-        == _SPARK_DEFAULT_SHUFFLE_PARTITIONS
-    ):
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(spark.sparkContext.defaultParallelism),
+    executor-core count, which is the right state shard count.
+
+    A session that was EXPLICITLY configured (builder/spark-submit conf)
+    is never overridden, even to exactly 200 — that intent is visible in
+    the SparkContext conf. A runtime `spark.conf.set(..., "200")` is
+    indistinguishable from the default, so that case is overridden WITH a
+    warning log, giving a deliberately-200-tuned session a breadcrumb."""
+    key = "spark.sql.shuffle.partitions"
+    if spark.sparkContext.getConf().contains(key):
+        return  # explicitly configured at session build — respect it
+    if spark.conf.get(key) == _SPARK_DEFAULT_SHUFFLE_PARTITIONS:
+        target = str(spark.sparkContext.defaultParallelism)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "overriding %s=200 (Spark default) with defaultParallelism=%s "
+            "for streaming state sizing; set it in the session builder to "
+            "pin a deliberate value", key, target,
         )
+        spark.conf.set(key, target)
 
 
 def run_to_memory(
