@@ -56,12 +56,26 @@ def rolling_fingerprints(
     DESCENDS rather than returning empty — the guard is load-bearing)."""
     t = F.col(text_col)
     n = F.length(t)
-    window_hash = lambda i: F.aggregate(  # noqa: E731
-        F.sequence(i, i + F.lit(ROLLING_K - 1)),
+    # char codes extracted ONCE per document (split+ascii is one pass),
+    # then each window folds over an 8-int slice — identical hash values
+    # to folding ascii(substring(t, p, 1)) per position, but ~K× fewer
+    # string ops. The one-element-array transform wrapper binds the codes
+    # array to a lambda variable, guaranteeing single evaluation (a plain
+    # column reference would be re-inlined into every window by
+    # CollapseProject and recompute the split per window).
+    codes = F.transform(F.split(t, ""), F.ascii)
+    window_hash = lambda chars, i: F.aggregate(  # noqa: E731
+        F.slice(chars, i, ROLLING_K),
         F.lit(0).cast("long"),
-        lambda acc, p: acc * ROLLING_BASE + F.ascii(F.substring(t, p, 1)),
+        lambda acc, c: acc * ROLLING_BASE + c,
     )
-    hashes = F.transform(F.sequence(F.lit(1), n - F.lit(ROLLING_K - 1)), window_hash)
+    hashes = F.transform(
+        F.array(codes),
+        lambda chars: F.transform(
+            F.sequence(F.lit(1), n - F.lit(ROLLING_K - 1)),
+            lambda i: window_hash(chars, i),
+        ),
+    )[0]
     sketch = F.slice(F.array_sort(F.array_distinct(hashes)), 1, ROLLING_BOTTOM)
     empty = F.array().cast("array<long>")
     return df.select(
