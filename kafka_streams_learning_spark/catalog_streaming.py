@@ -318,6 +318,33 @@ FROM documents GROUP BY 1
 """
 
 
+# s09 — streaming as-of (point-in-time) self-enrichment: x22's semantics
+# through the streaming engine with O(1) keyed state instead of the batch
+# union+window shuffle. Append-mode emissions concatenated across
+# micro-batches must hash-match the SAME batch oracle as x22 — the
+# strictly-prior, (ts DESC, id DESC)-tie-broken argmax per event.
+
+
+def _s09(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.streaming.stateful import asof_join_stream
+
+    stream = replay_table(
+        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
+    )
+    enriched = asof_join_stream(
+        stream.select("event_id", "user_id", "ts", "event_type")
+    )
+    name = _fresh_name("s09_out")
+    runner.run_to_memory(enriched, name, "append")
+    return spark.table(name)
+
+
+def _s09_sql() -> str:
+    from kafka_streams_learning_spark.catalog_ext import _X22_SQL
+
+    return _X22_SQL
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -335,4 +362,6 @@ STREAMING_QUERIES: list[QuerySpec] = [
               "session-window count with watermark finalization (§2.7)"),
     QuerySpec("s08_stream_exact_dedup", _s08, _S08_SQL,
               "streaming exact-dedup state (x04 maintained incrementally)"),
+    QuerySpec("s09_stream_asof_enrich", _s09, _s09_sql(),
+              "streaming as-of self-enrichment via O(1) keyed state (x22 twin)"),
 ]

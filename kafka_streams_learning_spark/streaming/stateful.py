@@ -165,6 +165,104 @@ def sliding_count_stream(df: DataFrame, lookback_micros: int) -> DataFrame:
     )
 
 
+ASOF_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, ts timestamp, event_type string, "
+    "last_purchase_ts timestamp, last_purchase_id long, "
+    "micros_since_purchase long"
+)
+# latest prior purchase per key: event-time micros + id; -1 = none yet
+_ASOF_STATE_SCHEMA = "pts long, pid long"
+
+
+def _asof_fn(match_type: str):
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pts, pid = state.get if state.exists else (-1, -1)
+        out_rows = []
+        # concat chunks before sorting, then walk equal-timestamp RUNS:
+        # every event is enriched BEFORE the run's purchases fold into
+        # state, which is exactly the batch oracle's STRICT inequality
+        # (p.pts < e.ts) — a purchase never enriches a same-timestamp
+        # event, including itself
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        run: list = []
+        run_t = None
+
+        def _flush() -> None:
+            nonlocal pts, pid
+            for r in run:
+                out_rows.append(
+                    {
+                        "event_id": int(r.event_id),
+                        "user_id": key[0],
+                        "ts": r.ts,
+                        "event_type": r.event_type,
+                        "last_purchase_ts": (
+                            pd.Timestamp(pts * 1000) if pts >= 0 else pd.NaT
+                        ),
+                        "last_purchase_id": pid if pts >= 0 else None,
+                        "micros_since_purchase": (
+                            run_t - pts if pts >= 0 else None
+                        ),
+                    }
+                )
+            # fold the run's purchases: event time advances monotonically,
+            # so the run's latest purchase (max id on the tie) replaces
+            # state — the oracle's (pts DESC, pid DESC) argmax
+            run_pids = [
+                int(r.event_id) for r in run if r.event_type == match_type
+            ]
+            if run_pids:
+                pts, pid = run_t, max(run_pids)
+
+        for row in pdf.itertuples():
+            t = row.ts.value // 1000  # pandas nanos → micros
+            if t != run_t:
+                _flush()
+                run, run_t = [], t
+            run.append(row)
+        _flush()
+        state.update((pts, pid))
+        if out_rows:
+            out = pd.DataFrame(out_rows)
+            # None-bearing int columns must stay nullable int64, not drift
+            # to float64 (Arrow would cast lossily for large ids)
+            out["last_purchase_id"] = out["last_purchase_id"].astype("Int64")
+            out["micros_since_purchase"] = out["micros_since_purchase"].astype(
+                "Int64"
+            )
+            yield out
+
+    return fn
+
+
+def asof_join_stream(df: DataFrame, match_type: str = "purchase") -> DataFrame:
+    """Streaming point-in-time (as-of) self-enrichment — the streaming
+    twin of the batch as-of join (`operators/joins.asof_join`, x22): each
+    event is tagged with the key's latest STRICTLY-earlier `match_type`
+    event. Keyed state is O(1) per key — just (ts, id) of the latest
+    match — versus the batch form's union+window shuffle; this is the
+    feature-store lookup shape at serving latency. Emissions concatenated
+    across micro-batches equal the batch result (append-mode streaming ≡
+    batch once input is exhausted), which is what the oracle hashes.
+    Requires per-key event-time-ordered arrival (the replay source's
+    contract; in production a watermark-sorted repartition precedes it);
+    same-timestamp groups split across micro-batches share s06's
+    documented tie caveat.
+
+    Input columns: (event_id, user_id, ts, event_type)."""
+    return df.groupBy("user_id").applyInPandasWithState(
+        _asof_fn(match_type),
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def _has_protobuf() -> bool:
     try:
         import google.protobuf  # noqa: F401

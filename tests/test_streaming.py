@@ -142,6 +142,44 @@ def test_stateful_fraud_alerts_across_batches(spark, tmpdir):
     assert all("High-value order streak" in r.alert for b in batches for r in b)
 
 
+ASOF_SCHEMA = "event_id long, user_id long, ts timestamp, event_type string"
+
+
+def test_streaming_asof_enrich_strict_and_cross_batch(spark, tmpdir):
+    """s09 semantics: an event sees only STRICTLY-earlier purchases (a
+    purchase never enriches itself or a same-timestamp event), the latest
+    prior purchase carries across micro-batches as keyed state, and
+    equal-timestamp purchases tie-break to the max id — matching the
+    batch as-of oracle's (ts DESC, id DESC) argmax."""
+    base = ts("2024-01-01T00:00:00")
+    m = lambda i: base + dt.timedelta(minutes=i)
+    chunks = [
+        # batch 1: view before any purchase → NULL; purchase at t1;
+        # same-ts view at t1 must NOT see it (strict)
+        [(1, 7, m(0), "view"), (2, 7, m(1), "purchase"), (3, 7, m(1), "view")],
+        # batch 2: state carried across batches → view sees purchase 2;
+        # two equal-ts purchases → later events see max id (5)
+        [(4, 7, m(2), "view"), (5, 7, m(3), "purchase"), (6, 7, m(3), "purchase")],
+        [(7, 7, m(4), "view")],
+    ]
+    stage_explicit_chunks(spark, chunks, ASOF_SCHEMA, tmpdir)
+    stream = replay_stream(spark, tmpdir, ASOF_SCHEMA)
+    out = stateful.asof_join_stream(stream)
+    batches = runner.run_collect_batches(out, "append")
+    got = {
+        r.event_id: (r.last_purchase_id, r.micros_since_purchase)
+        for b in batches
+        for r in b
+    }
+    assert got[1] == (None, None)  # nothing prior
+    assert got[2] == (None, None)  # a purchase doesn't see itself
+    assert got[3] == (None, None)  # strict: same-ts purchase invisible
+    assert got[4] == (2, 60_000_000)  # state crossed the batch boundary
+    assert got[7] == (6, 60_000_000)  # equal-ts tie → max purchase id
+    # max-id tie-break also applies within the emitting batch's later rows
+    assert got[5] == (2, 120_000_000) and got[6] == (2, 120_000_000)
+
+
 def test_checkpoint_recovery(spark, tmpdir):
     """§5.2-5: kill the query mid-stream, restart from the same
     checkpoint over a source that has grown — final counts identical to a
