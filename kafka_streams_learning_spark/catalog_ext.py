@@ -828,6 +828,50 @@ FROM orders GROUP BY ROLLUP ({", ".join(ROLLUP_DIMS)})
 """
 
 
+# X27 — multimodal frame-sampling plan: the decode-minimization step a
+# video pipeline runs BEFORE any codec work — explode only the sampled
+# frame indices (0, n, 2n…) per blob so the decoder fetches 1/every_n of
+# the frames. The modality column drives per-modality frame counts
+# through the REAL Arrow-batched mapInPandas decode plumbing (the fake
+# decoder, x14), and the oracle recomputes the full pipeline including
+# the sampled index expansion.
+
+FRAME_EVERY = 7
+
+
+def _x27(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.element_at(
+            F.array(F.lit("video"), F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.col("text").cast("binary").alias("blob"),
+    )
+    decoded = multimodal.fake_decode_features(docs, feat_dim=FEAT_DIM)
+    return multimodal.sample_frames(decoded, FRAME_EVERY).select(
+        "id", "modality", "n_frames", "frame_idx"
+    )
+
+
+_X27_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         CASE doc_id % 3 WHEN 0 THEN 'video' WHEN 1 THEN 'image'
+              ELSE 'audio' END AS modality
+  FROM documents
+), f AS (
+  SELECT id, modality,
+         CASE WHEN modality = 'video' THEN 30 ELSE 1 END AS n_frames
+  FROM d
+)
+SELECT id, modality, n_frames,
+       unnest(generate_series(0, greatest(n_frames - 1, 0), {FRAME_EVERY}))
+         AS frame_idx
+FROM f
+"""
+
+
 # X26 — LSH-bounded embedding near-dup pairs: the 100 TB-safe catalogued
 # path for x10's semantics. Candidates come from a banded random-hyperplane
 # bucket equi-join (never a cross product); survivors are re-scored with
@@ -936,4 +980,6 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               "multi-granularity rollup (all levels, one pass)"),
     QuerySpec("x26_embedding_near_dups_lsh", _x26, _x26_sql(),
               "banded-LSH embedding near-dups (100 TB-safe x10 path)"),
+    QuerySpec("x27_frame_sampling", _x27, _X27_SQL,
+              "multimodal frame-sampling plan over the decode plumbing"),
 ]
