@@ -108,3 +108,59 @@ def test_event_time_cascade_portable(spark, raws):
             f"TIMESTAMP '2024-06-01 00:00:00')"
         ).fetchone()[0]
         assert got[i] == want, raw
+
+
+# ---------------------------------------------------------------------------
+# 3. the as-of join's union+window formulation equals the declarative
+#    semantics ("latest strictly-earlier match, ties to highest id") for
+#    ANY input — equal timestamps, duplicate purchase times, matchless
+#    keys — not just the fixture distribution (x22/s09 rest on this).
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user_id
+        st.integers(min_value=0, max_value=5),  # ts (seconds, dense → ties)
+        st.booleans(),  # is_purchase
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**{**_SETTINGS, "max_examples": 10})
+@given(_EVENTS)
+def test_asof_join_matches_naive_semantics(spark, rows):
+    from kafka_streams_learning_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(seconds=ts), "purchase" if p else "view")
+        for i, (u, ts, p) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    got = {
+        r.event_id: (r.last_id, r.last_ts)
+        for r in asof_join(
+            ev,
+            purchases,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            payload={"ts": "last_ts", "event_id": "last_id"},
+            right_id="event_id",
+            strict=True,
+        ).collect()
+    }
+    for eid, u, ts, _et in data:
+        cands = [
+            (pts, pid)
+            for pid, pu, pts, pet in data
+            if pu == u and pet == "purchase" and pts < ts
+        ]
+        want = max(cands, key=lambda c: (c[0], c[1])) if cands else (None, None)
+        assert got[eid] == (want[1], want[0]), (eid, data)
