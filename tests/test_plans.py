@@ -103,6 +103,15 @@ def test_agg_is_partial_before_shuffle(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_frame_sampling_is_shuffle_free(spark):
+    # x27's decode-minimization plan: Arrow decode boundary + strided
+    # index explode, zero Exchanges — at scale the frame-sampling pass
+    # never moves a blob between executors
+    df = _df(spark, "x27_frame_sampling")
+    assert E.exchange_count(df) == 0
+    assert "Generate" in E.formatted_plan(df)  # the explode node
+
+
 def test_asof_join_has_no_join_operator(spark):
     # the union-merge as-of join must plan as union + ONE keyed exchange +
     # window — no join node, no candidate-row explosion
