@@ -345,6 +345,29 @@ def _s09_sql() -> str:
     return _X22_SQL
 
 
+# s10 — hopping-window count, streamed (§2.7 via the streaming engine):
+# q13's overlapping windows maintained incrementally; complete-mode final
+# state must hash-match the same batch oracle.
+
+
+def _s10(spark: SparkSession, sf: str) -> DataFrame:
+    stream = replay_table(
+        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
+    )
+    counted = windows.streaming_hopping_count(
+        stream, "ts", "2 days", "1 day", "user_id"
+    )
+    name = _fresh_name("s10_out")
+    runner.run_to_memory(counted, name, "complete")
+    return spark.table(name)
+
+
+def _s10_sql() -> str:
+    from kafka_streams_learning_spark.catalog import _Q13_SQL
+
+    return _Q13_SQL
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -364,4 +387,6 @@ STREAMING_QUERIES: list[QuerySpec] = [
               "streaming exact-dedup state (x04 maintained incrementally)"),
     QuerySpec("s09_stream_asof_enrich", _s09, _s09_sql(),
               "streaming as-of self-enrichment via O(1) keyed state (x22 twin)"),
+    QuerySpec("s10_stream_hopping_count", _s10, _s10_sql(),
+              "hopping-window count through the streaming engine (§2.7)"),
 ]

@@ -47,6 +47,35 @@ def streaming_tumbling_count(
     )
 
 
+def streaming_hopping_count(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str,
+    *keys: str,
+    grace: str = "0 seconds",
+    count_name: str = "cnt",
+) -> DataFrame:
+    """Hopping-window count over a stream (SURVEY §2.7 — the overlapping-
+    window shape `StreamStreamJoinExample.java:24` mentions): each record
+    lands in size/slide windows via `F.window(ts, size, slide)`; the
+    fan-out happens pre-shuffle, so partial aggregation still collapses
+    per (window, key) map-side and streaming state holds one row per open
+    (window, key), evicted as the watermark passes window end."""
+    w = F.window(F.col(ts_col), size, slide)
+    return (
+        df.withWatermark(ts_col, grace)
+        .groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias(count_name))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            count_name,
+        )
+    )
+
+
 def streaming_session_count(
     df: DataFrame,
     ts_col: str,
