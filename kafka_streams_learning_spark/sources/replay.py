@@ -107,7 +107,17 @@ def stage_replay_chunks(
     The ntile ordering includes every remaining column as a tiebreaker:
     equal event times must land in a deterministic chunk, or order-
     sensitive operators (running counts, keyed-state buffers) replay
-    nondeterministically versus their batch oracles."""
+    nondeterministically versus their batch oracles.
+
+    Chunk boundaries are then SNAPPED to event-time run boundaries: every
+    row sharing an `order_by` value takes the run's minimum chunk, so an
+    equal-event-time run never straddles a micro-batch boundary. ntile
+    alone cuts on pure row counts, which could split a tie group across
+    batches and make order-sensitive keyed-state operators (s06's
+    symmetric tie counts, s09's strict as-of inequality) observe the run
+    in fragments. Chunks stay near-equal-sized for high-resolution
+    timestamps and may be uneven (or empty) when `order_by` is coarse —
+    correctness of replay order is the contract, not balance."""
     _ORDERABLE = {
         "string", "long", "integer", "short", "byte", "double", "float",
         "boolean", "date", "timestamp", "timestamp_ntz", "decimal",
@@ -117,9 +127,16 @@ def stage_replay_chunks(
         for f in df.schema.fields
         if f.name != order_by and f.dataType.typeName().split("(")[0] in _ORDERABLE
     ]
-    ranked = df.withColumn(
-        "_chunk", F.ntile(chunks).over(Window.orderBy(F.col(order_by), *tiebreak))
-    ).persist()  # sort once; each chunk write filters the cached ranking
+    ranked = (
+        df.withColumn(
+            "_chunk",
+            F.ntile(chunks).over(Window.orderBy(F.col(order_by), *tiebreak)),
+        )
+        .withColumn(
+            "_chunk", F.min("_chunk").over(Window.partitionBy(order_by))
+        )
+        .persist()
+    )  # sort once; each chunk write filters the cached ranking
     # Spark's default parquet timestamp encoding is the deprecated INT96,
     # which carries NO footer min/max statistics — write INT64 micros so
     # staged chunks keep column stats (staged_column_max depends on them).

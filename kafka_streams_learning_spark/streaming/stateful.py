@@ -193,6 +193,14 @@ def _asof_fn(match_type: str):
 
         def _flush() -> None:
             nonlocal pts, pid
+            if not run:
+                return
+            # STRICT prior only: state may hold a purchase with pts ==
+            # run_t when an equal-timestamp run straddled a micro-batch
+            # boundary (its purchases folded in the earlier batch) — that
+            # purchase must stay invisible to this run, exactly as it
+            # would have been had the run arrived in one batch
+            vis = pts >= 0 and pts < run_t
             for r in run:
                 out_rows.append(
                     {
@@ -201,22 +209,29 @@ def _asof_fn(match_type: str):
                         "ts": r.ts,
                         "event_type": r.event_type,
                         "last_purchase_ts": (
-                            pd.Timestamp(pts * 1000) if pts >= 0 else pd.NaT
+                            pd.Timestamp(pts * 1000) if vis else pd.NaT
                         ),
-                        "last_purchase_id": pid if pts >= 0 else None,
+                        "last_purchase_id": pid if vis else None,
                         "micros_since_purchase": (
-                            run_t - pts if pts >= 0 else None
+                            run_t - pts if vis else None
                         ),
                     }
                 )
             # fold the run's purchases: event time advances monotonically,
             # so the run's latest purchase (max id on the tie) replaces
-            # state — the oracle's (pts DESC, pid DESC) argmax
+            # state — the oracle's (pts DESC, pid DESC) argmax. On a
+            # timestamp TIE with existing state (straddled run), MERGE:
+            # keep the max id across both batch fragments, never drop a
+            # higher already-folded purchase id
             run_pids = [
                 int(r.event_id) for r in run if r.event_type == match_type
             ]
             if run_pids:
-                pts, pid = run_t, max(run_pids)
+                top = max(run_pids)
+                if run_t == pts:
+                    pid = max(pid, top)
+                else:
+                    pts, pid = run_t, top
 
         for row in pdf.itertuples():
             t = row.ts.value // 1000  # pandas nanos → micros
@@ -249,9 +264,12 @@ def asof_join_stream(df: DataFrame, match_type: str = "purchase") -> DataFrame:
     across micro-batches equal the batch result (append-mode streaming ≡
     batch once input is exhausted), which is what the oracle hashes.
     Requires per-key event-time-ordered arrival (the replay source's
-    contract; in production a watermark-sorted repartition precedes it);
-    same-timestamp groups split across micro-batches share s06's
-    documented tie caveat.
+    contract — `stage_replay_chunks` never splits an equal-event-time run
+    across chunks; for genuinely out-of-order sources use
+    `ordered_asof_join_stream`, the watermark-reordering variant).
+    Same-timestamp runs that DO straddle a micro-batch boundary are still
+    handled exactly: enrichment is guarded strictly (state pts < run ts)
+    and a tie fold MERGES max ids instead of replacing state.
 
     Input columns: (event_id, user_id, ts, event_type)."""
     return df.groupBy("user_id").applyInPandasWithState(

@@ -70,6 +70,39 @@ def test_stage_replay_chunks_restores_timestamp_conf(spark):
     assert staged_column_max(d, "ts").replace(tzinfo=None) == dt.datetime(2024, 1, 1)
 
 
+def test_stage_replay_chunks_never_splits_equal_ts_runs(spark):
+    """Chunk cuts snap to event-time run boundaries: rows sharing an
+    `order_by` value all land in ONE chunk file, so order-sensitive
+    keyed-state operators (s06 symmetric ties, s09 strict as-of) never
+    observe a tie group in fragments. ntile alone cuts on row counts and
+    WOULD split the runs below."""
+    base = dt.datetime(2024, 1, 1)
+    # 12 rows over 4 distinct timestamps (3 rows each); 3 chunks of 4
+    # rows would split every other run without snapping
+    rows = [
+        (i, base + dt.timedelta(hours=i % 4)) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    d = run_staging_dir("snap")
+    stage_replay_chunks(df, d, chunks=3, order_by="ts")
+
+    import pyarrow.parquet as pq
+
+    ts_to_chunks: dict = {}
+    for dirpath, _dirs, files in os.walk(d):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(dirpath, fn), columns=["ts"])
+            for v in t.column("ts").to_pylist():
+                ts_to_chunks.setdefault(v, set()).add(dirpath)
+    assert len(ts_to_chunks) == 4
+    for v, dirs in ts_to_chunks.items():
+        assert len(dirs) == 1, f"run {v} straddles chunks {dirs}"
+    # all rows survived the snap
+    assert sum(1 for _ in rows) == 12
+
+
 def test_materialized_round_trip_and_tag_reuse(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
     m1 = materialized(df, tag="test-mat")

@@ -180,6 +180,39 @@ def test_streaming_asof_enrich_strict_and_cross_batch(spark, tmpdir):
     assert got[5] == (2, 120_000_000) and got[6] == (2, 120_000_000)
 
 
+def test_streaming_asof_straddled_tie_run(spark, tmpdir):
+    """A same-timestamp run split ACROSS micro-batches must still match
+    the batch oracle: a purchase folded into state in an earlier batch
+    never enriches a same-timestamp event arriving later (strict
+    inequality), and a tie fold merges max ids instead of dropping the
+    higher already-folded purchase id."""
+    base = ts("2024-01-01T00:00:00")
+    m = lambda i: base + dt.timedelta(minutes=i)
+    chunks = [
+        # batch 1: the tie run's FIRST fragment — purchase id=5 at t0
+        [(5, 7, m(0), "purchase")],
+        # batch 2: the run's SECOND fragment — a lower-id purchase and a
+        # view at the SAME t0, plus a later view
+        [(3, 7, m(0), "purchase"), (7, 7, m(0), "view"), (8, 7, m(1), "view")],
+    ]
+    stage_explicit_chunks(spark, chunks, ASOF_SCHEMA, tmpdir)
+    stream = replay_stream(spark, tmpdir, ASOF_SCHEMA)
+    out = stateful.asof_join_stream(stream)
+    batches = runner.run_collect_batches(out, "append")
+    got = {
+        r.event_id: (r.last_purchase_id, r.micros_since_purchase)
+        for b in batches
+        for r in b
+    }
+    # strict: nothing at t0 sees the t0 purchases — including across the
+    # batch boundary (state pts == run ts must stay invisible)
+    assert got[5] == (None, None)
+    assert got[3] == (None, None)
+    assert got[7] == (None, None)
+    # tie merge: the t1 view sees max(5, 3) = 5, not the later-arriving 3
+    assert got[8] == (5, 60_000_000)
+
+
 def test_checkpoint_recovery(spark, tmpdir):
     """§5.2-5: kill the query mid-stream, restart from the same
     checkpoint over a source that has grown — final counts identical to a
