@@ -368,6 +368,65 @@ def _s10_sql() -> str:
     return _Q13_SQL
 
 
+# s12 — the ordered-arrival contract under REAL disorder: the events
+# fixture arrives shuffled (each row's replay position displaced by a
+# deterministic ±6 h hash jitter of its event time), and the watermark-
+# driven reorder buffer must still hash-match x22's batch as-of oracle
+# exactly. This is the production story for the keyed-state operators: a
+# Kafka-partition-ordered source is NOT assumed — a 13 h watermark bounds
+# the disorder and the buffer restores per-key (ts, id) order before the
+# identical as-of core runs.
+
+
+def _s12(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime
+    import os
+
+    from kafka_streams_learning_spark.sources.batch import load_table
+    from kafka_streams_learning_spark.sources.replay import (
+        replay_stream,
+        stage_replay_chunks,
+        staged_column_max,
+    )
+    from kafka_streams_learning_spark.streaming.stateful import (
+        ordered_asof_join_stream,
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    # deterministic bounded shuffle: displace each row's ARRIVAL position
+    # by a ±6 h jitter keyed on event_id; event time `ts` is untouched
+    jittered = ev.withColumn(
+        "_arrival",
+        F.expr(
+            "timestampadd(SECOND, "
+            "CAST(crc32(cast(event_id AS string)) % 43200 - 21600 AS INT), ts)"
+        ),
+    )
+    staging = run_staging_dir("replay")
+    stage_replay_chunks(jittered, staging, REPLAY_CHUNKS, order_by="_arrival")
+    # two flush sentinels: the first pushes the watermark past every real
+    # row; the second gives the engine a batch that RUNS with it (timeout
+    # wakeups then drain the reorder buffers)
+    max_ts = staged_column_max(staging, "ts")
+    for i, hours in enumerate((14, 15)):
+        sent = [(-1 - i, -1, max_ts + datetime.timedelta(hours=hours),
+                 "view", max_ts + datetime.timedelta(hours=hours))]
+        spark.createDataFrame(
+            sent, jittered.schema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, f"chunk={REPLAY_CHUNKS + 1 + i:05d}")
+        )
+    stream = replay_stream(spark, staging, jittered.schema).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    enriched = ordered_asof_join_stream(stream, disorder="13 hours")
+    name = _fresh_name("s12_out")
+    runner.run_to_memory(enriched, name, "append")
+    return spark.table(name)
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -389,4 +448,7 @@ STREAMING_QUERIES: list[QuerySpec] = [
               "streaming as-of self-enrichment via O(1) keyed state (x22 twin)"),
     QuerySpec("s10_stream_hopping_count", _s10, _s10_sql(),
               "hopping-window count through the streaming engine (§2.7)"),
+    QuerySpec("s12_stream_asof_unordered", _s12, _s09_sql(),
+              "as-of enrichment under shuffled arrival via the watermark "
+              "reorder buffer (ordered-arrival contract as code)"),
 ]

@@ -90,48 +90,57 @@ SLIDING_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, cnt long"
 _SLIDING_STATE_SCHEMA = "buf array<long>"  # event times (micros), newest window only
 
 
+def _sliding_core(
+    key, buf: list, rows: list, lookback_micros: int
+) -> tuple[list, list]:
+    """Shared run-walk for the sliding count: `rows` is a (ts, id)-sorted
+    list of (t_micros, event_id, ts) tuples, walked as equal-timestamp
+    RUNS — the batch oracle counts simultaneous events symmetrically, so
+    every event in a tie group must see the whole group in its count.
+    Returns (new window buffer, emitted row dicts)."""
+    out_rows: list = []
+    run: list = []  # rows sharing the current timestamp
+    run_t = None
+
+    def _flush() -> None:
+        nonlocal buf
+        if not run:
+            return
+        lo = run_t - lookback_micros
+        # events are processed in event-time order, so everything below
+        # the run's lower bound is dead for all future events
+        buf = [b for b in buf if b >= lo]
+        buf.extend([run_t] * len(run))
+        for _t, eid, ts_ in run:
+            out_rows.append(
+                {"user_id": key, "event_id": eid, "ts": ts_, "cnt": len(buf)}
+            )
+
+    for row in rows:
+        if row[0] != run_t:
+            _flush()
+            run, run_t = [], row[0]
+        run.append(row)
+    _flush()
+    return buf, out_rows
+
+
 def _sliding_fn(lookback_micros: int):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         buf: list[int] = list(state.get[0]) if state.exists else []
-        out_rows = []
         # concat chunks before sorting (a key's batch may span several
-        # Arrow chunks), then walk equal-timestamp RUNS together: the
-        # batch oracle counts simultaneous events symmetrically, so every
-        # event in a tie group must see the whole group in its count
+        # Arrow chunks), then sort by ts/id — the streaming analogue of
+        # the batch oracle's ORDER BY
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        run: list = []  # rows sharing the current timestamp
-        run_t = None
-
-        def _flush() -> None:
-            nonlocal buf
-            if not run:
-                return
-            lo = run_t - lookback_micros
-            # events arrive in event-time order, so everything below the
-            # run's lower bound is dead for all future events
-            buf = [b for b in buf if b >= lo]
-            buf.extend([run_t] * len(run))
-            for r in run:
-                out_rows.append(
-                    {
-                        "user_id": key[0],
-                        "event_id": int(r.event_id),
-                        "ts": r.ts,
-                        "cnt": len(buf),
-                    }
-                )
-
-        for row in pdf.itertuples():
-            t = row.ts.value // 1000  # pandas nanos → micros
-            if t != run_t:
-                _flush()
-                run, run_t = [], t
-            run.append(row)
-        _flush()
+        rows = [
+            (r.ts.value // 1000, int(r.event_id), r.ts)  # pandas nanos → micros
+            for r in pdf.itertuples()
+        ]
+        buf, out_rows = _sliding_core(key[0], buf, rows, lookback_micros)
         state.update((buf,))
         if out_rows:
             yield pd.DataFrame(out_rows)
@@ -174,82 +183,94 @@ ASOF_OUTPUT_SCHEMA = (
 _ASOF_STATE_SCHEMA = "pts long, pid long"
 
 
+def _asof_core(
+    key, pts: int, pid: int, rows: list, match_type: str
+) -> tuple[int, int, list]:
+    """Shared run-walk for the as-of enrichment: `rows` is a (ts, id)-
+    sorted list of (t_micros, event_id, ts, event_type) tuples, walked as
+    equal-timestamp RUNS: every event is enriched BEFORE the run's
+    purchases fold into state, which is exactly the batch oracle's STRICT
+    inequality (p.pts < e.ts) — a purchase never enriches a same-
+    timestamp event, including itself. Returns (pts, pid, emitted row
+    dicts)."""
+    out_rows: list = []
+    run: list = []
+    run_t = None
+
+    def _flush() -> None:
+        nonlocal pts, pid
+        if not run:
+            return
+        # STRICT prior only: state may hold a purchase with pts ==
+        # run_t when an equal-timestamp run straddled a micro-batch
+        # boundary (its purchases folded in the earlier batch) — that
+        # purchase must stay invisible to this run, exactly as it
+        # would have been had the run arrived in one batch
+        vis = pts >= 0 and pts < run_t
+        for _t, eid, ts_, etype in run:
+            out_rows.append(
+                {
+                    "event_id": eid,
+                    "user_id": key,
+                    "ts": ts_,
+                    "event_type": etype,
+                    "last_purchase_ts": (
+                        pd.Timestamp(pts * 1000) if vis else pd.NaT
+                    ),
+                    "last_purchase_id": pid if vis else None,
+                    "micros_since_purchase": (run_t - pts if vis else None),
+                }
+            )
+        # fold the run's purchases: event time advances monotonically,
+        # so the run's latest purchase (max id on the tie) replaces
+        # state — the oracle's (pts DESC, pid DESC) argmax. On a
+        # timestamp TIE with existing state (straddled run), MERGE:
+        # keep the max id across both batch fragments, never drop a
+        # higher already-folded purchase id
+        run_pids = [eid for _t, eid, _ts, etype in run if etype == match_type]
+        if run_pids:
+            top = max(run_pids)
+            if run_t == pts:
+                pid = max(pid, top)
+            else:
+                pts, pid = run_t, top
+
+    for row in rows:
+        if row[0] != run_t:
+            _flush()
+            run, run_t = [], row[0]
+        run.append(row)
+    _flush()
+    return pts, pid, out_rows
+
+
+def _asof_out_frame(out_rows: list) -> pd.DataFrame:
+    out = pd.DataFrame(out_rows)
+    # None-bearing int columns must stay nullable int64, not drift
+    # to float64 (Arrow would cast lossily for large ids)
+    out["last_purchase_id"] = out["last_purchase_id"].astype("Int64")
+    out["micros_since_purchase"] = out["micros_since_purchase"].astype("Int64")
+    return out
+
+
 def _asof_fn(match_type: str):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         pts, pid = state.get if state.exists else (-1, -1)
-        out_rows = []
-        # concat chunks before sorting, then walk equal-timestamp RUNS:
-        # every event is enriched BEFORE the run's purchases fold into
-        # state, which is exactly the batch oracle's STRICT inequality
-        # (p.pts < e.ts) — a purchase never enriches a same-timestamp
-        # event, including itself
+        # concat chunks before sorting — a key's batch may span several
+        # Arrow chunks
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        run: list = []
-        run_t = None
-
-        def _flush() -> None:
-            nonlocal pts, pid
-            if not run:
-                return
-            # STRICT prior only: state may hold a purchase with pts ==
-            # run_t when an equal-timestamp run straddled a micro-batch
-            # boundary (its purchases folded in the earlier batch) — that
-            # purchase must stay invisible to this run, exactly as it
-            # would have been had the run arrived in one batch
-            vis = pts >= 0 and pts < run_t
-            for r in run:
-                out_rows.append(
-                    {
-                        "event_id": int(r.event_id),
-                        "user_id": key[0],
-                        "ts": r.ts,
-                        "event_type": r.event_type,
-                        "last_purchase_ts": (
-                            pd.Timestamp(pts * 1000) if vis else pd.NaT
-                        ),
-                        "last_purchase_id": pid if vis else None,
-                        "micros_since_purchase": (
-                            run_t - pts if vis else None
-                        ),
-                    }
-                )
-            # fold the run's purchases: event time advances monotonically,
-            # so the run's latest purchase (max id on the tie) replaces
-            # state — the oracle's (pts DESC, pid DESC) argmax. On a
-            # timestamp TIE with existing state (straddled run), MERGE:
-            # keep the max id across both batch fragments, never drop a
-            # higher already-folded purchase id
-            run_pids = [
-                int(r.event_id) for r in run if r.event_type == match_type
-            ]
-            if run_pids:
-                top = max(run_pids)
-                if run_t == pts:
-                    pid = max(pid, top)
-                else:
-                    pts, pid = run_t, top
-
-        for row in pdf.itertuples():
-            t = row.ts.value // 1000  # pandas nanos → micros
-            if t != run_t:
-                _flush()
-                run, run_t = [], t
-            run.append(row)
-        _flush()
+        rows = [
+            (r.ts.value // 1000, int(r.event_id), r.ts, r.event_type)
+            for r in pdf.itertuples()
+        ]
+        pts, pid, out_rows = _asof_core(key[0], pts, pid, rows, match_type)
         state.update((pts, pid))
         if out_rows:
-            out = pd.DataFrame(out_rows)
-            # None-bearing int columns must stay nullable int64, not drift
-            # to float64 (Arrow would cast lossily for large ids)
-            out["last_purchase_id"] = out["last_purchase_id"].astype("Int64")
-            out["micros_since_purchase"] = out["micros_since_purchase"].astype(
-                "Int64"
-            )
-            yield out
+            yield _asof_out_frame(out_rows)
 
     return fn
 
@@ -278,6 +299,174 @@ def asof_join_stream(df: DataFrame, match_type: str = "purchase") -> DataFrame:
         stateStructType=_ASOF_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
+    )
+
+
+# --- ordered-arrival variants: watermark-driven reorder buffer ---------------
+#
+# The plain keyed-state operators above require per-key event-time-ordered
+# ARRIVAL — the guarantee the reference gets for free from Kafka topic
+# partitioning (`joins/StreamStreamJoinExample.java:131-141`: one key, one
+# partition, offset order = append order). A Spark source fed by an
+# out-of-order transport has no such guarantee, so these variants make the
+# contract real code: incoming rows are buffered in keyed state and only
+# released — globally (ts, id)-sorted, in complete equal-timestamp runs —
+# once the watermark proves no earlier row can still arrive. Spark drops
+# rows older than the watermark before the operator (standard late-data
+# filtering), so releasing strictly-below-watermark runs is exact: the
+# released prefix is bit-identical to what ordered arrival would have fed
+# the plain operator. EventTimeTimeout re-invokes buffering keys as the
+# watermark advances, so pending rows flush even in batches where the key
+# receives no new data.
+#
+# State is O(pending-per-key) = rows within one disorder bound per key —
+# the same bound a watermarked stream-stream join holds, so this scales
+# exactly as far as Spark's own late-data machinery does.
+
+_ORDERED_SLIDING_STATE_SCHEMA = (
+    "buf array<long>, pend_t array<long>, pend_id array<long>"
+)
+
+
+def _released(pend: list, wm_ms: int) -> tuple[list, list]:
+    """Split (ts, id)-sorted pending rows at the watermark: runs strictly
+    below it are complete (late filtering guarantees no more members) and
+    release; the rest stay buffered."""
+    frontier = wm_ms * 1000  # watermark ms → event-time micros
+    lo = [r for r in pend if r[0] < frontier]
+    hi = [r for r in pend if r[0] >= frontier]
+    return lo, hi
+
+
+def _ordered_sliding_fn(lookback_micros: int):
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buf, pend_t, pend_id = (list(v) for v in state.get)
+        else:
+            buf, pend_t, pend_id = [], [], []
+        chunks = [p for p in pdfs if len(p)]  # empty on timeout invocations
+        for p in chunks:
+            for r in p.itertuples():
+                if r.event_id < 0:
+                    continue  # flush sentinel: advances the watermark only
+                pend_t.append(r.ts.value // 1000)
+                pend_id.append(int(r.event_id))
+        wm_ms = state.getCurrentWatermarkMs()
+        rel, kept = _released(sorted(zip(pend_t, pend_id)), wm_ms)
+        rows = [(t, i, pd.Timestamp(t * 1000)) for t, i in rel]
+        buf, out_rows = _sliding_core(key[0], buf, rows, lookback_micros)
+        state.update(
+            (buf, [t for t, _ in kept], [i for _, i in kept])
+        )
+        if kept:
+            # wake this key only once the watermark actually passes its
+            # oldest pending row — not on every watermark tick (that
+            # would timeout-invoke EVERY buffering key EVERY batch)
+            state.setTimeoutTimestamp(max(wm_ms + 1, kept[0][0] // 1000 + 1))
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return fn
+
+
+def ordered_sliding_count_stream(
+    df: DataFrame, lookback_micros: int, disorder: str
+) -> DataFrame:
+    """`sliding_count_stream` for OUT-OF-ORDER arrival: rows may arrive up
+    to `disorder` (a time-interval string, e.g. "1 hour") later than the
+    maximum event time already seen. A watermark of `disorder` is applied
+    to `ts`; rows are buffered in keyed state and processed in exact
+    (ts, event_id) order once the watermark passes them. Rows later than
+    the bound are dropped by Spark's standard late-data filtering — the
+    same grace contract as the windowed aggregations.
+
+    Emissions are delayed by up to `disorder` + one micro-batch versus the
+    ordered-arrival operator, but are bit-identical to it (and to the
+    batch oracle) for any arrival order within the bound.
+
+    Input columns: (user_id, event_id, ts)."""
+    return (
+        df.withWatermark("ts", disorder)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ordered_sliding_fn(lookback_micros),
+            outputStructType=SLIDING_OUTPUT_SCHEMA,
+            stateStructType=_ORDERED_SLIDING_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+_ORDERED_ASOF_STATE_SCHEMA = (
+    "pts long, pid long, "
+    "pend_t array<long>, pend_id array<long>, pend_type array<string>"
+)
+
+
+def _ordered_asof_fn(match_type: str):
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pts, pid, pend_t, pend_id, pend_type = state.get
+            pend = sorted(zip(pend_t, pend_id, pend_type))
+        else:
+            pts, pid, pend = -1, -1, []
+        chunks = [p for p in pdfs if len(p)]  # empty on timeout invocations
+        for p in chunks:
+            for r in p.itertuples():
+                if r.event_id < 0:
+                    continue  # flush sentinel: advances the watermark only
+                pend.append(
+                    (r.ts.value // 1000, int(r.event_id), str(r.event_type))
+                )
+        wm_ms = state.getCurrentWatermarkMs()
+        rel, kept = _released(sorted(pend), wm_ms)
+        rows = [(t, i, pd.Timestamp(t * 1000), e) for t, i, e in rel]
+        pts, pid, out_rows = _asof_core(key[0], pts, pid, rows, match_type)
+        state.update(
+            (
+                pts,
+                pid,
+                [t for t, _, _ in kept],
+                [i for _, i, _ in kept],
+                [e for _, _, e in kept],
+            )
+        )
+        if kept:
+            # wake only when the oldest pending row becomes releasable
+            state.setTimeoutTimestamp(max(wm_ms + 1, kept[0][0] // 1000 + 1))
+        if out_rows:
+            yield _asof_out_frame(out_rows)
+
+    return fn
+
+
+def ordered_asof_join_stream(
+    df: DataFrame, disorder: str, match_type: str = "purchase"
+) -> DataFrame:
+    """`asof_join_stream` for OUT-OF-ORDER arrival: the watermark-driven
+    reorder buffer releases rows in exact (ts, event_id) order once the
+    watermark (delay = `disorder`) proves their run complete, then feeds
+    the identical as-of core — emissions are bit-identical to the
+    ordered-arrival operator and the batch x22 oracle for any arrival
+    order within the bound; later rows are dropped by Spark's standard
+    late-data filtering.
+
+    Input columns: (event_id, user_id, ts, event_type)."""
+    return (
+        df.withWatermark("ts", disorder)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ordered_asof_fn(match_type),
+            outputStructType=ASOF_OUTPUT_SCHEMA,
+            stateStructType=_ORDERED_ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
     )
 
 

@@ -164,3 +164,65 @@ def test_asof_join_matches_naive_semantics(spark, rows):
         ]
         want = max(cands, key=lambda c: (c[0], c[1])) if cands else (None, None)
         assert got[eid] == (want[1], want[0]), (eid, data)
+
+
+# ---------------------------------------------------------------------------
+# 4. the ordered-arrival contract made real: the watermark-driven reorder
+#    buffer (`streaming/stateful.ordered_asof_join_stream`) must produce
+#    the EXACT naive as-of semantics for ANY arrival order — rows shuffled
+#    arbitrarily across micro-batches — as long as disorder stays within
+#    the watermark bound. This is the guarantee Kafka partitioning gives
+#    the reference for free, proven here as a property, not a docstring.
+
+
+@settings(**{**_SETTINGS, "max_examples": 5})
+@given(_EVENTS, st.randoms(use_true_random=False))
+def test_ordered_asof_stream_matches_naive_under_shuffled_arrival(
+    spark, rows, rng
+):
+    import tempfile
+
+    from kafka_streams_learning_spark.sources.replay import (
+        replay_stream,
+        stage_explicit_chunks,
+    )
+    from kafka_streams_learning_spark.streaming import runner, stateful
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(seconds=ts), "purchase" if p else "view")
+        for i, (u, ts, p) in enumerate(rows)
+    ]
+    # arbitrary arrival order, split into up to 3 micro-batches
+    arrival = list(data)
+    rng.shuffle(arrival)
+    cut1, cut2 = sorted((rng.randint(0, len(arrival)), rng.randint(0, len(arrival))))
+    chunks = [c for c in (arrival[:cut1], arrival[cut1:cut2], arrival[cut2:]) if c]
+    # two flush sentinels push the watermark past every real row
+    chunks.append([(-1, -1, base + dt.timedelta(minutes=30), "view")])
+    chunks.append([(-2, -1, base + dt.timedelta(minutes=40), "view")])
+
+    d = tempfile.mkdtemp(prefix="ksl-prop-")
+    stage_explicit_chunks(
+        spark, chunks,
+        "event_id long, user_id long, ts timestamp, event_type string", d,
+    )
+    stream = replay_stream(
+        spark, d, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = stateful.ordered_asof_join_stream(stream, disorder="10 minutes")
+    batches = runner.run_collect_batches(out, "append")
+    got = {
+        r.event_id: (r.last_purchase_id, r.last_purchase_ts)
+        for b in batches
+        for r in b
+    }
+    assert len(got) == len(data), "every event emitted exactly once"
+    for eid, u, ts, _et in data:
+        cands = [
+            (pts, pid)
+            for pid, pu, pts, pet in data
+            if pu == u and pet == "purchase" and pts < ts
+        ]
+        want = max(cands, key=lambda c: (c[0], c[1])) if cands else (None, None)
+        assert got[eid] == (want[1], want[0]), (eid, chunks)

@@ -213,6 +213,69 @@ def test_streaming_asof_straddled_tie_run(spark, tmpdir):
     assert got[8] == (5, 60_000_000)
 
 
+def test_ordered_asof_out_of_order_arrival(spark, tmpdir):
+    """The watermark-driven reorder buffer: the SAME scenario as
+    test_streaming_asof_enrich_strict_and_cross_batch, but rows arrive
+    SHUFFLED across micro-batches — results must be identical to ordered
+    arrival. The final flush happens in a batch where user 7 has no data
+    at all (only the sentinel key does), so it also proves the
+    EventTimeTimeout wakeup path."""
+    base = ts("2024-01-01T00:00:00")
+    m = lambda i: base + dt.timedelta(minutes=i)
+    chunks = [
+        # latest event first, then fragments of earlier runs, interleaved
+        [(7, 7, m(4), "view"), (2, 7, m(1), "purchase")],
+        [(5, 7, m(3), "purchase"), (1, 7, m(0), "view"), (6, 7, m(3), "purchase")],
+        [(3, 7, m(1), "view"), (4, 7, m(2), "view")],
+        # two flush sentinels: the first advances the watermark past every
+        # real row; the second's batch then runs WITH that watermark
+        [(-1, -1, m(30), "view")],
+        [(-2, -1, m(40), "view")],
+    ]
+    stage_explicit_chunks(spark, chunks, ASOF_SCHEMA, tmpdir)
+    stream = replay_stream(spark, tmpdir, ASOF_SCHEMA)
+    out = stateful.ordered_asof_join_stream(stream, disorder="10 minutes")
+    batches = runner.run_collect_batches(out, "append")
+    got = {
+        r.event_id: (r.last_purchase_id, r.micros_since_purchase)
+        for b in batches
+        for r in b
+    }
+    assert len(got) == 7  # every real event exactly once; no sentinel rows
+    assert got[1] == (None, None)
+    assert got[2] == (None, None)  # a purchase doesn't see itself
+    assert got[3] == (None, None)  # strict: same-ts purchase invisible
+    assert got[4] == (2, 60_000_000)
+    assert got[5] == (2, 120_000_000) and got[6] == (2, 120_000_000)
+    assert got[7] == (6, 60_000_000)  # equal-ts tie → max purchase id
+
+
+def test_ordered_sliding_out_of_order_arrival(spark, tmpdir):
+    """Reorder buffer for the sliding count: shuffled arrival (latest
+    event first, the equal-timestamp tie pair last) produces the exact
+    ordered-arrival counts, including the symmetric tie group."""
+    base = ts("2024-01-01T00:00:00")
+    m = lambda i: base + dt.timedelta(minutes=i)
+    schema = "user_id long, event_id long, ts timestamp"
+    chunks = [
+        [(1, 10, m(3))],
+        [(1, 11, m(0)), (1, 12, m(0))],  # the m0 tie arrives late
+        [(1, 13, m(2))],
+        [(-1, -1, m(30))],
+        [(-1, -2, m(40))],
+    ]
+    stage_explicit_chunks(spark, chunks, schema, tmpdir)
+    stream = replay_stream(spark, tmpdir, schema)
+    out = stateful.ordered_sliding_count_stream(
+        stream, lookback_micros=2 * 60 * 1_000_000, disorder="5 minutes"
+    )
+    batches = runner.run_collect_batches(out, "append")
+    got = {r.event_id: r.cnt for b in batches for r in b}
+    # ordered semantics: m0 tie sees both (2,2); m2 sees m0,m0,m2 (3);
+    # m3 evicts the m0 pair outside [m1,m3] → sees m2,m3 (2)
+    assert got == {11: 2, 12: 2, 13: 3, 10: 2}
+
+
 def test_checkpoint_recovery(spark, tmpdir):
     """§5.2-5: kill the query mid-stream, restart from the same
     checkpoint over a source that has grown — final counts identical to a
