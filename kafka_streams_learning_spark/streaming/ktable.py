@@ -4,69 +4,139 @@
 Kafka's `builder.table(topic)` materializes a compacted topic as the
 latest value per key (`joins/stream_ktable/StreamTableJoinExample.java:
 114-140`). The Spark-native equivalent maintained here: a changelog
-stream upserts into a versioned parquet snapshot via `foreachBatch` —
-each micro-batch unions the incoming changes with the current snapshot
-and keeps `max_by(version)` per key. Facts then join the snapshot as a
-broadcast stream-static join, which is deterministic ("join against the
-latest snapshot", the semantic the reference's own comments pin down at
-`StreamTableJoinExample.java:85-88`).
+stream upserts into a hash-bucketed parquet snapshot via `foreachBatch`.
 
-At production scale the snapshot is a Delta/Iceberg table and the upsert
-is a MERGE keyed on the primary key (shuffle = changed keys only, not
-the snapshot); the versioned-directory scheme here emulates exactly that
-contract with plain parquet so the engine has no lake-format dependency.
-Writes go to a fresh `v{N}` directory and a `_CURRENT` pointer flips
-afterwards — readers never observe a half-written snapshot (the same
-atomic-pointer trick Delta's transaction log performs).
+The snapshot is INCREMENTAL by key bucket — the Delta/Iceberg MERGE
+contract (shuffle and rewrite proportional to *changed keys*, not to
+snapshot size) emulated with plain parquet so the engine has no
+lake-format dependency:
+
+- Data lives in generation directories `gen-{N}/ksl_bucket={b}/...`,
+  where `b = pmod(hash(key), num_buckets)`.
+- A `_MANIFEST` JSON maps every bucket to the generation that holds its
+  current data. A micro-batch touches only the buckets its keys hash
+  into: current data for *those buckets only* is read back, merged with
+  the batch (`latest_per_key`), and rewritten under a fresh generation;
+  untouched buckets' files are not opened, not rewritten — their
+  manifest entries simply carry over. Per-batch I/O is
+  O(batch + touched-bucket data), not O(snapshot).
+- The manifest flips atomically (tmp + rename) after the new generation
+  is fully written, so readers never observe a half-written snapshot —
+  the same atomic-pointer trick Delta's transaction log performs. Fully
+  unreferenced generations are vacuumed after the flip.
+
+At 1000-executor scale `num_buckets` is sized so one bucket ≈ one
+task's worth of dimension data; the per-batch merge job then runs one
+task per *touched* bucket while the fact-side join keeps broadcasting
+the assembled snapshot.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kafka_streams_learning_spark.operators.joins import latest_per_key
 
-_POINTER = "_CURRENT"
+_MANIFEST = "_MANIFEST"
+_BUCKET_COL = "ksl_bucket"
 
 
-def _current_version(snapshot_dir: str) -> int | None:
-    ptr = os.path.join(snapshot_dir, _POINTER)
-    if not os.path.exists(ptr):
+def _read_manifest(snapshot_dir: str) -> dict | None:
+    path = os.path.join(snapshot_dir, _MANIFEST)
+    if not os.path.exists(path):
         return None
-    with open(ptr, encoding="ascii") as fh:
-        return int(fh.read().strip())
+    with open(path, encoding="ascii") as fh:
+        return json.load(fh)
+
+
+def _write_manifest(snapshot_dir: str, manifest: dict) -> None:
+    tmp = os.path.join(snapshot_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w", encoding="ascii") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(snapshot_dir, _MANIFEST))
+
+
+def _bucket_paths(snapshot_dir: str, manifest: dict) -> list[str]:
+    return [
+        os.path.join(snapshot_dir, gen, f"{_BUCKET_COL}={b}")
+        for b, gen in manifest["buckets"].items()
+    ]
 
 
 def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
-    """The current latest-per-key snapshot, or None before the first
-    upsert."""
-    v = _current_version(snapshot_dir)
-    if v is None:
+    """The current latest-per-key snapshot (union of every bucket's
+    current generation), or None before the first upsert."""
+    manifest = _read_manifest(snapshot_dir)
+    if manifest is None or not manifest["buckets"]:
         return None
-    return spark.read.parquet(os.path.join(snapshot_dir, f"v{v}"))
+    return spark.read.parquet(*_bucket_paths(snapshot_dir, manifest))
 
 
 def upsert_snapshot(
-    batch_df: DataFrame, snapshot_dir: str, key: str, version_col: str
+    batch_df: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    version_col: str,
+    num_buckets: int = 16,
 ) -> None:
-    """One micro-batch of changelog rows → new snapshot version.
-    union(current, batch) → latest_per_key → write v{N+1} → flip pointer."""
+    """One micro-batch of changelog rows → merge into ONLY the buckets the
+    batch's keys hash into; every other bucket's files are untouched."""
     spark = batch_df.sparkSession
-    current = read_snapshot(spark, snapshot_dir)
-    merged = batch_df if current is None else current.unionByName(batch_df)
-    snap = latest_per_key(merged, key, version_col)
-    v = (_current_version(snapshot_dir) or 0) + 1
-    snap.write.mode("overwrite").parquet(os.path.join(snapshot_dir, f"v{v}"))
-    tmp = os.path.join(snapshot_dir, _POINTER + ".tmp")
-    with open(tmp, "w", encoding="ascii") as fh:
-        fh.write(str(v))
-    os.replace(tmp, os.path.join(snapshot_dir, _POINTER))
+    manifest = _read_manifest(snapshot_dir) or {
+        "version": 0,
+        "num_buckets": num_buckets,
+        "buckets": {},
+    }
+    nb = manifest["num_buckets"]  # pinned by the first upsert
+    bucket_of = F.pmod(F.hash(F.col(key)), F.lit(nb)).cast("int")
+    # tiny distributed aggregate: the set of touched buckets (≤ nb values)
+    changed = [
+        r[0]
+        for r in batch_df.select(bucket_of.alias(_BUCKET_COL)).distinct().collect()
+    ]
+    if not changed:
+        return
+    current_paths = [
+        os.path.join(snapshot_dir, manifest["buckets"][str(b)], f"{_BUCKET_COL}={b}")
+        for b in changed
+        if str(b) in manifest["buckets"]
+    ]
+    merged = batch_df
+    if current_paths:
+        merged = spark.read.parquet(*current_paths).unionByName(batch_df)
+    snap = latest_per_key(merged, key, version_col).withColumn(
+        _BUCKET_COL, bucket_of
+    )
+    gen = f"gen-{manifest['version'] + 1}"
+    snap.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(
+        os.path.join(snapshot_dir, gen)
+    )
+    manifest = {
+        "version": manifest["version"] + 1,
+        "num_buckets": nb,
+        "buckets": {**manifest["buckets"], **{str(b): gen for b in changed}},
+    }
+    _write_manifest(snapshot_dir, manifest)
+    # vacuum: a generation no bucket references anymore can't be read via
+    # any manifest at-or-after this flip (production: retention-windowed
+    # vacuum so long-running readers on old manifests finish first)
+    live = set(manifest["buckets"].values())
+    for entry in os.listdir(snapshot_dir):
+        if entry.startswith("gen-") and entry not in live:
+            shutil.rmtree(os.path.join(snapshot_dir, entry), ignore_errors=True)
 
 
 def materialize_ktable(
-    changelog: DataFrame, snapshot_dir: str, key: str, version_col: str
+    changelog: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    version_col: str,
+    num_buckets: int = 16,
 ) -> None:
     """Drive a changelog stream to completion, maintaining the snapshot —
     the `builder.table()` materialization pass."""
@@ -76,7 +146,9 @@ def materialize_ktable(
     q = (
         changelog.writeStream.outputMode("append")
         .foreachBatch(
-            lambda df, _epoch: upsert_snapshot(df, snapshot_dir, key, version_col)
+            lambda df, _epoch: upsert_snapshot(
+                df, snapshot_dir, key, version_col, num_buckets
+            )
         )
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ksl-ktbl-"))
         .start()

@@ -345,6 +345,56 @@ def test_ktable_changelog_snapshot(spark, tmpdir):
     assert got == {"c1": "new-1", "c2": "old-2", "c3": "only-3"}
 
 
+def test_ktable_upsert_is_incremental_by_bucket(spark, tmpdir):
+    """The MERGE contract: a micro-batch rewrites ONLY the key buckets it
+    touches — every file of every untouched bucket survives the upsert
+    byte-identical (same path, same inode, same mtime), proving per-batch
+    I/O is O(changed buckets), not O(snapshot)."""
+    import os
+
+    from kafka_streams_learning_spark.streaming import ktable
+
+    schema = "k string, name string, v long"
+    snap_dir = tmpdir + "/snap"
+    keys = [f"k{i}" for i in range(12)]
+    seed = spark.createDataFrame([(k, f"old-{k}", 0) for k in keys], schema)
+    ktable.upsert_snapshot(seed, snap_dir, key="k", version_col="v", num_buckets=8)
+
+    # pick one key and find a key hashing to a DIFFERENT bucket
+    buckets = {
+        r.k: r.b
+        for r in seed.select(
+            "k", F.pmod(F.hash("k"), F.lit(8)).cast("int").alias("b")
+        ).collect()
+    }
+    touched_key = keys[0]
+    untouched = [k for k in keys if buckets[k] != buckets[touched_key]]
+    assert untouched, "test fixture needs keys in >1 bucket"
+
+    def file_stats(bucket: int) -> dict[str, tuple]:
+        out = {}
+        for dirpath, _dirs, files in os.walk(snap_dir):
+            if dirpath.endswith(f"ksl_bucket={bucket}"):
+                for f in files:
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_ino, st.st_mtime_ns, st.st_size)
+        return out
+
+    untouched_buckets = sorted({buckets[k] for k in untouched})
+    before = {b: file_stats(b) for b in untouched_buckets}
+    batch2 = spark.createDataFrame([(touched_key, "new", 1)], schema)
+    ktable.upsert_snapshot(batch2, snap_dir, key="k", version_col="v")
+    for b in untouched_buckets:
+        after = file_stats(b)
+        assert after == before[b] and before[b], (
+            f"bucket {b} was rewritten by an upsert that didn't touch it"
+        )
+    got = {r.k: r.name for r in ktable.read_snapshot(spark, snap_dir).collect()}
+    assert got[touched_key] == "new"
+    assert all(got[k] == f"old-{k}" for k in untouched)
+
+
 def test_stateful_checkpoint_recovery(spark, tmpdir):
     """§5.2-5 for the custom stateful operator: the per-key counter in
     applyInPandasWithState state survives a restart — alerts continue
