@@ -56,6 +56,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp rendering are deterministic regardless of host timezone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Fixture generators have stored TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    # in some revisions; by default Spark reads those as TIMESTAMP_NTZ, which
+    # breaks TIMESTAMP-only expressions (unix_micros) and changes the
+    # rendered type versus the DuckDB oracle. Pin inference off so naive
+    # parquet timestamps always surface as TIMESTAMP in the UTC session —
+    # identical values to the NTZ read, stable type across fixture revisions.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in _nanos_ts_columns(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
