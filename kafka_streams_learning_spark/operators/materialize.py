@@ -13,15 +13,26 @@ that is what guarantees the intermediate computes exactly once even when
 several plan arms consume it.
 
 Pass `tag` for intermediates a catalog query re-creates on every run:
-tagged calls reuse one stable directory per tag (overwrite mode), so a
-long-lived session running the catalog N times holds one copy per tag
-instead of N. Untagged calls get a fresh directory each time (for
-intermediates whose lifetime must be independent of later calls).
+tagged calls keep ONE live copy per tag, so a long-lived session running
+the catalog N times stays disk-bounded. Each tagged call writes a fresh
+generation subdirectory and deletes the previous generation only after
+the new write commits — the returned DataFrame always reads its own
+generation, and a still-lazy DataFrame from an EARLIER call with the same
+tag fails loudly (missing files) on its next action instead of silently
+scanning the newer call's data. Untagged calls get a fresh directory each
+time (for intermediates whose lifetime must be independent of later
+calls).
 """
 
 from __future__ import annotations
 
+import os
+import re
+import shutil
+
 from pyspark.sql import DataFrame
+
+_GEN_RE = re.compile(r"^gen-(\d{5})$")
 
 
 def materialized(df: DataFrame, tag: str | None = None) -> DataFrame:
@@ -30,6 +41,19 @@ def materialized(df: DataFrame, tag: str | None = None) -> DataFrame:
         run_staging_dir,
     )
 
-    path = run_named_dir(f"mat-{tag}") if tag else run_staging_dir("mat")
+    if tag is None:
+        path = run_staging_dir("mat")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    base = run_named_dir(f"mat-{tag}")
+    gens = sorted(
+        int(m.group(1))
+        for m in (_GEN_RE.match(d) for d in os.listdir(base))
+        if m
+    )
+    path = os.path.join(base, f"gen-{(gens[-1] + 1 if gens else 0):05d}")
     df.write.mode("overwrite").parquet(path)
+    for g in gens:  # reclaim only after the new generation is committed
+        shutil.rmtree(os.path.join(base, f"gen-{g:05d}"), ignore_errors=True)
     return df.sparkSession.read.parquet(path)

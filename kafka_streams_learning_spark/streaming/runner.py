@@ -36,10 +36,18 @@ def _ensure_state_parallelism(spark: SparkSession) -> None:
 
     A session that was EXPLICITLY configured (builder/spark-submit conf)
     is never overridden, even to exactly 200 — that intent is visible in
-    the SparkContext conf. A runtime `spark.conf.set(..., "200")` is
-    indistinguishable from the default, so that case is overridden WITH a
-    warning log, giving a deliberately-200-tuned session a breadcrumb."""
+    the SparkContext conf. Caveat: that check only sees confs present when
+    the SparkContext was CREATED; `getOrCreate` layering a builder conf
+    onto a pre-existing context stores it session-side only, where a
+    runtime `spark.conf.set(..., "200")` is indistinguishable from the
+    default. Both are overridden WITH a warning log; to pin a deliberate
+    200 in such a session, set `ksl.state.partitions=200` (checked first,
+    always wins) or any non-200 value via `spark.conf.set`."""
     key = "spark.sql.shuffle.partitions"
+    pinned = spark.conf.get("ksl.state.partitions", None)
+    if pinned is not None:
+        spark.conf.set(key, pinned)  # explicit engine-level opt-out
+        return
     if spark.sparkContext.getConf().contains(key):
         return  # explicitly configured at session build — respect it
     if spark.conf.get(key) == _SPARK_DEFAULT_SHUFFLE_PARTITIONS:

@@ -36,12 +36,19 @@ needs_broker = pytest.mark.skipif(
 def test_kafka_source_constructs_or_fails_clearly(spark):
     """Environment-independent contract: with connector jars present the
     builder yields a streaming frame with the documented (key, value,
-    ingest_ts) projection; without them it fails at `.load()` with an
-    error naming the kafka data source — never a silent wrong plan."""
+    ingest_ts) projection; without them it fails at `.load()` with
+    SPECIFICALLY the missing-data-source error (DATA_SOURCE_NOT_FOUND /
+    "Failed to find data source: kafka") — never a silent wrong plan and
+    never an unrelated analysis error swallowed by a loose match. Uses the
+    real broker address when KSL_KAFKA_BOOTSTRAP is set."""
     try:
-        df = kafka_string_stream(spark, "localhost:9092", "probe-topic")
+        df = kafka_string_stream(spark, BOOTSTRAP or "localhost:9092", "probe-topic")
     except Exception as e:  # no connector jars in this environment
-        assert "kafka" in str(e).lower()
+        msg = str(e)
+        assert (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find data source: kafka" in msg
+        ), f"expected missing-kafka-data-source error, got: {msg[:300]}"
     else:
         assert df.isStreaming
         assert [f.name for f in df.schema.fields] == ["key", "value", "ingest_ts"]

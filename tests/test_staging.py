@@ -108,11 +108,22 @@ def test_materialized_round_trip_and_tag_reuse(spark):
     m1 = materialized(df, tag="test-mat")
     assert m1.schema == df.schema
     assert sorted((r.id, r.v) for r in m1.collect()) == [(1, "a"), (2, "b")]
-    # tagged re-materialization reuses the same directory (overwrite),
-    # so repeated catalog runs stay disk-bounded
+    gen1 = m1.inputFiles()[0].rsplit("/", 2)[-2]
+    base = os.path.dirname(os.path.dirname(m1.inputFiles()[0].removeprefix("file:")))
+    # tagged re-materialization writes a NEW generation under the same tag
+    # dir and reclaims the old one only after the write commits — repeated
+    # catalog runs stay disk-bounded (one live generation per tag), and a
+    # stale lazy handle from the earlier call fails loudly instead of
+    # silently scanning the newer call's (different-input) data.
     m2 = materialized(df.filter(F.col("id") == 1), tag="test-mat")
-    assert m2.inputFiles()[0].rsplit("/", 2)[-2] == m1.inputFiles()[0].rsplit("/", 2)[-2]
+    gen2 = m2.inputFiles()[0].rsplit("/", 2)[-2]
+    assert os.path.basename(os.path.dirname(
+        os.path.dirname(m2.inputFiles()[0]))) == os.path.basename(base)
+    assert gen1 != gen2
     assert [r.id for r in m2.collect()] == [1]
+    assert os.listdir(base) == [gen2]  # old generation reclaimed
+    with pytest.raises(Exception):  # stale handle: files gone → loud failure
+        m1.collect()
     # untagged calls get fresh dirs
     u1, u2 = materialized(df), materialized(df)
     assert u1.inputFiles()[0] != u2.inputFiles()[0]

@@ -457,3 +457,21 @@ def test_interactive_state_store_fetch(spark, tmpdir):
         ).collect()
     )
     assert got == [(base, 2), (base + dt.timedelta(minutes=1), 1)]
+
+
+def test_state_partitions_opt_out_conf_pins_value(spark):
+    """`ksl.state.partitions` is the engine-level escape hatch for the one
+    case the builder-conf check cannot see (a deliberate 200 set on a
+    reused context): it is consulted first and always wins."""
+    from kafka_streams_learning_spark.streaming.runner import (
+        _ensure_state_parallelism,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("ksl.state.partitions", "7")
+        _ensure_state_parallelism(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.unset("ksl.state.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
