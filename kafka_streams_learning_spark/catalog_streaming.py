@@ -368,6 +368,40 @@ def _s10_sql() -> str:
     return _Q13_SQL
 
 
+# s11 — per-key quantile stats, streamed: x24's exact distribution
+# surface maintained by the streaming engine. The complete-mode final
+# state buffers each key's values in the aggregation state (exact
+# percentiles are inherently value-buffering — same trade-off as the
+# batch form, bounded-cardinality keys only) and must BITWISE hash-match
+# x24's batch oracle: linear-interpolated percentiles on identical sorted
+# inputs are engine-portable (measured 25/25 vs DuckDB quantile_cont).
+# The fixed-memory GK-sketch variant rides the same streaming API and is
+# bounds-tested against this exact form in tests (not oracle-hashed —
+# estimator internals, the x24/HLL policy).
+
+
+def _s11(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.catalog_ext import QUANTILES
+    from kafka_streams_learning_spark.operators import core
+
+    stream = replay_table(
+        spark, sf, "orders", run_staging_dir("replay"),
+        REPLAY_CHUNKS, order_by="o_orderdate",
+    )
+    stats = core.quantile_stats(
+        stream, "o_totalprice", QUANTILES, "o_orderpriority"
+    )
+    name = _fresh_name("s11_out")
+    runner.run_to_memory(stats, name, "complete")
+    return spark.table(name)
+
+
+def _s11_sql() -> str:
+    from kafka_streams_learning_spark.catalog_ext import _x24_sql
+
+    return _x24_sql()
+
+
 # s12 — the ordered-arrival contract under REAL disorder: the events
 # fixture arrives shuffled (each row's replay position displaced by a
 # deterministic ±6 h hash jitter of its event time), and the watermark-
@@ -448,6 +482,9 @@ STREAMING_QUERIES: list[QuerySpec] = [
               "streaming as-of self-enrichment via O(1) keyed state (x22 twin)"),
     QuerySpec("s10_stream_hopping_count", _s10, _s10_sql(),
               "hopping-window count through the streaming engine (§2.7)"),
+    QuerySpec("s11_stream_quantile_stats", _s11, _s11_sql(),
+              "per-key exact quantile stats through the streaming engine "
+              "(x24 twin; GK-sketch variant bounds-tested)"),
     QuerySpec("s12_stream_asof_unordered", _s12, _s09_sql(),
               "as-of enrichment under shuffled arrival via the watermark "
               "reorder buffer (ordered-arrival contract as code)"),

@@ -475,3 +475,64 @@ def test_state_partitions_opt_out_conf_pins_value(spark):
     finally:
         spark.conf.unset("ksl.state.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_hopping_append_and_late_drop(spark, tmpdir):
+    """§2.7 hopping + grace-0, append mode: a record landing in TWO
+    overlapping windows is finalized into both exactly once; a record
+    older than the watermark is dropped from BOTH its windows, neither
+    re-counting nor re-opening them (mirror of the tumbling A3 contract
+    at overlapping-window fan-out)."""
+    base = ts("2024-01-01T00:01:00")
+    m = dt.timedelta(minutes=1)
+    chunks = [
+        # land in [00:00,00:02) and [00:01,00:03)
+        [("k", 1, 1.0, base), ("k", 2, 1.0, base + dt.timedelta(seconds=30))],
+        [("k", 3, 1.0, base + 9 * m)],       # advance event time
+        [("k", 9, 1.0, base + 9 * m + dt.timedelta(seconds=10))],  # close+evict
+        [("k", 4, 1.0, base + dt.timedelta(seconds=45))],  # late → dropped
+        [("k", 5, 1.0, base + 11 * m)],      # surface any wrongly re-opened window
+    ]
+    stage_explicit_chunks(spark, chunks, EVENTS_SCHEMA, tmpdir)
+    stream = replay_stream(spark, tmpdir, EVENTS_SCHEMA)
+    counted = windows.streaming_hopping_count(stream, "ts", "2 minutes", "1 minute", "key")
+    runner.run_to_memory(counted, "hopping_out", "append")
+    early = sorted(
+        (r.window_start, r.cnt)
+        for r in spark.table("hopping_out").collect()
+        if r.window_start <= base
+    )
+    # each overlapping early window emitted exactly once with exactly 2
+    assert early == [(base - m, 2), (base, 2)]
+
+
+def test_streaming_gk_quantiles_track_exact(spark, tmpdir):
+    """s11's fixed-memory arm: GK-sketch percentiles maintained by the
+    streaming engine (complete mode) track the exact batch form within
+    the x24 tolerance — the scale path for streaming percentile
+    dashboards (exact streaming percentiles buffer values per key)."""
+    from kafka_streams_learning_spark.operators import core
+    from kafka_streams_learning_spark.sources.batch import load_table
+    from kafka_streams_learning_spark.sources.replay import replay_table
+
+    from .conftest import SF_DIR
+
+    qs = [0.25, 0.5, 0.9]
+    orders = load_table(spark, SF_DIR, "orders")
+    exact = {
+        r.o_orderpriority: r
+        for r in core.quantile_stats(
+            orders, "o_totalprice", qs, "o_orderpriority"
+        ).collect()
+    }
+    stream = replay_table(spark, SF_DIR, "orders", tmpdir, 4, order_by="o_orderdate")
+    approx = core.approx_quantile_stats(stream, "o_totalprice", qs, "o_orderpriority")
+    runner.run_to_memory(approx, "s11_gk_out", "complete")
+    got = {r.o_orderpriority: r for r in spark.table("s11_gk_out").collect()}
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        assert got[k]["n"] == e["n"]
+        for col in ("p25", "p50", "p90"):
+            assert abs(got[k][col] - e[col]) <= 0.02 * abs(e[col]) + 1e-9, (
+                k, col, e[col], got[k][col],
+            )
