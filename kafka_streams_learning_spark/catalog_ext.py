@@ -280,13 +280,23 @@ WITH q AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {ANN_K}
 """
 
-# X10 — embedding-cosine near-dup pairs
+# X10 — embedding-cosine near-dup pairs, EXACT all-pairs form. Role: the
+# small-N ground truth for x26 (the banded-LSH catalogued scale path) —
+# so the catalog row runs it on a deterministic half-corpus
+# (vec_id % EMB_EXACT_MOD = 0, the same subset the x26 recall
+# cross-check in tests uses), quartering the quadratic pair count while
+# keeping a fully oracle-hashed exact row. The operator itself is uncapped;
+# anything needing exact pairs over a FULL large corpus should not exist —
+# that is x26's job (O(n^2) never survives 100 TB).
+
+EMB_EXACT_MOD = 2
 
 
 def _x10(spark: SparkSession, sf: str) -> DataFrame:
-    return similarity.embedding_near_dup_pairs(
-        load_table(spark, sf, "embeddings"), EMB_DUP_THRESHOLD
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("vec_id") % EMB_EXACT_MOD == 0
     )
+    return similarity.embedding_near_dup_pairs(emb, EMB_DUP_THRESHOLD)
 
 
 # mirror of similarity.embedding_near_dup_pairs: normalize once per
@@ -298,8 +308,11 @@ WITH n AS (
            sqrt(list_sum(list_transform(embedding,
                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
   FROM embeddings
+  -- deterministic half-corpus: x10's catalog role is x26's exact
+  -- ground truth, not a full-corpus scale path
+  WHERE vec_id % {EMB_EXACT_MOD} = 0
   -- zero-norm vectors excluded, mirroring similarity.normalized_vectors
-  WHERE list_sum(list_transform(embedding,
+    AND list_sum(list_transform(embedding,
           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0
 ), scored AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -950,7 +963,9 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x07_ngram_jaccard_dups", _x07, _X07_SQL, "n-gram Jaccard near-dups"),
     QuerySpec("x08_simhash", _x08, _simhash_sql(), "SimHash fingerprints"),
     QuerySpec("x09_ann_brute_topk", _x09, _X09_SQL, "exact cosine top-k ANN baseline"),
-    QuerySpec("x10_embedding_near_dups", _x10, _X10_SQL, "embedding-cosine near-dups"),
+    QuerySpec("x10_embedding_near_dups", _x10, _X10_SQL,
+              "exact embedding near-dups on a deterministic half-corpus "
+              "(x26 ground truth; x26 is the scale path)"),
     QuerySpec("x11_lsh_candidates", _x11, _lsh_sql(), "MinHash-LSH candidate pairs"),
     QuerySpec("x12_multimodal_meta", _x12, _X12_SQL, "binary-column metadata pass"),
     QuerySpec("x13_ann_ivf_topk", _x13, _X13_SQL, "IVF approximate top-k ANN (scale path)"),
