@@ -953,6 +953,49 @@ SELECT vec_a, vec_b, score FROM scored WHERE score >= {EMB_DUP_THRESHOLD}
 """
 
 
+# X28 — near-dup GROUPS: the transitive closure of x26's pair emissions.
+# Pairs alone don't dedup a corpus — (a,b) and (b,c) must collapse to ONE
+# kept document — so x28 runs connected components over the LSH pair
+# graph and labels every involved vector with its group's minimum id
+# (`is_canonical` marks the kept row). Spark side: pointer-jumping
+# min-label propagation, O(log diameter) rounds of keyed shuffles
+# (operators/graph.py); oracle: recursive-CTE reachability closure over
+# the identical pair set.
+
+
+def _x28(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators import graph
+
+    pairs = similarity.embedding_near_dup_pairs_lsh(
+        load_table(spark, sf, "embeddings"), EMB_DUP_THRESHOLD
+    )
+    return graph.connected_components(pairs, "vec_a", "vec_b")
+
+
+def _x28_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+{_x26_sql()}
+), edges AS MATERIALIZED (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), r(node, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.node
+), cc AS (
+  SELECT node AS node_id, MIN(label) AS group_id FROM r GROUP BY 1
+)
+SELECT node_id, group_id,
+       COUNT(*) OVER (PARTITION BY group_id) AS group_size,
+       node_id = group_id AS is_canonical
+FROM cc
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -997,4 +1040,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               "banded-LSH embedding near-dups (100 TB-safe x10 path)"),
     QuerySpec("x27_frame_sampling", _x27, _X27_SQL,
               "multimodal frame-sampling plan over the decode plumbing"),
+    QuerySpec("x28_neardup_groups", _x28, _x28_sql(),
+              "near-dup groups: connected components over the x26 pair "
+              "graph (canonical doc per cluster)"),
 ]

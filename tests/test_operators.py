@@ -435,3 +435,34 @@ def test_rolling_fingerprint_short_docs(spark):
     got = {r.doc_id: r.fp_sketch for r in textops.rolling_fingerprints(df).collect()}
     assert got[1] == [] and got[2] == []
     assert got[3] == got[4] and len(got[3]) == textops.ROLLING_BOTTOM
+
+
+def test_connected_components_chains_stars_and_determinism(spark):
+    """x28's core: min-label propagation + pointer jumping finds exact
+    components (chain, star, isolated pair) with group_size and a single
+    canonical (minimum-id) node per group; a deep chain converges within
+    the O(log diameter) round budget."""
+    from kafka_streams_learning_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "a long, b long",
+    )
+    got = sorted(
+        (r.node_id, r.group_id, r.group_size, r.is_canonical)
+        for r in connected_components(edges, "a", "b").collect()
+    )
+    assert got == [
+        (1, 1, 4, True), (2, 1, 4, False), (3, 1, 4, False), (4, 1, 4, False),
+        (10, 10, 2, True), (11, 10, 2, False),
+        (20, 20, 3, True), (21, 20, 3, False), (22, 20, 3, False),
+    ]
+    # 64-node path graph: diameter 63 ≫ default max_iter, so convergence
+    # must come from pointer jumping, not from O(diameter) propagation
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "a long, b long"
+    )
+    out = connected_components(chain, "a", "b").collect()
+    assert {r.group_id for r in out} == {0}
+    assert sum(r.is_canonical for r in out) == 1
+    assert all(r.group_size == 65 for r in out)
