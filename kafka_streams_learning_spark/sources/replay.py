@@ -127,14 +127,22 @@ def stage_replay_chunks(
         for f in df.schema.fields
         if f.name != order_by and f.dataType.typeName().split("(")[0] in _ORDERABLE
     ]
+    # The snap window frames the current row's PEERS (rows equal on
+    # order_by): min(_chunk) over it is the run's first chunk. Ordering by
+    # a prefix of the ntile window's sort keys lets Catalyst satisfy both
+    # Window operators with ONE global sort — no second exchange (the
+    # previous partitionBy(order_by) form hash-shuffled the whole table
+    # again just for the snap).
+    snap = (
+        Window.orderBy(F.col(order_by))
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
     ranked = (
         df.withColumn(
             "_chunk",
             F.ntile(chunks).over(Window.orderBy(F.col(order_by), *tiebreak)),
         )
-        .withColumn(
-            "_chunk", F.min("_chunk").over(Window.partitionBy(order_by))
-        )
+        .withColumn("_chunk", F.min("_chunk").over(snap))
         .persist()
     )  # sort once; each chunk write filters the cached ranking
     # Spark's default parquet timestamp encoding is the deprecated INT96,
