@@ -95,6 +95,37 @@ def staged_column_max(staging_dir: str, column: str):
     return best
 
 
+_ORDERABLE = {
+    "string", "long", "integer", "short", "byte", "double", "float",
+    "boolean", "date", "timestamp", "timestamp_ntz", "decimal",
+}
+
+
+def ranked_chunks(df: DataFrame, chunks: int, order_by: str) -> DataFrame:
+    """`df` plus a `_chunk` column: event-time-ordered ntile, snapped so
+    every equal-`order_by` run shares the run's minimum chunk.
+
+    The snap window frames the current row's PEERS (rows equal on
+    `order_by`): min(_chunk) over it is the run's first chunk. Its sort
+    key is a prefix of the ntile window's, so Catalyst satisfies both
+    Window operators with ONE global sort — a single Exchange, asserted
+    by tests/test_plans.py (the earlier partitionBy(order_by) snap
+    hash-shuffled the whole table a second time)."""
+    tiebreak = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if f.name != order_by and f.dataType.typeName().split("(")[0] in _ORDERABLE
+    ]
+    snap = (
+        Window.orderBy(F.col(order_by))
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    return df.withColumn(
+        "_chunk",
+        F.ntile(chunks).over(Window.orderBy(F.col(order_by), *tiebreak)),
+    ).withColumn("_chunk", F.min("_chunk").over(snap))
+
+
 def stage_replay_chunks(
     df: DataFrame,
     staging_dir: str,
@@ -118,33 +149,8 @@ def stage_replay_chunks(
     in fragments. Chunks stay near-equal-sized for high-resolution
     timestamps and may be uneven (or empty) when `order_by` is coarse —
     correctness of replay order is the contract, not balance."""
-    _ORDERABLE = {
-        "string", "long", "integer", "short", "byte", "double", "float",
-        "boolean", "date", "timestamp", "timestamp_ntz", "decimal",
-    }
-    tiebreak = [
-        F.col(f.name)
-        for f in df.schema.fields
-        if f.name != order_by and f.dataType.typeName().split("(")[0] in _ORDERABLE
-    ]
-    # The snap window frames the current row's PEERS (rows equal on
-    # order_by): min(_chunk) over it is the run's first chunk. Ordering by
-    # a prefix of the ntile window's sort keys lets Catalyst satisfy both
-    # Window operators with ONE global sort — no second exchange (the
-    # previous partitionBy(order_by) form hash-shuffled the whole table
-    # again just for the snap).
-    snap = (
-        Window.orderBy(F.col(order_by))
-        .rangeBetween(Window.currentRow, Window.currentRow)
-    )
-    ranked = (
-        df.withColumn(
-            "_chunk",
-            F.ntile(chunks).over(Window.orderBy(F.col(order_by), *tiebreak)),
-        )
-        .withColumn("_chunk", F.min("_chunk").over(snap))
-        .persist()
-    )  # sort once; each chunk write filters the cached ranking
+    ranked = ranked_chunks(df, chunks, order_by).persist()
+    # sort once; each chunk write filters the cached ranking
     # Spark's default parquet timestamp encoding is the deprecated INT96,
     # which carries NO footer min/max statistics — write INT64 micros so
     # staged chunks keep column stats (staged_column_max depends on them).

@@ -157,3 +157,15 @@ def test_topk_windows_prune_map_side(spark, name):
     # window exchange — without it, x20's per-stratum sort would ship
     # whole strata through a handful of reducers
     assert E.plan_has(_df(spark, name), "WindowGroupLimit"), name
+
+
+def test_staging_snap_uses_single_sort_exchange(spark):
+    """The replay-staging tie-run snap must ride the ntile window's global
+    sort, not add a second exchange: both Window operators share one sort
+    because the snap's ORDER BY is a prefix of the ntile's (the earlier
+    partitionBy(order_by) form hash-shuffled the whole table again)."""
+    from kafka_streams_learning_spark.sources.batch import load_table
+    from kafka_streams_learning_spark.sources.replay import ranked_chunks
+
+    ranked = ranked_chunks(load_table(spark, SF_DIR, "events"), 4, "ts")
+    assert E.exchange_count(ranked) == 1
