@@ -402,6 +402,42 @@ def _s11_sql() -> str:
     return _x24_sql()
 
 
+# s13 — global token top-k, streamed: x05's heavy-hitters surface with
+# the per-token counts maintained incrementally by the streaming engine
+# (explode happens pre-shuffle, so partial aggregation still collapses
+# per token map-side; complete-mode state is one row per distinct
+# token). The top-k cut is a batch TakeOrdered over the final state —
+# exactly what a dashboard query against the state table does — and must
+# hash-match x05's batch oracle including the (cnt DESC, token) tie-break.
+
+
+def _s13(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.catalog_ext import TOPK_TOKENS
+    from kafka_streams_learning_spark.functions import text as T
+
+    stream = replay_table(
+        spark, sf, "documents", run_staging_dir("replay"),
+        REPLAY_CHUNKS, order_by="doc_id",
+    )
+    tok = stream.select(
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    name = _fresh_name("s13_out")
+    runner.run_to_memory(counts, name, "complete")
+    return (
+        spark.table(name)
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(TOPK_TOKENS)
+    )
+
+
+def _s13_sql() -> str:
+    from kafka_streams_learning_spark.catalog_ext import _X05_SQL
+
+    return _X05_SQL
+
+
 # s12 — the ordered-arrival contract under REAL disorder: the events
 # fixture arrives shuffled (each row's replay position displaced by a
 # deterministic ±6 h hash jitter of its event time), and the watermark-
@@ -488,4 +524,7 @@ STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s12_stream_asof_unordered", _s12, _s09_sql(),
               "as-of enrichment under shuffled arrival via the watermark "
               "reorder buffer (ordered-arrival contract as code)"),
+    QuerySpec("s13_stream_token_topk", _s13, _s13_sql(),
+              "global token top-k over incrementally maintained counts "
+              "(x05 twin through the streaming engine)"),
 ]
