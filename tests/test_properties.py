@@ -226,3 +226,45 @@ def test_ordered_asof_stream_matches_naive_under_shuffled_arrival(
         ]
         want = max(cands, key=lambda c: (c[0], c[1])) if cands else (None, None)
         assert got[eid] == (want[1], want[0]), (eid, chunks)
+
+
+@settings(**{**_SETTINGS, "max_examples": 8})
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    """x28's core against an independent oracle: for ANY edge list
+    (self-loops, duplicates, reversed dups included), the distributed
+    min-label result must equal a driver-side union-find's components."""
+    from kafka_streams_learning_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in {x for e in edges for x in e}:
+        root = find(n)
+        want[n] = min(m for m in parent if find(m) == root)
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r.node_id: r.group_id
+        for r in connected_components(df, "a", "b").collect()
+    }
+    assert got == want
