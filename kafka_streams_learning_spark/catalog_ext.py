@@ -953,6 +953,56 @@ SELECT vec_a, vec_b, score FROM scored WHERE score >= {EMB_DUP_THRESHOLD}
 """
 
 
+# X29 — multimodal resize plan: aspect-fit dimension math stays in JVM
+# codegen (never upscale, floor at 1px); only the pixel transform pays
+# the Python/Arrow boundary, stubbed deterministically like x14's decode
+# (`multimodal.fake_resize`; real backend = `resize_stub`). The oracle
+# hashes the byte-COUNT contract of the Arrow stage's real output
+# (octet_length(resized) == out_w*out_h), i.e. the plumbing is gated,
+# the pixel content is stub territory.
+
+RESIZE_MAX_W, RESIZE_MAX_H = 32, 24
+
+
+def _x29(spark: SparkSession, sf: str) -> DataFrame:
+    blobs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.col("text").cast("binary").alias("blob"),
+    )
+    dims = blobs.withColumn(
+        "width", (F.lit(1) + F.octet_length("blob") % 64).cast("int")
+    ).withColumn(
+        "height", (F.lit(1) + F.octet_length("blob") % 48).cast("int")
+    )
+    fit = multimodal.aspect_fit(dims, RESIZE_MAX_W, RESIZE_MAX_H)
+    resized = multimodal.fake_resize(fit)
+    return resized.select(
+        "id", "width", "height", "out_w", "out_h",
+        F.octet_length("resized").alias("n_bytes_out"),
+    )
+
+
+_X29_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id, octet_length(encode(text)) AS nb FROM documents
+), dims AS (
+  SELECT id, CAST(1 + nb % 64 AS INT) AS width,
+         CAST(1 + nb % 48 AS INT) AS height
+  FROM d
+), fit AS (
+  SELECT id, width, height,
+         least({RESIZE_MAX_W}.0 / width, {RESIZE_MAX_H}.0 / height, 1.0) AS s
+  FROM dims
+)
+SELECT id, width, height,
+       CAST(greatest(floor(width * s), 1) AS INT) AS out_w,
+       CAST(greatest(floor(height * s), 1) AS INT) AS out_h,
+       CAST(greatest(floor(width * s), 1) * greatest(floor(height * s), 1)
+            AS INT) AS n_bytes_out
+FROM fit
+"""
+
+
 # X28 — near-dup GROUPS: the transitive closure of x26's pair emissions.
 # Pairs alone don't dedup a corpus — (a,b) and (b,c) must collapse to ONE
 # kept document — so x28 runs connected components over the LSH pair
@@ -1043,4 +1093,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x28_neardup_groups", _x28, _x28_sql(),
               "near-dup groups: connected components over the x26 pair "
               "graph (canonical doc per cluster)"),
+    QuerySpec("x29_resize_plan", _x29, _X29_SQL,
+              "multimodal aspect-fit resize: JVM dimension planning + "
+              "Arrow-batched pixel stage (byte-count contract hashed)"),
 ]

@@ -85,6 +85,77 @@ def fake_decode_features(df: DataFrame, blob_col: str = "blob", feat_dim: int = 
     return df.mapInPandas(_decode, FEATURE_SCHEMA)
 
 
+# Output schema of the resize stage — like FEATURE_SCHEMA, a fixed
+# contract so downstream code is independent of the resizer backend.
+RESIZE_SCHEMA = (
+    "id long, width int, height int, out_w int, out_h int, resized binary"
+)
+
+
+def aspect_fit(
+    df: DataFrame,
+    max_w: int,
+    max_h: int,
+    w_col: str = "width",
+    h_col: str = "height",
+) -> DataFrame:
+    """Aspect-preserving fit-downscale dimensions (never upscales):
+    out = floor(dim * min(max_w/w, max_h/h, 1)), floored at 1. Pure JVM
+    column math — at scale the dimension planning stays in codegen and
+    only the pixel transform pays the Python/Arrow boundary."""
+    scale = F.least(
+        F.lit(float(max_w)) / F.col(w_col),
+        F.lit(float(max_h)) / F.col(h_col),
+        F.lit(1.0),
+    )
+    return df.withColumn(
+        "out_w", F.greatest(F.floor(F.col(w_col) * scale), F.lit(1)).cast("int")
+    ).withColumn(
+        "out_h", F.greatest(F.floor(F.col(h_col) * scale), F.lit(1)).cast("int")
+    )
+
+
+def resize_stub(*_args, **_kwargs):
+    """Real pixel resampling — requires image libs not present here."""
+    raise NotImplementedError(
+        "image resize requires codec/pixel libraries not available in "
+        "this environment; use fake_resize for pipeline testing"
+    )
+
+
+def fake_resize(df: DataFrame, blob_col: str = "blob", id_col: str = "id") -> DataFrame:
+    """Deterministic resize stand-in with the production plumbing:
+    mapInPandas over Arrow batches, explicit output schema, and the REAL
+    contract a resizer must honor — the output blob has exactly
+    out_w*out_h bytes (one fake 'pixel' per byte, sha256-derived from the
+    source blob so it is deterministic and content-addressed). Input rows
+    must already carry out_w/out_h from `aspect_fit`."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def mk(b: bytes, k: int) -> bytes:
+            seed = hashlib.sha256(b).digest()
+            return (seed * (-(-k // len(seed))))[:k]
+
+        for pdf in batches:
+            n = (pdf["out_w"] * pdf["out_h"]).astype(int)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_w": pdf["out_w"],
+                    "out_h": pdf["out_h"],
+                    "resized": [
+                        mk(b, int(k)) for b, k in zip(pdf[blob_col], n)
+                    ],
+                }
+            )
+
+    return df.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int, frame_col: str = "n_frames") -> DataFrame:
     """Frame-sampling plan for video rows: explode frame indices 0, n, 2n…
     JVM-side sequence, no decode — the decoder then fetches only sampled
