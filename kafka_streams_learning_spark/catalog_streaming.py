@@ -438,6 +438,33 @@ def _s13_sql() -> str:
     return _X05_SQL
 
 
+# s14 — stateless map through the streaming engine: q01's mapValues
+# topology (the reference's simplest app, `basics/WordCountApp.java`
+# shape before aggregation) as a pure per-record streaming transform —
+# no state store, no watermark, append mode. Completes the streaming
+# coverage matrix: every other s-query is stateful/windowed; the
+# stateless row-transform class was only batch-verified before.
+
+
+def _s14(spark: SparkSession, sf: str) -> DataFrame:
+    stream = replay_table(
+        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
+    )
+    mapped = stream.select(
+        "event_id", "user_id",
+        F.upper(F.col("event_type")).alias("event_type_upper"),
+    )
+    name = _fresh_name("s14_out")
+    runner.run_to_memory(mapped, name, "append")
+    return spark.table(name)
+
+
+def _s14_sql() -> str:
+    from kafka_streams_learning_spark.catalog import _Q01_SQL
+
+    return _Q01_SQL
+
+
 # s12 — the ordered-arrival contract under REAL disorder: the events
 # fixture arrives shuffled (each row's replay position displaced by a
 # deterministic ±6 h hash jitter of its event time), and the watermark-
@@ -527,4 +554,7 @@ STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s13_stream_token_topk", _s13, _s13_sql(),
               "global token top-k over incrementally maintained counts "
               "(x05 twin through the streaming engine)"),
+    QuerySpec("s14_stream_stateless_map", _s14, _s14_sql(),
+              "stateless per-record map through the streaming engine "
+              "(q01/P1 twin — append mode, no state store)"),
 ]
