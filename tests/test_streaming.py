@@ -536,3 +536,46 @@ def test_streaming_gk_quantiles_track_exact(spark, tmpdir):
             assert abs(got[k][col] - e[col]) <= 0.02 * abs(e[col]) + 1e-9, (
                 k, col, e[col], got[k][col],
             )
+
+
+def test_checkpoint_recovery_quantile_state(spark, tmpdir):
+    """s11's state class through kill/restart: exact percentiles buffer a
+    key's VALUES in aggregation state (TypedImperativeAggregate), so
+    recovery must restore the whole buffer, not just a counter — restart
+    from checkpoint over a grown source must equal one uninterrupted run
+    (including the interpolated percentile over pre- and post-restart
+    values together)."""
+    from kafka_streams_learning_spark.operators import core
+
+    base = ts("2024-01-01T00:00:00")
+    data_dir = tmpdir + "/data"
+    ckpt = tmpdir + "/ckpt"
+    stage_explicit_chunks(
+        spark,
+        [[("a", 1, 10.0, base)], [("a", 2, 20.0, base), ("b", 3, 5.0, base)]],
+        EVENTS_SCHEMA,
+        data_dir,
+    )
+    stats = core.quantile_stats(
+        replay_stream(spark, data_dir, EVENTS_SCHEMA), "amount", [0.5], "key"
+    )
+    run1 = runner.run_collect_batches(stats, "complete", checkpoint=ckpt)
+    assert run1
+
+    stage_explicit_chunks(
+        spark,
+        [[("a", 4, 30.0, base), ("a", 5, 40.0, base)]],
+        EVENTS_SCHEMA,
+        data_dir + "/chunk=99999-extra",
+    )
+    stats2 = core.quantile_stats(
+        replay_stream(spark, data_dir, EVENTS_SCHEMA), "amount", [0.5], "key"
+    )
+    run2 = runner.run_collect_batches(stats2, "complete", checkpoint=ckpt)
+    final = {r.key: (r.n, r.vmin, r.vmax, r.p50) for r in run2[-1]}
+    # a: values {10,20,30,40} -> median 25.0 interpolated ACROSS the restart
+    # boundary (possible only if the pre-restart value buffer was restored)
+    assert final == {
+        "a": (4, 10.0, 40.0, 25.0),
+        "b": (1, 5.0, 5.0, 5.0),
+    }
