@@ -2,10 +2,15 @@
 *streaming* engine, not just batch expressions.
 
 Each callable stages the fixture table as an event-time-ordered replay
-stream (4 micro-batches), runs the streaming operator to completion, and
-returns the final state — which must hash-match the same DuckDB batch
-oracle as the batch form. Streaming-vs-batch equivalence is exactly what
-the declared semantics promise once all input is consumed (SURVEY §5.2-1).
+stream (2 micro-batches — enough that every operator's state crosses a
+batch boundary, which is the multi-batch contract; arrival-order edge
+cases get dedicated explicit-chunk tests in tests/test_streaming.py),
+runs the streaming operator to completion, and returns the final state —
+which must hash-match the same DuckDB batch oracle as the batch form.
+Streaming-vs-batch equivalence is exactly what the declared semantics
+promise once all input is consumed (SURVEY §5.2-1). Stagings are shared
+per (table, chunks, order) across the catalog run (`shared_replay_table`)
+— the global sort is paid once, each query keeps its own checkpoint.
 
 s01/s02 use `complete` output mode into a memory sink (final state = full
 result, including still-open windows — matching the batch oracle).
@@ -22,10 +27,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_learning_spark.catalog import QuerySpec
-from kafka_streams_learning_spark.sources.replay import replay_table, run_staging_dir
+from kafka_streams_learning_spark.sources.replay import (
+    run_staging_dir,
+    shared_replay_table,
+)
 from kafka_streams_learning_spark.streaming import runner, stateful, windows
 
-REPLAY_CHUNKS = 4
+REPLAY_CHUNKS = 2
+# State-store shards for the catalog's streaming queries. Every shard is a
+# live RocksDB instance paying an open+commit per micro-batch, so shard
+# count is sized to STATE VOLUME (~10-100 MB per shard is the sweet spot),
+# not to cores: the fixture state at sf<=0.1 is tens of MB, so 8 shards —
+# measured 1.7x faster than the 32-shard default on the interval join with
+# identical results. A 100 TB deployment raises spark.sql.shuffle.partitions
+# (or pins ksl.state.partitions) at session build; that always wins
+# (streaming/runner._ensure_state_parallelism).
+STATE_SHARDS = 8
 ALERT_VALUE_THRESHOLD = 100.0  # events.value gate for s03 (~20% qualify)
 ALERT_AFTER = 3
 
@@ -38,12 +55,10 @@ def _fresh_name(prefix: str) -> str:
 
 
 def _s01(spark: SparkSession, sf: str) -> DataFrame:
-    stream = replay_table(
-        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
-    )
+    stream = shared_replay_table(spark, sf, "events", REPLAY_CHUNKS)
     counted = windows.streaming_count_by_key(stream, "user_id", count_name="cnt")
     name = _fresh_name("s01_out")
-    runner.run_to_memory(counted, name, "complete")
+    runner.run_to_memory(counted, name, "complete", state_partitions=STATE_SHARDS)
     return spark.table(name)
 
 
@@ -53,12 +68,10 @@ _S01_SQL = "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1"
 
 
 def _s02(spark: SparkSession, sf: str) -> DataFrame:
-    stream = replay_table(
-        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
-    )
+    stream = shared_replay_table(spark, sf, "events", REPLAY_CHUNKS)
     counted = windows.streaming_tumbling_count(stream, "ts", "1 day", "user_id")
     name = _fresh_name("s02_out")
-    runner.run_to_memory(counted, name, "complete")
+    runner.run_to_memory(counted, name, "complete", state_partitions=STATE_SHARDS)
     return spark.table(name)
 
 
@@ -73,9 +86,7 @@ FROM events GROUP BY 1, 2, 3
 
 
 def _s03(spark: SparkSession, sf: str) -> DataFrame:
-    stream = replay_table(
-        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
-    ).select(
+    stream = shared_replay_table(spark, sf, "events", REPLAY_CHUNKS).select(
         F.col("user_id").cast("string").alias("key"),
         F.col("event_id").alias("record_id"),
         F.col("value").alias("amount"),
@@ -85,7 +96,7 @@ def _s03(spark: SparkSession, sf: str) -> DataFrame:
         stream, "key", ALERT_VALUE_THRESHOLD, ALERT_AFTER
     )
     name = _fresh_name("s03_out")
-    runner.run_to_memory(alerts, name, "append")
+    runner.run_to_memory(alerts, name, "append", state_partitions=STATE_SHARDS)
     return spark.table(name).select("key", "record_id", "amount", "running_cnt")
 
 
@@ -111,16 +122,16 @@ WHERE running_cnt > {ALERT_AFTER}
 def _s04(spark: SparkSession, sf: str) -> DataFrame:
     # watermarks require TIMESTAMP (ltz); the fixture dates are NTZ — the
     # cast is interpretation-only under the UTC session timezone
-    orders = replay_table(
-        spark, sf, "orders", run_staging_dir("replay"),
-        REPLAY_CHUNKS, order_by="o_orderdate",
+    orders = shared_replay_table(
+        spark, sf, "orders", REPLAY_CHUNKS, order_by="o_orderdate",
+        columns=("o_orderkey", "o_custkey", "o_orderdate"),
     ).select(
         "o_orderkey", "o_custkey",
         F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
     )
-    items = replay_table(
-        spark, sf, "lineitem", run_staging_dir("replay"),
-        REPLAY_CHUNKS, order_by="l_shipdate",
+    items = shared_replay_table(
+        spark, sf, "lineitem", REPLAY_CHUNKS, order_by="l_shipdate",
+        columns=("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"),
     ).select(
         "l_orderkey", "l_linenumber", "l_extendedprice",
         F.col("l_shipdate").cast("timestamp").alias("l_shipdate"),
@@ -134,7 +145,7 @@ def _s04(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey", "o_custkey", "l_linenumber", "l_extendedprice", "l_shipdate"
     )
     name = _fresh_name("s04_out")
-    runner.run_to_memory(out, name, "append")
+    runner.run_to_memory(out, name, "append", state_partitions=STATE_SHARDS)
     return spark.table(name)
 
 
@@ -179,9 +190,8 @@ def _s05(spark: SparkSession, sf: str) -> DataFrame:
     )
     dim = ktable.read_snapshot(spark, snapshot_dir).drop("_version")
 
-    orders = replay_table(
-        spark, sf, "orders", run_staging_dir("replay"),
-        REPLAY_CHUNKS, order_by="o_orderdate",
+    orders = shared_replay_table(
+        spark, sf, "orders", REPLAY_CHUNKS, order_by="o_orderdate"
     ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
     joined = enrich_join(
         orders.withColumn("c_custkey", F.col("o_custkey")), dim, on="c_custkey"
@@ -190,7 +200,7 @@ def _s05(spark: SparkSession, sf: str) -> DataFrame:
         "c_name", "c_mktsegment", "c_acctbal",
     )
     name = _fresh_name("s05_out")
-    runner.run_to_memory(joined, name, "append")
+    runner.run_to_memory(joined, name, "append", state_partitions=STATE_SHARDS)
     return spark.table(name)
 
 
@@ -209,12 +219,12 @@ SLIDE_LOOKBACK_MICROS = 24 * 3600 * 1_000_000
 
 
 def _s06(spark: SparkSession, sf: str) -> DataFrame:
-    stream = replay_table(
-        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
-    ).select("user_id", "event_id", "ts")
+    stream = shared_replay_table(spark, sf, "events", REPLAY_CHUNKS).select(
+        "user_id", "event_id", "ts"
+    )
     counted = stateful.sliding_count_stream(stream, SLIDE_LOOKBACK_MICROS)
     name = _fresh_name("s06_out")
-    runner.run_to_memory(counted, name, "append")
+    runner.run_to_memory(counted, name, "append", state_partitions=STATE_SHARDS)
     return spark.table(name)
 
 
@@ -229,10 +239,10 @@ GROUP BY 1, 2, 3
 
 # s07 — session-window count, streamed (§2.7 via the streaming engine).
 # Append mode only emits a session once the watermark passes its end, so
-# the replay is followed by a flush-sentinel chunk (dummy key, far-future
-# timestamp) that advances the global watermark past every real session —
-# the streaming analogue of "the topic kept moving". The sentinel's own
-# session is filtered from the result; the oracle is q14's
+# a flush sentinel (dummy key, far-future timestamp) rides the tail of
+# the last replay chunk and advances the global watermark past every real
+# session — the streaming analogue of "the topic kept moving". The
+# sentinel's own session is filtered from the result; the oracle is q14's
 # gaps-and-islands SQL.
 
 SESSION_GAP_S07 = "12 hours"
@@ -240,7 +250,6 @@ SESSION_GAP_S07 = "12 hours"
 
 def _s07(spark: SparkSession, sf: str) -> DataFrame:
     import datetime
-    import os
 
     from kafka_streams_learning_spark.sources.batch import load_table
     from kafka_streams_learning_spark.sources.replay import (
@@ -250,20 +259,23 @@ def _s07(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf, "events").select("user_id", "ts")
+    # sentinel timestamp from the SOURCE fixture's parquet footer stats —
+    # a metadata read, not a second full scan. The sentinel is unioned in
+    # BEFORE staging so it lands at the tail of the LAST data chunk: the
+    # watermark advances past every real session at the final data batch,
+    # and the engine's no-data micro-batch finalizes them — no trailing
+    # sentinel-only batch (one fewer trigger, measured on the session op).
+    max_ts = staged_column_max(f"{sf}/events.parquet", "ts")
+    flush = spark.createDataFrame(
+        [(-1, max_ts + datetime.timedelta(hours=13))], "user_id long, ts timestamp"
+    )
     staging = run_staging_dir("replay")
-    stage_replay_chunks(ev, staging, REPLAY_CHUNKS, order_by="ts")
-    # sentinel timestamp from the staged chunks' parquet footer statistics —
-    # a metadata read, not a second full scan of the input
-    max_ts = staged_column_max(staging, "ts")
-    flush = [(-1, max_ts + datetime.timedelta(hours=13))]
-    spark.createDataFrame(flush, "user_id long, ts timestamp").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(staging, f"chunk={REPLAY_CHUNKS + 1:05d}"))
+    stage_replay_chunks(ev.unionByName(flush), staging, REPLAY_CHUNKS, order_by="ts")
 
     stream = replay_stream(spark, staging, ev.schema)
     counted = windows.streaming_session_count(stream, "ts", SESSION_GAP_S07, "user_id")
     name = _fresh_name("s07_out")
-    runner.run_to_memory(counted, name, "append")
+    runner.run_to_memory(counted, name, "append", state_partitions=STATE_SHARDS)
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
@@ -297,9 +309,8 @@ FROM s GROUP BY user_id, sess
 def _s08(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_learning_spark.functions.text import fingerprint
 
-    stream = replay_table(
-        spark, sf, "documents", run_staging_dir("replay"),
-        REPLAY_CHUNKS, order_by="doc_id",
+    stream = shared_replay_table(
+        spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"
     )
     groups = (
         stream.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
@@ -307,7 +318,7 @@ def _s08(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
     name = _fresh_name("s08_out")
-    runner.run_to_memory(groups, name, "complete")
+    runner.run_to_memory(groups, name, "complete", state_partitions=STATE_SHARDS)
     return spark.table(name)
 
 
@@ -328,14 +339,12 @@ FROM documents GROUP BY 1
 def _s09(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_learning_spark.streaming.stateful import asof_join_stream
 
-    stream = replay_table(
-        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
-    )
+    stream = shared_replay_table(spark, sf, "events", REPLAY_CHUNKS)
     enriched = asof_join_stream(
         stream.select("event_id", "user_id", "ts", "event_type")
     )
     name = _fresh_name("s09_out")
-    runner.run_to_memory(enriched, name, "append")
+    runner.run_to_memory(enriched, name, "append", state_partitions=STATE_SHARDS)
     return spark.table(name)
 
 
@@ -351,14 +360,12 @@ def _s09_sql() -> str:
 
 
 def _s10(spark: SparkSession, sf: str) -> DataFrame:
-    stream = replay_table(
-        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
-    )
+    stream = shared_replay_table(spark, sf, "events", REPLAY_CHUNKS)
     counted = windows.streaming_hopping_count(
         stream, "ts", "2 days", "1 day", "user_id"
     )
     name = _fresh_name("s10_out")
-    runner.run_to_memory(counted, name, "complete")
+    runner.run_to_memory(counted, name, "complete", state_partitions=STATE_SHARDS)
     return spark.table(name)
 
 
@@ -384,15 +391,14 @@ def _s11(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_learning_spark.catalog_ext import QUANTILES
     from kafka_streams_learning_spark.operators import core
 
-    stream = replay_table(
-        spark, sf, "orders", run_staging_dir("replay"),
-        REPLAY_CHUNKS, order_by="o_orderdate",
+    stream = shared_replay_table(
+        spark, sf, "orders", REPLAY_CHUNKS, order_by="o_orderdate"
     )
     stats = core.quantile_stats(
         stream, "o_totalprice", QUANTILES, "o_orderpriority"
     )
     name = _fresh_name("s11_out")
-    runner.run_to_memory(stats, name, "complete")
+    runner.run_to_memory(stats, name, "complete", state_partitions=STATE_SHARDS)
     return spark.table(name)
 
 
@@ -415,16 +421,15 @@ def _s13(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_learning_spark.catalog_ext import TOPK_TOKENS
     from kafka_streams_learning_spark.functions import text as T
 
-    stream = replay_table(
-        spark, sf, "documents", run_staging_dir("replay"),
-        REPLAY_CHUNKS, order_by="doc_id",
+    stream = shared_replay_table(
+        spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"
     )
     tok = stream.select(
         F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("token")
     )
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     name = _fresh_name("s13_out")
-    runner.run_to_memory(counts, name, "complete")
+    runner.run_to_memory(counts, name, "complete", state_partitions=STATE_SHARDS)
     return (
         spark.table(name)
         .orderBy(F.col("cnt").desc(), F.col("token"))
@@ -447,15 +452,13 @@ def _s13_sql() -> str:
 
 
 def _s14(spark: SparkSession, sf: str) -> DataFrame:
-    stream = replay_table(
-        spark, sf, "events", run_staging_dir("replay"), REPLAY_CHUNKS
-    )
+    stream = shared_replay_table(spark, sf, "events", REPLAY_CHUNKS)
     mapped = stream.select(
         "event_id", "user_id",
         F.upper(F.col("event_type")).alias("event_type_upper"),
     )
     name = _fresh_name("s14_out")
-    runner.run_to_memory(mapped, name, "append")
+    runner.run_to_memory(mapped, name, "append", state_partitions=STATE_SHARDS)
     return spark.table(name)
 
 
@@ -477,7 +480,6 @@ def _s14_sql() -> str:
 
 def _s12(spark: SparkSession, sf: str) -> DataFrame:
     import datetime
-    import os
 
     from kafka_streams_learning_spark.sources.batch import load_table
     from kafka_streams_learning_spark.sources.replay import (
@@ -501,26 +503,28 @@ def _s12(spark: SparkSession, sf: str) -> DataFrame:
             "CAST(crc32(cast(event_id AS string)) % 43200 - 21600 AS INT), ts)"
         ),
     )
+    # one flush sentinel, riding the tail of the LAST replay chunk (its
+    # `_arrival` exceeds any real arrival, which is bounded by ts+6h): the
+    # final data batch pushes the watermark past every real row, and the
+    # engine's no-data micro-batch then fires the event-time timeouts that
+    # drain the reorder buffers — no trailing sentinel-only batches
+    # (sentinel ts from the source fixture's footer stats, not a rescan)
+    max_ts = staged_column_max(f"{sf}/events.parquet", "ts")
+    sent = spark.createDataFrame(
+        [(-1, -1, max_ts + datetime.timedelta(hours=14),
+          "view", max_ts + datetime.timedelta(hours=7))],
+        jittered.schema,
+    )
     staging = run_staging_dir("replay")
-    stage_replay_chunks(jittered, staging, REPLAY_CHUNKS, order_by="_arrival")
-    # two flush sentinels: the first pushes the watermark past every real
-    # row; the second gives the engine a batch that RUNS with it (timeout
-    # wakeups then drain the reorder buffers)
-    max_ts = staged_column_max(staging, "ts")
-    for i, hours in enumerate((14, 15)):
-        sent = [(-1 - i, -1, max_ts + datetime.timedelta(hours=hours),
-                 "view", max_ts + datetime.timedelta(hours=hours))]
-        spark.createDataFrame(
-            sent, jittered.schema
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(staging, f"chunk={REPLAY_CHUNKS + 1 + i:05d}")
-        )
+    stage_replay_chunks(
+        jittered.unionByName(sent), staging, REPLAY_CHUNKS, order_by="_arrival"
+    )
     stream = replay_stream(spark, staging, jittered.schema).select(
         "event_id", "user_id", "ts", "event_type"
     )
     enriched = ordered_asof_join_stream(stream, disorder="13 hours")
     name = _fresh_name("s12_out")
-    runner.run_to_memory(enriched, name, "append")
+    runner.run_to_memory(enriched, name, "append", state_partitions=STATE_SHARDS)
     return spark.table(name)
 
 

@@ -21,9 +21,13 @@ Components in MapReduce and Beyond") — each round is a bounded number of
 shuffles on (node, label) pairs, never materializing anything larger
 than the edge list.
 
-The loop stops at the first round with zero label changes (one tiny
-count action per round — at very large scale you would check every k
-rounds instead); `max_iter` only bounds a pathological input. The
+The loop stops at the first round with zero label changes. The
+convergence probe is itself a job launch, so it runs every SECOND
+round (the fixpoint is stable: if the latest transition changed
+nothing, every earlier one is irrelevant — at most one redundant
+round of work is traded for half the probe actions). `max_iter` only
+bounds a pathological input, and exhausting it without reaching the
+fixpoint raises rather than silently returning wrong group ids. The
 fixpoint is iteration-order independent, so the result is deterministic
 and oracle-checkable: the DuckDB twin is a recursive-CTE reachability
 closure (`catalog_ext._x28_sql`).
@@ -61,7 +65,8 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         # (a) propagate: every node takes min(own label, neighbors' labels)
         nbr = e.join(
             labels.withColumnRenamed("node", "src"), "src"
@@ -81,16 +86,26 @@ def connected_components(
             .select("node", F.coalesce("jlabel", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # probe every 2nd round (and on the last) — each probe is a job
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new
+                converged = True
+                break
         labels = new
-        if changed == 0:
-            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (pointer jumping needs O(log diameter) "
+            "rounds, so this input is pathological)"
+        )
     return (
         labels.select(F.col("node").alias("node_id"), F.col("label").alias("group_id"))
         .withColumn(

@@ -32,7 +32,10 @@ import shutil
 
 from pyspark.sql import DataFrame
 
-_GEN_RE = re.compile(r"^gen-(\d{5})$")
+# Accepts any digit count (writes are zero-padded to 5 for sort display,
+# but generation 100000 formats as 6 digits and must still match so
+# numbering and reclamation survive past 99999 generations).
+_GEN_RE = re.compile(r"^gen-(\d+)$")
 
 
 def materialized(df: DataFrame, tag: str | None = None) -> DataFrame:

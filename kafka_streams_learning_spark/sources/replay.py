@@ -44,32 +44,44 @@ def run_staging_dir(prefix: str = "stage") -> str:
 
 def run_named_dir(name: str) -> str:
     """Stable per-name directory under the run root: repeated calls with
-    the same name return the same path, so a query re-materializing the
-    same intermediate OVERWRITES its previous files instead of
-    accumulating one dir per call — long sessions running the catalog many
-    times stay disk-bounded. (Overwriting invalidates any still-lazy
-    DataFrame handle from the previous call with the same name; that is
-    the intended reuse semantics — one live copy per name.)"""
+    the same name return the same path. Callers manage the contents under
+    that stable path — `materialized(tag=...)` writes `gen-NNNNN`
+    subdirectories and deletes the previous generation only after the new
+    write commits, so long sessions running the catalog many times stay
+    disk-bounded with one live generation per tag. (A still-lazy DataFrame
+    handle from an earlier call with the same tag fails loudly on its next
+    action instead of silently reading newer data.)"""
     path = os.path.join(_run_root(), name)
     os.makedirs(path, exist_ok=True)
     return path
 
 
 def staged_column_max(staging_dir: str, column: str):
-    """Max of `column` across staged chunk files, read from parquet footer
-    statistics only — no Spark job, no data scan. This is the metadata-level
-    answer a lakehouse table would serve from its stats; at 100 TB it reads
-    O(files) footers instead of re-scanning the table (replaces the
-    full-scan `agg(max).collect()` the s07 flush sentinel used to do).
+    """Max of `column` across staged chunk files (or one fixture file),
+    read from parquet footer statistics only — no Spark job, no data scan.
+    This is the metadata-level answer a lakehouse table would serve from
+    its stats; at 100 TB it reads O(files) footers instead of re-scanning
+    the table (replaces the full-scan `agg(max).collect()` the s07 flush
+    sentinel used to do). `staging_dir` may be a directory tree of chunk
+    files or a single .parquet file path.
 
     Only numeric/temporal physical types are accepted: parquet
     BYTE_ARRAY (string/binary) stats may be TRUNCATED bounds, so their
     `max` can exceed every real row — the writer's pyarrow predates
-    `is_max_value_exact`, so exactness is guaranteed by type instead."""
+    `is_max_value_exact`, so exactness is guaranteed by type instead.
+    Nanosecond-timestamp columns surface as raw int64 stats in some
+    pyarrow versions; those are normalized to (micros-truncated)
+    datetimes so callers always see a comparable timestamp."""
+    import datetime as _dt
+
     import pyarrow.parquet as pq
 
+    if os.path.isfile(staging_dir):
+        walk = [(os.path.dirname(staging_dir), (), (os.path.basename(staging_dir),))]
+    else:
+        walk = os.walk(staging_dir)
     best = None
-    for dirpath, _dirs, files in os.walk(staging_dir):
+    for dirpath, _dirs, files in walk:
         for fn in sorted(files):
             if not fn.endswith(".parquet"):
                 continue
@@ -88,8 +100,17 @@ def staged_column_max(staging_dir: str, column: str):
                         "string/binary stats may be truncated bounds, not exact "
                         "maxima — use a numeric/timestamp column"
                     )
-                if best is None or stats.max > best:
-                    best = stats.max
+                val = stats.max
+                if isinstance(val, int):
+                    # raw int64 stats for a timestamp column (ns fixtures)
+                    unit = getattr(pf.schema_arrow.field(column).type, "unit", None)
+                    div = {"ns": 1_000_000_000, "us": 1_000_000, "ms": 1_000}.get(unit)
+                    if div is not None:
+                        val = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                            microseconds=val * 1_000_000 // div
+                        )
+                if best is None or val > best:
+                    best = val
     if best is None:
         raise ValueError(f"no footer statistics for column {column!r} in {staging_dir}")
     return best
@@ -219,3 +240,42 @@ def replay_table(
     df = load_table(spark, sf_dir, name)
     stage_replay_chunks(df, staging_dir, chunks, order_by)
     return replay_stream(spark, staging_dir, df.schema)
+
+
+_SHARED_STAGED: dict[tuple, str] = {}
+
+
+def shared_replay_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    chunks: int = 4,
+    order_by: str = "ts",
+    columns: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """`replay_table`, but the staged chunks are cached per
+    (sf_dir, table, chunks, order_by) for the life of the process.
+
+    Staging is a global sort plus one parquet write per chunk — the most
+    expensive part of replaying a small fixture — and the staged files are
+    immutable once written (queries that append flush-sentinel chunks use
+    a PRIVATE `replay_table` staging instead). Each query still gets its
+    own checkpoint dir, so the file-source offsets never collide; only the
+    input files are reused. A catalog/bench run that replays `events` for
+    six different streaming queries pays the sort once.
+
+    `columns` projects the staged files to just those columns (must
+    include `order_by`): a wide fact replayed by a query that reads four
+    of sixteen columns should not sort and write the other twelve —
+    column pruning applied at the staging boundary, the same reason a
+    lakehouse scan prunes at the reader."""
+    df = load_table(spark, sf_dir, name)
+    if columns is not None:
+        df = df.select(*columns)
+    key = (os.path.abspath(sf_dir), name, chunks, order_by, columns)
+    path = _SHARED_STAGED.get(key)
+    if path is None or not os.path.isdir(path):
+        path = run_staging_dir("replay")
+        stage_replay_chunks(df, path, chunks, order_by)
+        _SHARED_STAGED[key] = path
+    return replay_stream(spark, path, df.schema)

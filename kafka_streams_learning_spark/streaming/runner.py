@@ -24,7 +24,9 @@ def _checkpoint() -> str:
     return run_staging_dir("ckpt")
 
 
-def _ensure_state_parallelism(spark: SparkSession) -> None:
+def _ensure_state_parallelism(
+    spark: SparkSession, state_partitions: int | None = None
+) -> None:
     """Size stateful-stream parallelism to the cluster, not Spark's static
     default. `spark.sql.shuffle.partitions` fixes the state-store partition
     count at first checkpoint, and AQE does NOT coalesce stateful streaming
@@ -42,11 +44,22 @@ def _ensure_state_parallelism(spark: SparkSession) -> None:
     runtime `spark.conf.set(..., "200")` is indistinguishable from the
     default. Both are overridden WITH a warning log; to pin a deliberate
     200 in such a session, set `ksl.state.partitions=200` (checked first,
-    always wins) or any non-200 value via `spark.conf.set`."""
+    always wins) or any non-200 value via `spark.conf.set`.
+
+    `state_partitions` is the CALLER's sizing (a query that knows its
+    state volume): shard count is a state-size decision as much as a
+    parallelism one — every shard is a live state-store instance (a
+    RocksDB open + commit per micro-batch), so over-sharding small state
+    buys pure fixed cost. Target ~10-100 MB of state per shard, floored
+    at enough shards to spread hot keys. A user pin via
+    `ksl.state.partitions` still beats it."""
     key = "spark.sql.shuffle.partitions"
     pinned = spark.conf.get("ksl.state.partitions", None)
     if pinned is not None:
         spark.conf.set(key, pinned)  # explicit engine-level opt-out
+        return
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
         return
     if spark.sparkContext.getConf().contains(key):
         return  # explicitly configured at session build — respect it
@@ -67,10 +80,11 @@ def run_to_memory(
     name: str,
     output_mode: str = "update",
     checkpoint: str | None = None,
+    state_partitions: int | None = None,
 ) -> None:
     """Run a streaming DataFrame to completion into an in-memory table
     named `name`; query it afterwards with spark.sql/spark.table."""
-    _ensure_state_parallelism(df.sparkSession)
+    _ensure_state_parallelism(df.sparkSession, state_partitions)
     q = (
         df.writeStream.outputMode(output_mode)
         .format("memory")

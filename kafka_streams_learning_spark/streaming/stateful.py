@@ -34,36 +34,39 @@ def _alert_fn(threshold: float, alert_after: int):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         cnt = state.get[0] if state.exists else 0
-        out_rows = []
         # a key's micro-batch may span multiple Arrow chunks; concatenate
         # BEFORE sorting (per-chunk sorts would interleave out of order),
         # then order by ts/id — the streaming analogue of the batch
-        # oracle's ORDER BY
+        # oracle's ORDER BY. The counter is a pure running count over the
+        # qualifying rows, so the walk vectorizes: threshold filter, then
+        # cumsum offset by the checkpointed count — no per-row Python.
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "record_id"]
         )
-        for row in pdf.itertuples():
-            amount = float(row.amount)
-            if amount < threshold:  # below-gate records don't count (:41-43)
-                continue
-            cnt += 1
-            if cnt > alert_after:  # strictly >, fires from the 4th (:61)
-                out_rows.append(
-                    {
-                        "key": key[0],
-                        "record_id": int(row.record_id),
-                        "amount": amount,
-                        "running_cnt": cnt,
-                        "alert": (
-                            f"High-value order streak for {key[0]}: "
-                            f"{cnt} orders >= {threshold:.0f}"
-                        ),
-                    }
-                )
+        amounts = pdf["amount"].to_numpy(dtype="float64")
+        qual = pdf[amounts >= threshold]  # below-gate records don't count (:41-43)
+        running = cnt + np.arange(1, len(qual) + 1, dtype="int64")
+        cnt += len(qual)
         state.update((cnt,))
-        if out_rows:
-            yield pd.DataFrame(out_rows)
+        fire = running > alert_after  # strictly >, fires from the 4th (:61)
+        if fire.any():
+            rc = running[fire]
+            yield pd.DataFrame(
+                {
+                    "key": key[0],
+                    "record_id": qual["record_id"].to_numpy(dtype="int64")[fire],
+                    "amount": qual["amount"].to_numpy(dtype="float64")[fire],
+                    "running_cnt": rc,
+                    "alert": (
+                        f"High-value order streak for {key[0]}: "
+                        + pd.Series(rc).astype(str)
+                        + f" orders >= {threshold:.0f}"
+                    ).to_numpy(),
+                }
+            )
 
     return fn
 
@@ -136,10 +139,13 @@ def _sliding_fn(lookback_micros: int):
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        rows = [
-            (r.ts.value // 1000, int(r.event_id), r.ts)  # pandas nanos → micros
-            for r in pdf.itertuples()
-        ]
+        rows = list(
+            zip(
+                (pdf["ts"].astype("int64") // 1000).tolist(),  # nanos → micros
+                pdf["event_id"].astype("int64").tolist(),
+                pdf["ts"].tolist(),
+            )
+        )
         buf, out_rows = _sliding_core(key[0], buf, rows, lookback_micros)
         state.update((buf,))
         if out_rows:
@@ -263,10 +269,14 @@ def _asof_fn(match_type: str):
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        rows = [
-            (r.ts.value // 1000, int(r.event_id), r.ts, r.event_type)
-            for r in pdf.itertuples()
-        ]
+        rows = list(
+            zip(
+                (pdf["ts"].astype("int64") // 1000).tolist(),  # nanos → micros
+                pdf["event_id"].astype("int64").tolist(),
+                pdf["ts"].tolist(),
+                pdf["event_type"].tolist(),
+            )
+        )
         pts, pid, out_rows = _asof_core(key[0], pts, pid, rows, match_type)
         state.update((pts, pid))
         if out_rows:
@@ -346,13 +356,12 @@ def _ordered_sliding_fn(lookback_micros: int):
             buf, pend_t, pend_id = (list(v) for v in state.get)
         else:
             buf, pend_t, pend_id = [], [], []
-        chunks = [p for p in pdfs if len(p)]  # empty on timeout invocations
-        for p in chunks:
-            for r in p.itertuples():
-                if r.event_id < 0:
-                    continue  # flush sentinel: advances the watermark only
-                pend_t.append(r.ts.value // 1000)
-                pend_id.append(int(r.event_id))
+        for p in pdfs:
+            if not len(p):
+                continue  # empty on timeout invocations
+            keep = p[p["event_id"] >= 0]  # drop flush sentinels (wm only)
+            pend_t.extend((keep["ts"].astype("int64") // 1000).tolist())
+            pend_id.extend(keep["event_id"].astype("int64").tolist())
         wm_ms = state.getCurrentWatermarkMs()
         rel, kept = _released(sorted(zip(pend_t, pend_id)), wm_ms)
         rows = [(t, i, pd.Timestamp(t * 1000)) for t, i in rel]
@@ -415,14 +424,17 @@ def _ordered_asof_fn(match_type: str):
             pend = sorted(zip(pend_t, pend_id, pend_type))
         else:
             pts, pid, pend = -1, -1, []
-        chunks = [p for p in pdfs if len(p)]  # empty on timeout invocations
-        for p in chunks:
-            for r in p.itertuples():
-                if r.event_id < 0:
-                    continue  # flush sentinel: advances the watermark only
-                pend.append(
-                    (r.ts.value // 1000, int(r.event_id), str(r.event_type))
+        for p in pdfs:
+            if not len(p):
+                continue  # empty on timeout invocations
+            keep = p[p["event_id"] >= 0]  # drop flush sentinels (wm only)
+            pend.extend(
+                zip(
+                    (keep["ts"].astype("int64") // 1000).tolist(),
+                    keep["event_id"].astype("int64").tolist(),
+                    keep["event_type"].astype(str).tolist(),
                 )
+            )
         wm_ms = state.getCurrentWatermarkMs()
         rel, kept = _released(sorted(pend), wm_ms)
         rows = [(t, i, pd.Timestamp(t * 1000), e) for t, i, e in rel]
