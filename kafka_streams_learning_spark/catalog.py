@@ -156,7 +156,10 @@ FROM orders o JOIN lineitem l
  AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
 """
 
-# Q7 — stream-table enrichment join (`StreamTableJoinExample.java:151-155`, J1)
+# Q7 — stream-table enrichment join (`StreamTableJoinExample.java:151-155`, J1).
+# Broadcast arm here (the fixture dim is small); the over-budget-dimension
+# fallback is enrich_join(dim_bucketed=True) over co-bucketed layouts —
+# zero Exchange on the fact side, plan-pinned in tests/test_bucketing.py.
 
 
 def _q07(spark: SparkSession, sf: str) -> DataFrame:

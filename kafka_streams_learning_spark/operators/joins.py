@@ -41,11 +41,24 @@ def enrich_join(
     on: str | list[str],
     how: str = "inner",
     broadcast_dim: bool = True,
+    dim_bucketed: bool = False,
 ) -> DataFrame:
     """Stream-table enrichment join. Inner by default (no match → drop,
     `StreamTableJoinExample.java:149`). The dimension is broadcast when
     small — at 100 TB of facts a broadcast dim means zero shuffle of the
-    fact table, which is the entire game."""
+    fact table, which is the entire game.
+
+    When the dimension outgrows the broadcast budget (a billion-row
+    customer table is not a broadcast candidate), pass
+    `dim_bucketed=True` with BOTH sides read from co-bucketed layouts
+    (`operators/bucketing.py` — same key, same bucket count): the join is
+    hinted to sort-merge, which reuses the layouts' hash distribution, so
+    the plan carries ZERO Exchange on the fact side (pinned by
+    tests/test_bucketing.py). That is the batch equivalent of the
+    reference keying both sides through the same repartition topic —
+    pay the shuffle once at write time, never per query."""
+    if dim_bucketed:
+        return facts.join(dim.hint("merge"), on=on, how=how)
     d = broadcast(dim) if broadcast_dim else dim
     return facts.join(d, on=on, how=how)
 

@@ -3,16 +3,26 @@
 Kafka Streams' ``SlidingWindows`` anchors a window at *every event's*
 timestamp (`windows/sliding_windows/CreditCardTransactions.java:13-60`);
 Spark's built-in `window()` is wall-aligned, so this is a genuine custom
-operator. Batch/exact form: a per-key range self-join —
+operator. Exact form: a time-RANGE window frame —
 
-    count(e2 : e2.key = e1.key AND e1.ts - Δ ≤ e2.ts ≤ e1.ts)
+    count(*) OVER (PARTITION BY key ORDER BY ts
+                   RANGE BETWEEN INTERVAL Δ PRECEDING AND CURRENT ROW)
 
-which is precisely "how many events for this key in the Δ window ending at
-this event". The self-join is an equi-join on the key with a range
-post-filter, so it hash-partitions once on the key; per-key density × Δ
-bounds the join fan-out, and AQE's skew handling splits hot keys. A
-low-latency streaming variant (per-key ordered buffer in
-transformWithStateInPandas) lives in `streaming/stateful.py`.
+which is precisely "how many events for this key in the Δ window ending
+at this event", computed in ONE hash shuffle on the key plus a per-key
+sort — no join, no intermediate fan-out. The previous form (a per-key
+range self-join + re-aggregation) was equivalent but materialized one
+row per (event, window-member) pair before the count: a key holding p
+events in a window produced O(p²) join rows, which no amount of AQE skew
+splitting un-computes — and the post-join aggregation pinned the join's
+partitioning, so the skew rewrite was inhibited anyway (verified on a
+hot-key plan). The window frame is linear per key: a 20%-hot key at
+100 TB costs one big sorted scan, not a quadratic blow-up. RANGE frames
+include the current row's full tie group on both ends, matching the
+reference's window-contains-both-events semantics — every member of an
+equal-timestamp run counts the whole run, exactly the batch oracle's
+symmetric tie handling. A low-latency streaming variant (per-key ordered
+buffer in applyInPandasWithState) lives in `streaming/stateful.py`.
 """
 
 from __future__ import annotations
@@ -36,14 +46,8 @@ def sliding_count(
     in the output (default: key + ts)."""
     if id_cols is None:
         id_cols = [key, ts_col]
-    anchor = df.alias("a")
-    other = df.select(key, ts_col).alias("b")
-    cond = (
-        (F.col(f"a.{key}") == F.col(f"b.{key}"))
-        & (F.col(f"b.{ts_col}") >= F.col(f"a.{ts_col}") - F.expr(f"INTERVAL {lookback}"))
-        & (F.col(f"b.{ts_col}") <= F.col(f"a.{ts_col}"))
+    cnt = F.expr(
+        f"count(1) OVER (PARTITION BY {key} ORDER BY {ts_col} "
+        f"RANGE BETWEEN INTERVAL {lookback} PRECEDING AND CURRENT ROW)"
     )
-    joined = anchor.join(other, cond, "inner")
-    return joined.groupBy(*[F.col(f"a.{c}") for c in id_cols]).agg(
-        F.count(F.lit(1)).alias(count_name)
-    )
+    return df.select(*id_cols, cnt.alias(count_name))

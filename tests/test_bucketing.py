@@ -104,3 +104,22 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
     pc = load_table(spark, SF_DIR, "customer")
     want = po.join(pc, po.o_custkey == pc.c_custkey).count()
     assert got == want and got > 0
+
+
+def test_enrich_join_bucketed_fallback_no_exchange(spark, bucketed_tables):
+    # the non-broadcast arm of the enrichment join: a dimension too big
+    # to broadcast, co-bucketed with the facts, must sort-merge join with
+    # zero Exchange on the fact side — the 100 TB fallback path
+    from kafka_streams_learning_spark.operators import joins
+
+    orders, customer = bucketed_tables
+    o = bucketing.read_bucketed(spark, orders).withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    c = bucketing.read_bucketed(spark, customer).withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    j = joins.enrich_join(o, c, on="custkey", dim_bucketed=True)
+    plan = E.formatted_plan(j)
+    assert "SortMergeJoin" in plan
+    assert E.exchange_count(j) == 0, plan

@@ -88,11 +88,17 @@ def test_ivf_broadcasts_centroids_and_probes(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_sliding_join_is_equi_keyed(spark):
-    # the range self-join must hash on the key with the range as a
-    # post-condition — a pure range join would be quadratic per partition
-    plan = E.formatted_plan(_df(spark, "q05_sliding_count"))
-    assert "Join" in plan and not E.has_cartesian(_df(spark, "q05_sliding_count"))
+def test_sliding_count_is_join_free_single_exchange(spark):
+    # the event-anchored sliding count must be a RANGE-frame window agg:
+    # one hash exchange on the key, a per-key sort, NO join node. The
+    # former range self-join materialized O(p²) pairs per p-event window
+    # — quadratic on hot keys, and its post-join agg pinned the join
+    # partitioning so AQE's skew rewrite could not even fire. The window
+    # form is linear per key regardless of skew; this test pins that.
+    df = _df(spark, "q05_sliding_count")
+    plan = E.formatted_plan(df)
+    assert "Window" in plan and "Join" not in plan
+    assert E.exchange_count(df) == 1
     assert "user_id" in plan
 
 

@@ -579,3 +579,31 @@ def test_checkpoint_recovery_quantile_state(spark, tmpdir):
         "a": (4, 10.0, 40.0, 25.0),
         "b": (1, 5.0, 5.0, 5.0),
     }
+
+
+def test_fraud_alerts_tws_capability_probe(spark, tmpdir):
+    """§7.5: the `transformWithStateInPandas` successor arm, gated on a
+    runtime capability probe (the same pattern as the Kafka broker gate).
+    With protobuf on the Python workers the arm must run end-to-end and
+    emit exactly what the shipped `applyInPandasWithState` arm emits;
+    without it (this sandbox has no protobuf and installs are
+    unavailable), the documented hard gate must fire loudly at
+    construction — never silently degrade to the other arm."""
+    base = ts("2024-01-01T00:00:00")
+    mk = lambda i, amt: ("c1", i, amt, base + dt.timedelta(minutes=i))
+    chunks = [
+        [mk(1, 600.0), mk(2, 700.0)],
+        [mk(3, 100.0), mk(4, 800.0)],
+        [mk(5, 900.0), mk(6, 950.0)],
+    ]
+    stage_explicit_chunks(spark, chunks, EVENTS_SCHEMA, tmpdir)
+    stream = replay_stream(spark, tmpdir, EVENTS_SCHEMA)
+    if not stateful._has_protobuf():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful.fraud_alert_stream_tws(stream, "key", threshold=500.0)
+        return
+    alerts = stateful.fraud_alert_stream_tws(stream, "key", threshold=500.0)
+    batches = runner.run_collect_batches(alerts, "append")
+    flat = [(r.record_id, r.running_cnt) for b in batches for r in b]
+    assert flat == [(5, 4), (6, 5)]
+    assert all("High-value order streak" in r.alert for b in batches for r in b)
