@@ -446,11 +446,14 @@ REFERENCE_QUERIES: list[QuerySpec] = [
 # at 47 and 50 entries), so ordering is risk-first: the 15 reference
 # queries, then ALL 14 streaming queries (the most semantically loaded and
 # the newest — they must never fall past the cap again), then the
-# extension queries with the stateful/sketch/join family first. The tail
-# holds the cheapest pure-expression extension rows (single-scan codegen
-# text/metadata passes, stable and locally oracle-checked since round 2)
-# — the least information lost if the gate caps before them.
+# extension queries with anything NEW or CHANGED this round plus the
+# stateful/sketch/join family first. The tail holds the most stable
+# extension rows (pure-expression passes and the multimodal fake-codec
+# pair, all driver-verified in earlier rounds and locally oracle-checked
+# every round) — the least information lost if the gate caps before them.
 _TAIL_STABLE = [
+    "x27_frame_sampling",
+    "x29_resize_plan",
     "x01_text_stats",
     "x02_lang_id",
     "x03_fingerprint",

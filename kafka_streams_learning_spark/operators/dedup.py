@@ -187,3 +187,54 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         )
     value = F.when(n == 0, F.lit(0).cast("long")).otherwise(sum(bit_terms[1:], bit_terms[0]))
     return hashed.select(F.col(id_col), value.alias("simhash"))
+
+
+def contamination_hits(
+    df: DataFrame,
+    bench_mod: int = 97,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    k-word shingle with the benchmark set. Documents with
+    id % bench_mod == 0 stand in for the eval suite here (in production
+    the benchmark side is its own small table); output is one row per
+    contaminated non-benchmark document:
+    (doc_id, n_hits, n_shingles, contamination_ratio).
+
+    Scale shape: an eval suite is KB-MB, not TB, so its distinct shingle
+    set is BROADCAST; the corpus side deduplicates shingles per document
+    with `array_distinct` BEFORE exploding (per-row, no corpus-wide
+    distinct shuffle) and carries its own shingle count through the
+    explode, so the only exchange in the whole plan is the per-document
+    aggregation over the (small) hit set. Never an all-pairs comparison,
+    never a full-corpus shuffle."""
+    # stage the shingle array behind an alias before fanning it out to
+    # size() + explode(): referencing one non-cheap alias twice keeps the
+    # shingling chain planned once per DOCUMENT — inlining it into both
+    # references would re-run tokenize+shingle+distinct per posting ROW
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    posts = base.select(
+        "id",
+        F.size("_sh").alias("n_shingles"),
+        F.explode("_sh").alias("shingle"),
+    )
+    bench = (
+        posts.filter((F.col("id") % bench_mod) == 0).select("shingle").distinct()
+    )
+    corpus = posts.filter((F.col("id") % bench_mod) != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_hits",
+            "n_shingles",
+            (F.col("n_hits") / F.col("n_shingles")).alias("contamination_ratio"),
+        )
+    )

@@ -142,3 +142,45 @@ def token_topk(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     tok = df.select(F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(k)
+
+
+def repetition_stats(
+    df: DataFrame,
+    k: int = 2,
+    threshold: float = 0.10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document repetition score: the fraction of duplicate k-word
+    shingles inside each document — the Gopher/MassiveText-style
+    repetition quality gate (heavily self-repeating documents are dropped
+    or down-weighted before pretraining).
+
+    Zero-shuffle by construction: the shingle array, its distinct form,
+    and the ratio are per-row expressions on a single scan, so at 100 TB
+    this runs at full scan speed with no exchange — the cheapest quality
+    signal in the pipeline. The reference has no corpus-quality operators;
+    this extends its text surface (SURVEY §2.9) for training-data work.
+    """
+    # staged projections, not one big select: each stage references the
+    # previous alias, so the expensive expression (the shingle array /
+    # its distinct size) is planned ONCE — inlining them into a single
+    # select would embed a full copy of the shingling chain per
+    # referencing column (Catalyst's CollapseProject keeps non-cheap
+    # multiply-referenced aliases staged, which is exactly what we want)
+    base = df.select(
+        F.col(id_col), T.word_shingles(F.col(text_col), k).alias("_sh")
+    )
+    sized = base.select(
+        F.col(id_col),
+        F.size("_sh").alias("n_shingles"),
+        F.size(F.array_distinct("_sh")).alias("n_distinct"),
+    )
+    ratio = (F.col("n_shingles") - F.col("n_distinct")) / F.col("n_shingles")
+    return sized.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_distinct",
+        ratio.alias("dup_ratio"),
+        (ratio > F.lit(threshold)).alias("is_repetitive"),
+    )

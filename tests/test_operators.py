@@ -466,3 +466,38 @@ def test_connected_components_chains_stars_and_determinism(spark):
     assert {r.group_id for r in out} == {0}
     assert sum(r.is_canonical for r in out) == 1
     assert all(r.group_size == 65 for r in out)
+
+
+def test_repetition_stats_both_branches(spark):
+    # Gopher-style repetition gate: a self-repeating doc trips the flag,
+    # a distinct-shingle doc does not (and ratio is exact)
+    from kafka_streams_learning_spark.operators import textops
+
+    rows = [(1, "a b a b a b a b"), (2, "one two three four five")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in textops.repetition_stats(df, k=2, threshold=0.10).collect()
+    }
+    # doc 1: 7 bigram shingles, 2 distinct -> ratio 5/7
+    assert got[1].n_shingles == 7 and got[1].n_distinct == 2
+    assert abs(got[1].dup_ratio - 5 / 7) < 1e-12 and got[1].is_repetitive
+    assert got[2].n_shingles == got[2].n_distinct and not got[2].is_repetitive
+
+
+def test_contamination_hits_flags_overlap_only(spark):
+    # decontamination: only non-benchmark docs sharing a k-shingle with a
+    # benchmark doc (id % mod == 0) are flagged, with exact hit counts
+    from kafka_streams_learning_spark.operators import dedup
+
+    rows = [
+        (0, "alpha beta gamma delta"),        # benchmark member
+        (1, "alpha beta gamma zeta"),         # overlaps "alpha beta gamma"
+        (2, "totally different words here"),  # clean
+        (194, "unrelated bench text"),        # benchmark member (194 % 97 == 0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.contamination_hits(df, 97, 3).collect()}
+    assert set(got) == {1}
+    assert got[1].n_hits == 1 and got[1].n_shingles == 2
+    assert abs(got[1].contamination_ratio - 0.5) < 1e-12

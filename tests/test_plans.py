@@ -175,3 +175,20 @@ def test_staging_snap_uses_single_sort_exchange(spark):
 
     ranked = ranked_chunks(load_table(spark, SF_DIR, "events"), 4, "ts")
     assert E.exchange_count(ranked) == 1
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    # the repetition quality gate must be a pure per-row scan: zero
+    # exchanges — at 100 TB it runs at scan speed
+    assert E.exchange_count(_df(spark, "x30_repetition_stats")) == 0
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    # the benchmark shingle set is broadcast; the corpus side never
+    # all-pairs-joins and never shuffles for candidate detection (the
+    # only exchanges are the tiny bench distinct + the hit-set agg)
+    df = _df(spark, "x31_decontamination")
+    plan = E.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert not E.has_cartesian(df)
+    assert E.exchange_count(df) <= 2
