@@ -268,3 +268,55 @@ def test_connected_components_matches_union_find(spark, raw_edges):
         for r in connected_components(df, "a", "b").collect()
     }
     assert got == want
+
+
+def _py_shingles(text: str, k: int) -> list[str]:
+    """Python model of word_shingles: normalized k-word shingles (all
+    tokens as one shingle when fewer than/equal to k tokens)."""
+    toks = [t for t in " ".join(text.lower().split()).split(" ") if t]
+    if len(toks) <= k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+_DOC = st.text(
+    st.sampled_from("ab c d "),  # tiny alphabet forces shingle collisions
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_DOC, min_size=1, max_size=8))
+def test_repetition_stats_matches_python_model(spark, docs):
+    from kafka_streams_learning_spark.operators.textops import repetition_stats
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df, k=2, threshold=0.10).collect()}
+    for i, d in rows:
+        sh = _py_shingles(d, 2)
+        assert got[i].n_shingles == len(sh), (d, sh)
+        assert got[i].n_distinct == len(set(sh)), (d, sh)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_DOC, min_size=2, max_size=8))
+def test_contamination_hits_matches_python_model(spark, docs):
+    from kafka_streams_learning_spark.operators.dedup import contamination_hits
+
+    mod, k = 2, 2  # every even id is a "benchmark" doc
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in contamination_hits(df, mod, k).collect()}
+    bench = set().union(*[set(_py_shingles(d, k)) for i, d in rows if i % mod == 0])
+    for i, d in rows:
+        if i % mod == 0:
+            assert i not in got  # benchmark members are never flagged
+            continue
+        mine = set(_py_shingles(d, k))
+        hits = len(mine & bench)
+        if hits == 0:
+            assert i not in got, d
+        else:
+            assert got[i].n_hits == hits and got[i].n_shingles == len(mine), d

@@ -127,3 +127,31 @@ def test_materialized_round_trip_and_tag_reuse(spark):
     # untagged calls get fresh dirs
     u1, u2 = materialized(df), materialized(df)
     assert u1.inputFiles()[0] != u2.inputFiles()[0]
+
+
+def test_shared_replay_table_caches_per_key(spark):
+    """Shared replay staging is cached by (sf_dir, table, chunks, order,
+    columns): same key reuses the staged files (one global sort per
+    process), a different column projection stages separately, and the
+    projected staging carries only the requested columns."""
+    from kafka_streams_learning_spark.sources.replay import (
+        _SHARED_STAGED,
+        shared_replay_table,
+    )
+    from .conftest import SF_DIR
+
+    before = dict(_SHARED_STAGED)
+    try:
+        s1 = shared_replay_table(spark, SF_DIR, "events", 2)
+        key_count_1 = len(_SHARED_STAGED)
+        s2 = shared_replay_table(spark, SF_DIR, "events", 2)
+        assert len(_SHARED_STAGED) == key_count_1  # cache hit, no new staging
+        assert s1.schema == s2.schema
+        s3 = shared_replay_table(
+            spark, SF_DIR, "events", 2, columns=("user_id", "ts")
+        )
+        assert len(_SHARED_STAGED) == key_count_1 + 1  # distinct key
+        assert set(s3.schema.names) == {"user_id", "ts"}
+    finally:
+        _SHARED_STAGED.clear()
+        _SHARED_STAGED.update(before)
