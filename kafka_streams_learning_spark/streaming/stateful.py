@@ -519,33 +519,35 @@ def fraud_alert_stream_tws(
             self.count = handle.getValueState("qualifying_count", _STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
             cnt = self.count.get()[0] if self.count.exists() else 0
-            out_rows = []
-            # concat before sorting — a key's batch may span Arrow chunks
-            batch = pd.concat(list(rows), ignore_index=True)
-            for pdf in [batch]:
-                pdf = pdf.sort_values(["ts", "record_id"])
-                for row in pdf.itertuples():
-                    amount = float(row.amount)
-                    if amount < threshold_:
-                        continue
-                    cnt += 1
-                    if cnt > alert_after_:
-                        out_rows.append(
-                            {
-                                "key": key[0],
-                                "record_id": int(row.record_id),
-                                "amount": amount,
-                                "running_cnt": cnt,
-                                "alert": (
-                                    f"High-value order streak for {key[0]}: "
-                                    f"{cnt} orders >= {threshold_:.0f}"
-                                ),
-                            }
-                        )
+            # concat before sorting — a key's batch may span Arrow chunks;
+            # then the same vectorized filter+cumsum walk as _alert_fn
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+                ["ts", "record_id"]
+            )
+            amounts = pdf["amount"].to_numpy(dtype="float64")
+            qual = pdf[amounts >= threshold_]
+            running = cnt + np.arange(1, len(qual) + 1, dtype="int64")
+            cnt += len(qual)
             self.count.update((cnt,))
-            if out_rows:
-                yield pd.DataFrame(out_rows)
+            fire = running > alert_after_
+            if fire.any():
+                rc = running[fire]
+                yield pd.DataFrame(
+                    {
+                        "key": key[0],
+                        "record_id": qual["record_id"].to_numpy(dtype="int64")[fire],
+                        "amount": qual["amount"].to_numpy(dtype="float64")[fire],
+                        "running_cnt": rc,
+                        "alert": (
+                            f"High-value order streak for {key[0]}: "
+                            + pd.Series(rc).astype(str)
+                            + f" orders >= {threshold_:.0f}"
+                        ).to_numpy(),
+                    }
+                )
 
         def close(self) -> None:
             pass
