@@ -46,13 +46,21 @@ TOPK_TOKENS = 20
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _TOKS_RAW = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
 _TOKS_NORM = rf"list_filter(string_split_regex({_NORM}, '\s+'), x -> x != '')"
-# k-word shingles of the normalized tokens (k=3), matching word_shingles():
-_SHINGLES = f"""
-  CASE WHEN len(toks) <= {JACCARD_K} THEN [array_to_string(toks, ' ')]
-       ELSE list_transform(generate_series(1, len(toks) - {JACCARD_K - 1}),
-                           j -> array_to_string(list_slice(toks, j, j + {JACCARD_K - 1}), ' '))
+
+
+def _shingles_sql(k: int) -> str:
+    """k-word shingles of the normalized tokens, matching word_shingles()
+    exactly (single all-token shingle when len(toks) <= k) — the ONE
+    source of the oracle-side shingle SQL for every shingle consumer."""
+    return f"""
+  CASE WHEN len(toks) <= {k} THEN [array_to_string(toks, ' ')]
+       ELSE list_transform(generate_series(1, len(toks) - {k - 1}),
+                           j -> array_to_string(list_slice(toks, j, j + {k - 1}), ' '))
   END
 """
+
+
+_SHINGLES = _shingles_sql(JACCARD_K)
 
 
 # ---------------------------------------------------------------------------
@@ -1057,16 +1065,6 @@ def _x30(spark: SparkSession, sf: str) -> DataFrame:
     return textops.repetition_stats(
         load_table(spark, sf, "documents"), REP_K, REP_THRESHOLD
     )
-
-
-def _shingles_sql(k: int) -> str:
-    """k-parameterized twin of _SHINGLES (mirror of word_shingles)."""
-    return f"""
-  CASE WHEN len(toks) <= {k} THEN [array_to_string(toks, ' ')]
-       ELSE list_transform(generate_series(1, len(toks) - {k - 1}),
-                           j -> array_to_string(list_slice(toks, j, j + {k - 1}), ' '))
-  END
-"""
 
 
 def _x30_sql() -> str:

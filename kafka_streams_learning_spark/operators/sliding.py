@@ -42,12 +42,19 @@ def sliding_count(
     """For each input row, count rows of the same key with
     ts ∈ [row.ts - lookback, row.ts] (inclusive both ends, matching the
     reference's window-contains-both-events semantics,
-    `CreditCardTransactions.java:24-54`). `id_cols` identify the anchor row
-    in the output (default: key + ts)."""
+    `CreditCardTransactions.java:24-54`). `id_cols` identify the anchor
+    row in the output (default: key + ts); rows sharing identical
+    `id_cols` values each emit their own (identical) row — the "for each
+    input row" contract — so pass a unique id when one exists.
+
+    NULL-key rows are dropped, matching both Kafka Streams (groupByKey
+    discards null keys) and the previous self-join form (NULL never
+    equals NULL) — without the filter, PARTITION BY would lump all
+    NULL-key rows into one phantom group."""
     if id_cols is None:
         id_cols = [key, ts_col]
     cnt = F.expr(
         f"count(1) OVER (PARTITION BY {key} ORDER BY {ts_col} "
         f"RANGE BETWEEN INTERVAL {lookback} PRECEDING AND CURRENT ROW)"
     )
-    return df.select(*id_cols, cnt.alias(count_name))
+    return df.filter(F.col(key).isNotNull()).select(*id_cols, cnt.alias(count_name))

@@ -30,43 +30,54 @@ ALERT_OUTPUT_SCHEMA = (
 _STATE_SCHEMA = "cnt long"
 
 
+def _alert_walk(
+    key_val, cnt: int, pdf: pd.DataFrame, threshold: float, alert_after: int
+) -> tuple[int, pd.DataFrame | None]:
+    """The alert walk shared by BOTH stateful-API arms
+    (`applyInPandasWithState` and `transformWithStateInPandas`), so the
+    arms cannot drift. A key's micro-batch is sorted by ts/id — the
+    streaming analogue of the batch oracle's ORDER BY. The counter is a
+    pure running count over qualifying rows, so the walk vectorizes:
+    threshold filter, then cumsum offset by the checkpointed count — no
+    per-row Python. Returns (new_count, alert frame or None)."""
+    import numpy as np
+
+    pdf = pdf.sort_values(["ts", "record_id"])
+    amounts = pdf["amount"].to_numpy(dtype="float64")
+    qual = pdf[amounts >= threshold]  # below-gate records don't count (:41-43)
+    running = cnt + np.arange(1, len(qual) + 1, dtype="int64")
+    cnt += len(qual)
+    fire = running > alert_after  # strictly >, fires from the 4th (:61)
+    if not fire.any():
+        return cnt, None
+    rc = running[fire]
+    return cnt, pd.DataFrame(
+        {
+            "key": key_val,
+            "record_id": qual["record_id"].to_numpy(dtype="int64")[fire],
+            "amount": qual["amount"].to_numpy(dtype="float64")[fire],
+            "running_cnt": rc,
+            "alert": (
+                f"High-value order streak for {key_val}: "
+                + pd.Series(rc).astype(str)
+                + f" orders >= {threshold:.0f}"
+            ).to_numpy(),
+        }
+    )
+
+
 def _alert_fn(threshold: float, alert_after: int):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         cnt = state.get[0] if state.exists else 0
-        # a key's micro-batch may span multiple Arrow chunks; concatenate
-        # BEFORE sorting (per-chunk sorts would interleave out of order),
-        # then order by ts/id — the streaming analogue of the batch
-        # oracle's ORDER BY. The counter is a pure running count over the
-        # qualifying rows, so the walk vectorizes: threshold filter, then
-        # cumsum offset by the checkpointed count — no per-row Python.
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts", "record_id"]
-        )
-        amounts = pdf["amount"].to_numpy(dtype="float64")
-        qual = pdf[amounts >= threshold]  # below-gate records don't count (:41-43)
-        running = cnt + np.arange(1, len(qual) + 1, dtype="int64")
-        cnt += len(qual)
+        # concat chunks BEFORE sorting — a key's micro-batch may span
+        # multiple Arrow chunks (per-chunk sorts would interleave)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        cnt, out = _alert_walk(key[0], cnt, pdf, threshold, alert_after)
         state.update((cnt,))
-        fire = running > alert_after  # strictly >, fires from the 4th (:61)
-        if fire.any():
-            rc = running[fire]
-            yield pd.DataFrame(
-                {
-                    "key": key[0],
-                    "record_id": qual["record_id"].to_numpy(dtype="int64")[fire],
-                    "amount": qual["amount"].to_numpy(dtype="float64")[fire],
-                    "running_cnt": rc,
-                    "alert": (
-                        f"High-value order streak for {key[0]}: "
-                        + pd.Series(rc).astype(str)
-                        + f" orders >= {threshold:.0f}"
-                    ).to_numpy(),
-                }
-            )
+        if out is not None:
+            yield out
 
     return fn
 
@@ -519,35 +530,13 @@ def fraud_alert_stream_tws(
             self.count = handle.getValueState("qualifying_count", _STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
-            import numpy as np
-
             cnt = self.count.get()[0] if self.count.exists() else 0
-            # concat before sorting — a key's batch may span Arrow chunks;
-            # then the same vectorized filter+cumsum walk as _alert_fn
-            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
-                ["ts", "record_id"]
-            )
-            amounts = pdf["amount"].to_numpy(dtype="float64")
-            qual = pdf[amounts >= threshold_]
-            running = cnt + np.arange(1, len(qual) + 1, dtype="int64")
-            cnt += len(qual)
+            # the exact walk of the shipped arm — shared code, no drift
+            pdf = pd.concat(list(rows), ignore_index=True)
+            cnt, out = _alert_walk(key[0], cnt, pdf, threshold_, alert_after_)
             self.count.update((cnt,))
-            fire = running > alert_after_
-            if fire.any():
-                rc = running[fire]
-                yield pd.DataFrame(
-                    {
-                        "key": key[0],
-                        "record_id": qual["record_id"].to_numpy(dtype="int64")[fire],
-                        "amount": qual["amount"].to_numpy(dtype="float64")[fire],
-                        "running_cnt": rc,
-                        "alert": (
-                            f"High-value order streak for {key[0]}: "
-                            + pd.Series(rc).astype(str)
-                            + f" orders >= {threshold_:.0f}"
-                        ).to_numpy(),
-                    }
-                )
+            if out is not None:
+                yield out
 
         def close(self) -> None:
             pass

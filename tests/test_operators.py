@@ -501,3 +501,19 @@ def test_contamination_hits_flags_overlap_only(spark):
     assert set(got) == {1}
     assert got[1].n_hits == 1 and got[1].n_shingles == 2
     assert abs(got[1].contamination_ratio - 0.5) < 1e-12
+
+
+def test_sliding_count_drops_null_keys(spark):
+    # Kafka Streams groupByKey discards null-key records, and the former
+    # self-join form never matched NULL == NULL; the window form must not
+    # lump NULL keys into one phantom partition
+    base = ts("2024-01-01T00:00:00")
+    rows = [
+        (None, 1, base),
+        (None, 2, base + dt.timedelta(minutes=1)),
+        ("k", 3, base),
+    ]
+    df = spark.createDataFrame(rows, "key string, id int, ts timestamp")
+    out = sliding.sliding_count(df, "key", "ts", "5 minutes", ["key", "id"])
+    got = {(r.key, r.id): r.cnt for r in out.collect()}
+    assert got == {("k", 3): 1}
