@@ -106,37 +106,36 @@ _SLIDING_STATE_SCHEMA = "buf array<long>"  # event times (micros), newest window
 
 def _sliding_core(
     key, buf: list, rows: list, lookback_micros: int
-) -> tuple[list, list]:
-    """Shared run-walk for the sliding count: `rows` is a (ts, id)-sorted
-    list of (t_micros, event_id, ts) tuples, walked as equal-timestamp
-    RUNS — the batch oracle counts simultaneous events symmetrically, so
-    every event in a tie group must see the whole group in its count.
-    Returns (new window buffer, emitted row dicts)."""
-    out_rows: list = []
-    run: list = []  # rows sharing the current timestamp
-    run_t = None
+) -> tuple[list, pd.DataFrame | None]:
+    """Vectorized core of the sliding count: `rows` is a (ts, id)-sorted
+    list of (t_micros, event_id, ts) tuples. With the carried buffer
+    prepended (ordered arrival: buffer times never exceed new times), the
+    count for a row at time t is #{x : t - Δ ≤ x ≤ t} — two binary
+    searches on the sorted combined array (`searchsorted` right minus
+    left), no per-row Python walk. `side='right'` on t makes every member
+    of an equal-timestamp run see the WHOLE run — the batch oracle's
+    symmetric tie semantics; `side='left'` on t - Δ keeps the window
+    inclusive at both ends. Returns (new window buffer: times within the
+    lookback of the newest event, emitted frame or None)."""
+    if not rows:
+        return buf, None
+    import numpy as np
 
-    def _flush() -> None:
-        nonlocal buf
-        if not run:
-            return
-        lo = run_t - lookback_micros
-        # events are processed in event-time order, so everything below
-        # the run's lower bound is dead for all future events
-        buf = [b for b in buf if b >= lo]
-        buf.extend([run_t] * len(run))
-        for _t, eid, ts_ in run:
-            out_rows.append(
-                {"user_id": key, "event_id": eid, "ts": ts_, "cnt": len(buf)}
-            )
-
-    for row in rows:
-        if row[0] != run_t:
-            _flush()
-            run, run_t = [], row[0]
-        run.append(row)
-    _flush()
-    return buf, out_rows
+    t = np.fromiter((r[0] for r in rows), dtype="int64", count=len(rows))
+    all_t = np.concatenate([np.asarray(buf, dtype="int64"), t])
+    cnt = np.searchsorted(all_t, t, side="right") - np.searchsorted(
+        all_t, t - lookback_micros, side="left"
+    )
+    out = pd.DataFrame(
+        {
+            "user_id": key,
+            "event_id": [r[1] for r in rows],
+            "ts": [r[2] for r in rows],
+            "cnt": cnt,
+        }
+    )
+    new_buf = all_t[all_t >= t[-1] - lookback_micros].tolist()
+    return new_buf, out
 
 
 def _sliding_fn(lookback_micros: int):
@@ -157,10 +156,10 @@ def _sliding_fn(lookback_micros: int):
                 pdf["ts"].tolist(),
             )
         )
-        buf, out_rows = _sliding_core(key[0], buf, rows, lookback_micros)
+        buf, out = _sliding_core(key[0], buf, rows, lookback_micros)
         state.update((buf,))
-        if out_rows:
-            yield pd.DataFrame(out_rows)
+        if out is not None:
+            yield out
 
     return fn
 
@@ -376,7 +375,7 @@ def _ordered_sliding_fn(lookback_micros: int):
         wm_ms = state.getCurrentWatermarkMs()
         rel, kept = _released(sorted(zip(pend_t, pend_id)), wm_ms)
         rows = [(t, i, pd.Timestamp(t * 1000)) for t, i in rel]
-        buf, out_rows = _sliding_core(key[0], buf, rows, lookback_micros)
+        buf, out = _sliding_core(key[0], buf, rows, lookback_micros)
         state.update(
             (buf, [t for t, _ in kept], [i for _, i in kept])
         )
@@ -385,8 +384,8 @@ def _ordered_sliding_fn(lookback_micros: int):
             # oldest pending row — not on every watermark tick (that
             # would timeout-invoke EVERY buffering key EVERY batch)
             state.setTimeoutTimestamp(max(wm_ms + 1, kept[0][0] // 1000 + 1))
-        if out_rows:
-            yield pd.DataFrame(out_rows)
+        if out is not None:
+            yield out
 
     return fn
 
