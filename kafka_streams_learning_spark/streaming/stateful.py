@@ -201,72 +201,63 @@ _ASOF_STATE_SCHEMA = "pts long, pid long"
 
 def _asof_core(
     key, pts: int, pid: int, rows: list, match_type: str
-) -> tuple[int, int, list]:
-    """Shared run-walk for the as-of enrichment: `rows` is a (ts, id)-
-    sorted list of (t_micros, event_id, ts, event_type) tuples, walked as
-    equal-timestamp RUNS: every event is enriched BEFORE the run's
-    purchases fold into state, which is exactly the batch oracle's STRICT
-    inequality (p.pts < e.ts) — a purchase never enriches a same-
-    timestamp event, including itself. Returns (pts, pid, emitted row
-    dicts)."""
-    out_rows: list = []
-    run: list = []
-    run_t = None
+) -> tuple[int, int, pd.DataFrame | None]:
+    """Vectorized core of the as-of enrichment: `rows` is a (ts, id)-
+    sorted list of (t_micros, event_id, ts, event_type) tuples. The
+    batch's `match_type` rows plus the carried state purchase form one
+    (ts, id)-lexsorted purchase array; each event's match is then
+    `searchsorted(purchase_ts, t, side='left') - 1` — the last purchase
+    STRICTLY before t. `side='left'` is the oracle's strict inequality
+    (p.pts < e.ts): a purchase never enriches a same-timestamp event,
+    including itself, and a state purchase tying an event's timestamp
+    (an equal-ts run straddling a micro-batch boundary) stays invisible
+    exactly as if the run had arrived whole. The lexsort makes the last
+    array element the (ts DESC, id DESC) argmax, so the tie-on-state
+    merge (max id across batch fragments) falls out of indexing instead
+    of branch logic. Returns (pts, pid, emitted frame or None)."""
+    if not rows:
+        return pts, pid, None
+    import numpy as np
 
-    def _flush() -> None:
-        nonlocal pts, pid
-        if not run:
-            return
-        # STRICT prior only: state may hold a purchase with pts ==
-        # run_t when an equal-timestamp run straddled a micro-batch
-        # boundary (its purchases folded in the earlier batch) — that
-        # purchase must stay invisible to this run, exactly as it
-        # would have been had the run arrived in one batch
-        vis = pts >= 0 and pts < run_t
-        for _t, eid, ts_, etype in run:
-            out_rows.append(
-                {
-                    "event_id": eid,
-                    "user_id": key,
-                    "ts": ts_,
-                    "event_type": etype,
-                    "last_purchase_ts": (
-                        pd.Timestamp(pts * 1000) if vis else pd.NaT
-                    ),
-                    "last_purchase_id": pid if vis else None,
-                    "micros_since_purchase": (run_t - pts if vis else None),
-                }
-            )
-        # fold the run's purchases: event time advances monotonically,
-        # so the run's latest purchase (max id on the tie) replaces
-        # state — the oracle's (pts DESC, pid DESC) argmax. On a
-        # timestamp TIE with existing state (straddled run), MERGE:
-        # keep the max id across both batch fragments, never drop a
-        # higher already-folded purchase id
-        run_pids = [eid for _t, eid, _ts, etype in run if etype == match_type]
-        if run_pids:
-            top = max(run_pids)
-            if run_t == pts:
-                pid = max(pid, top)
-            else:
-                pts, pid = run_t, top
-
-    for row in rows:
-        if row[0] != run_t:
-            _flush()
-            run, run_t = [], row[0]
-        run.append(row)
-    _flush()
-    return pts, pid, out_rows
-
-
-def _asof_out_frame(out_rows: list) -> pd.DataFrame:
-    out = pd.DataFrame(out_rows)
-    # None-bearing int columns must stay nullable int64, not drift
-    # to float64 (Arrow would cast lossily for large ids)
-    out["last_purchase_id"] = out["last_purchase_id"].astype("Int64")
-    out["micros_since_purchase"] = out["micros_since_purchase"].astype("Int64")
-    return out
+    n = len(rows)
+    t = np.fromiter((r[0] for r in rows), "int64", n)
+    ids = np.fromiter((r[1] for r in rows), "int64", n)
+    is_p = np.fromiter((r[3] == match_type for r in rows), bool, n)
+    p_t, p_id = t[is_p], ids[is_p]
+    if pts >= 0:
+        p_t = np.concatenate([np.array([pts], "int64"), p_t])
+        p_id = np.concatenate([np.array([pid], "int64"), p_id])
+        order = np.lexsort((p_id, p_t))
+        p_t, p_id = p_t[order], p_id[order]
+    idx = np.searchsorted(p_t, t, side="left") - 1
+    vis = pd.Series(idx >= 0)
+    safe = np.where(idx >= 0, idx, 0)
+    if len(p_t):
+        pts, pid = int(p_t[-1]), int(p_id[-1])  # new state: the argmax
+    else:  # no purchases seen yet: every row is unmatched, state unchanged
+        p_t = np.zeros(1, "int64")
+        p_id = np.zeros(1, "int64")
+    lp_t = p_t[safe]
+    out = pd.DataFrame(
+        {
+            "event_id": ids,
+            "user_id": key,
+            "ts": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "last_purchase_ts": pd.Series(
+                pd.to_datetime(lp_t * 1000, unit="ns")
+            ).where(vis, pd.NaT),
+            # None-bearing int columns must stay nullable Int64, not
+            # drift to float64 (Arrow would cast lossily for large ids)
+            "last_purchase_id": pd.Series(p_id[safe], dtype="Int64").where(
+                vis, pd.NA
+            ),
+            "micros_since_purchase": pd.Series(t - lp_t, dtype="Int64").where(
+                vis, pd.NA
+            ),
+        }
+    )
+    return pts, pid, out
 
 
 def _asof_fn(match_type: str):
@@ -287,10 +278,10 @@ def _asof_fn(match_type: str):
                 pdf["event_type"].tolist(),
             )
         )
-        pts, pid, out_rows = _asof_core(key[0], pts, pid, rows, match_type)
+        pts, pid, out = _asof_core(key[0], pts, pid, rows, match_type)
         state.update((pts, pid))
-        if out_rows:
-            yield _asof_out_frame(out_rows)
+        if out is not None:
+            yield out
 
     return fn
 
@@ -448,7 +439,7 @@ def _ordered_asof_fn(match_type: str):
         wm_ms = state.getCurrentWatermarkMs()
         rel, kept = _released(sorted(pend), wm_ms)
         rows = [(t, i, pd.Timestamp(t * 1000), e) for t, i, e in rel]
-        pts, pid, out_rows = _asof_core(key[0], pts, pid, rows, match_type)
+        pts, pid, out = _asof_core(key[0], pts, pid, rows, match_type)
         state.update(
             (
                 pts,
@@ -461,8 +452,8 @@ def _ordered_asof_fn(match_type: str):
         if kept:
             # wake only when the oldest pending row becomes releasable
             state.setTimeoutTimestamp(max(wm_ms + 1, kept[0][0] // 1000 + 1))
-        if out_rows:
-            yield _asof_out_frame(out_rows)
+        if out is not None:
+            yield out
 
     return fn
 
