@@ -607,3 +607,52 @@ def test_fraud_alerts_tws_capability_probe(spark, tmpdir):
     flat = [(r.record_id, r.running_cnt) for b in batches for r in b]
     assert flat == [(5, 4), (6, 5)]
     assert all("High-value order streak" in r.alert for b in batches for r in b)
+
+
+def test_ordered_asof_checkpoint_recovery(spark, tmpdir):
+    """§5.2-5 for the reorder-buffer as-of operator: BOTH state pieces —
+    the (pts, pid) last-purchase state and the pending reorder buffer of
+    not-yet-released rows — survive a restart from checkpoint. Rows
+    buffered before the crash are released and enriched after it,
+    without re-emitting the pre-crash output."""
+    base = ts("2024-01-01T00:00:00")
+    data_dir = tmpdir + "/data"
+    ckpt = tmpdir + "/ckpt"
+    m = lambda mins: base + dt.timedelta(minutes=mins)
+    # run 1: purchase at t0 arrives AFTER a later view (disorder), then a
+    # watermark-advancing row. wm after batch 2 = 12m - 10m = 2m, so only
+    # the purchase (t=0) is released; the views stay in the buffer.
+    stage_explicit_chunks(
+        spark,
+        [
+            [(2, 1, m(5), "view"), (1, 1, m(0), "purchase")],
+            [(3, 1, m(12), "view")],
+        ],
+        ASOF_SCHEMA,
+        data_dir,
+    )
+    enr = stateful.ordered_asof_join_stream(
+        replay_stream(spark, data_dir, ASOF_SCHEMA), disorder="10 minutes"
+    )
+    run1 = [r for b in runner.run_collect_batches(enr, "append", checkpoint=ckpt) for r in b]
+    assert [(r.event_id, r.last_purchase_id) for r in run1] == [(1, None)]
+
+    # the query dies; later data arrives and advances the watermark far
+    # enough to release the buffered views — they must enrich from the
+    # RESTORED purchase state, and event 1 must not re-emit
+    stage_explicit_chunks(
+        spark,
+        [[(4, 1, m(40), "view")], [(5, 1, m(60), "view")]],
+        ASOF_SCHEMA,
+        data_dir + "/chunk=99999-extra",
+    )
+    enr2 = stateful.ordered_asof_join_stream(
+        replay_stream(spark, data_dir, ASOF_SCHEMA), disorder="10 minutes"
+    )
+    run2 = [r for b in runner.run_collect_batches(enr2, "append", checkpoint=ckpt) for r in b]
+    got = [(r.event_id, r.last_purchase_id, r.micros_since_purchase) for r in run2]
+    assert got == [
+        (2, 1, 5 * 60 * 1_000_000),
+        (3, 1, 12 * 60 * 1_000_000),
+        (4, 1, 40 * 60 * 1_000_000),
+    ]
