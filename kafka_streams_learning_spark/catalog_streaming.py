@@ -165,7 +165,16 @@ FROM orders o JOIN lineitem l
 # snapshot, the deterministic semantic of `StreamTableJoinExample.java:85-88`.
 
 
+# the 2-version changelog derives deterministically from the customer
+# fixture, so its staging (sort + chunk writes) is cached per sf like
+# shared_replay_table's; the KTable MATERIALIZATION still runs fresh per
+# call — maintaining the snapshot is the behavior s05 measures
+_S05_CHANGELOG: dict[str, tuple[str, object]] = {}
+
+
 def _s05(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
     from kafka_streams_learning_spark.operators.joins import enrich_join
     from kafka_streams_learning_spark.sources.batch import load_table
     from kafka_streams_learning_spark.sources.replay import (
@@ -174,18 +183,25 @@ def _s05(spark: SparkSession, sf: str) -> DataFrame:
     )
     from kafka_streams_learning_spark.streaming import ktable
 
-    cust = load_table(spark, sf, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
-    )
-    stale = cust.withColumn("c_name", F.lit("STALE")).withColumn("_version", F.lit(0))
-    fresh = cust.withColumn("_version", F.lit(1))
-    changelog_dir = run_staging_dir("chlog")
-    staged = stage_replay_chunks(
-        stale.unionByName(fresh), changelog_dir, chunks=2, order_by="_version"
-    )
+    cached = _S05_CHANGELOG.get(sf)
+    if cached is None or not os.path.isdir(cached[0]):
+        cust = load_table(spark, sf, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+        )
+        stale = cust.withColumn("c_name", F.lit("STALE")).withColumn(
+            "_version", F.lit(0)
+        )
+        fresh = cust.withColumn("_version", F.lit(1))
+        changelog_dir = run_staging_dir("chlog")
+        stage_replay_chunks(
+            stale.unionByName(fresh), changelog_dir, chunks=2, order_by="_version"
+        )
+        cached = (changelog_dir, stale.schema)
+        _S05_CHANGELOG[sf] = cached
+    staged, chlog_schema = cached
     snapshot_dir = run_staging_dir("snap")
     ktable.materialize_ktable(
-        replay_stream(spark, staged, stale.schema),
+        replay_stream(spark, staged, chlog_schema),
         snapshot_dir, key="c_custkey", version_col="_version",
     )
     dim = ktable.read_snapshot(spark, snapshot_dir).drop("_version")
