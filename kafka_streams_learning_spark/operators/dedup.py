@@ -238,3 +238,47 @@ def contamination_hits(
             (F.col("n_hits") / F.col("n_shingles")).alias("contamination_ratio"),
         )
     )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    n_perm: int,
+    bands: int,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full near-dup dedup pipeline, corpus-in → verdict-out: MinHash
+    signatures → banded-LSH candidate pairs → connected components →
+    one canonical survivor per duplicate group, joined back onto the
+    WHOLE corpus. This is the operation a training-data pipeline actually
+    runs (x11 emits pairs, x28 labels group members; this decides, for
+    every document, keep or drop).
+
+    Returns (doc_id, group_id, kept): documents untouched by any
+    candidate pair form their own singleton group and are kept; inside a
+    duplicate group only the minimum id survives.
+
+    Scale shape: candidate generation is the banded bucket-join
+    (`lsh_candidate_pairs` — shuffles keyed by band buckets, never
+    all-pairs); components run pointer-jumping over the pair graph only
+    (O(log diameter) keyed shuffles over edges, not the corpus); the
+    final verdict is one left join of the corpus against the component
+    labels — at 100 TB the labels side is bounded by documents that
+    collided at all, typically orders of magnitude smaller than the
+    corpus."""
+    from kafka_streams_learning_spark.operators import graph
+
+    pairs = lsh_candidate_pairs(df, n_perm, bands, k, text_col, id_col)
+    cc = graph.connected_components(pairs, "doc_a", "doc_b")
+    labels = cc.select(F.col("node_id"), F.col("group_id").alias("_gid"))
+    group = F.coalesce(F.col("_gid"), F.col(id_col))
+    return (
+        df.select(F.col(id_col))
+        .join(labels, F.col(id_col) == F.col("node_id"), "left")
+        .select(
+            F.col(id_col),
+            group.alias("group_id"),
+            (F.col(id_col) == group).alias("kept"),
+        )
+    )

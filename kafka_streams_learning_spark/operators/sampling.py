@@ -95,3 +95,58 @@ def balanced_sample(
 def balanced_order_sql(id_expr: str, salt: str = BALANCE_SALT) -> str:
     """DuckDB SQL for the in-stratum ordering hash of :func:`balanced_sample`."""
     return hashing.hash60_sql(f"'{salt}|' || CAST({id_expr} AS VARCHAR)")
+
+
+MIX_SALT = "mix"
+_MIX_SCALE = float(1 << 60)  # exact power of two; hash60's range
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = MIX_SALT,
+) -> DataFrame:
+    """Deterministic domain-mixture sampler: draw from each stratum so the
+    kept corpus approaches the target mixture `weights` (relative, need
+    not sum to 1) while keeping as much data as possible — the standard
+    pretraining-mix operation (e.g. MassiveText's per-source sampling
+    weights). The scale factor T = min_s(n_s / w_s) saturates the
+    scarcest stratum; every stratum keeps rate_s = w_s * T / n_s of its
+    rows, chosen by a per-row hash threshold.
+
+    Scale shape — the zero-shuffle-on-facts contrast to `balanced_sample`:
+    the fact table is never exchanged. One tiny count aggregate (map-side
+    partial, |strata| rows) joins the weight table, reduces to the scalar
+    T, and broadcasts per-stratum rates back onto the scan; the keep
+    decision is then a pure per-row expression (one md5 against a
+    threshold). At 100 TB: one scan + one broadcast of |strata| rows.
+    Rate-based sampling keeps counts binomially close to the target
+    rather than exact — `balanced_sample` is the exact-count arm when
+    that trade-off flips. Strata absent from `weights` get weight 0 (the
+    inner join drops them); a document's keep decision never changes when
+    other documents arrive (same hash-stability contract as
+    `hash_split`)."""
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())], [strata_col, "wt"]
+    )
+    counts = df.groupBy(strata_col).count()
+    joined = counts.join(F.broadcast(w_df), strata_col)
+    t_row = joined.agg(F.min(F.col("count") / F.col("wt")).alias("t"))
+    rates = joined.crossJoin(F.broadcast(t_row)).select(
+        strata_col,
+        F.least(F.lit(1.0), (F.col("wt") * F.col("t")) / F.col("count")).alias("rate"),
+    )
+    h = hashing.hash60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(h < F.floor(F.col("rate") * F.lit(_MIX_SCALE)).cast("long"))
+        .select(F.col(id_col), F.col(strata_col))
+    )
+
+
+def mixture_hash_sql(id_expr: str, salt: str = MIX_SALT) -> str:
+    """DuckDB SQL computing the same keep-hash as :func:`mixture_sample`."""
+    return hashing.hash60_sql(f"'{salt}|' || CAST({id_expr} AS VARCHAR)")

@@ -184,3 +184,108 @@ def repetition_stats(
         ratio.alias("dup_ratio"),
         (ratio > F.lit(threshold)).alias("is_repetitive"),
     )
+
+
+# Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1 —
+# the published MassiveText quality-filter rule set).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.10
+GOPHER_MAX_BULLET_RATIO = 0.90
+GOPHER_MAX_ELLIPSIS_RATIO = 0.30
+GOPHER_MIN_ALPHA_RATIO = 0.80
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_REQ_STOP = 2
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/MassiveText rule-based quality gate: every published rule as
+    a per-document metric plus the combined pass/fail verdict. Extends the
+    reference's scalar surface (SURVEY §2.9) the way a pretraining
+    pipeline needs — x01's heuristics score documents, this one GATES them
+    with the industry-standard rule set.
+
+    Zero-shuffle by construction: every metric is a Catalyst expression
+    over one scan of the text column (word list and line list are each
+    built once via staged projections, same CollapseProject reasoning as
+    `repetition_stats`). At 100 TB this is scan-bound with no exchange and
+    no Python; the `passes` flag makes the downstream filter a pushable
+    predicate on this pass's output."""
+    t = F.col(text_col)
+    # stage 1: the two array builds (words, non-empty left-trimmed lines)
+    base = df.select(
+        F.col(id_col),
+        t,
+        T.tokens(t).alias("_toks"),
+        F.filter(
+            F.transform(F.split(t, "\n"), F.ltrim),
+            lambda line: line != F.lit(""),
+        ).alias("_lines"),
+    )
+    # stage 2: counts off the arrays (each array referenced several times,
+    # so they must already be named columns, not inline expressions)
+    first = lambda line: F.substring(line, 1, 1)  # noqa: E731
+    counted = base.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_words"),
+        F.aggregate(
+            F.transform("_toks", F.length), F.lit(0), lambda a, x: a + x
+        ).alias("_sum_wlen"),
+        (
+            F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+            + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+        ).alias("_n_symbols"),
+        F.size("_lines").alias("_n_lines"),
+        F.size(
+            F.filter(F.col("_lines"), lambda l: first(l).isin("-", "*", "•"))
+        ).alias("_n_bullet"),
+        F.size(
+            F.filter(
+                F.col("_lines"),
+                lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+                | F.endswith(F.rtrim(l), F.lit("…")),
+            )
+        ).alias("_n_ellipsis"),
+        F.size(
+            F.filter(F.col("_toks"), lambda w: w.rlike("[A-Za-z]"))
+        ).alias("_n_alpha"),
+        sum(
+            (
+                F.array_contains(
+                    F.transform("_toks", F.lower), F.lit(w)
+                ).cast("int")
+                for w in GOPHER_REQUIRED_STOPWORDS
+            ),
+            F.lit(0),
+        ).alias("n_req_stop"),
+    )
+    # stage 3: ratios + verdict (guarded divisions; an empty document
+    # fails the word-count rule, so zeroed ratios never flip the verdict)
+    nz = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    ratios = counted.select(
+        F.col(id_col),
+        "n_words",
+        nz(F.col("_sum_wlen"), F.col("n_words")).alias("mean_word_len"),
+        nz(F.col("_n_symbols"), F.col("n_words")).alias("symbol_ratio"),
+        nz(F.col("_n_bullet"), F.col("_n_lines")).alias("bullet_line_ratio"),
+        nz(F.col("_n_ellipsis"), F.col("_n_lines")).alias("ellipsis_line_ratio"),
+        nz(F.col("_n_alpha"), F.col("n_words")).alias("alpha_word_ratio"),
+        "n_req_stop",
+    )
+    return ratios.select(
+        "*",
+        (
+            F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & F.col("mean_word_len").between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+            & (F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+            & (F.col("bullet_line_ratio") < GOPHER_MAX_BULLET_RATIO)
+            & (F.col("ellipsis_line_ratio") < GOPHER_MAX_ELLIPSIS_RATIO)
+            & (F.col("alpha_word_ratio") > GOPHER_MIN_ALPHA_RATIO)
+            & (F.col("n_req_stop") >= GOPHER_MIN_REQ_STOP)
+        ).alias("passes"),
+    )

@@ -517,3 +517,87 @@ def test_sliding_count_drops_null_keys(spark):
     out = sliding.sliding_count(df, "key", "ts", "5 minutes", ["key", "id"])
     got = {(r.key, r.id): r.cnt for r in out.collect()}
     assert got == {("k", 3): 1}
+
+
+def test_gopher_rules_fire_individually(spark):
+    from kafka_streams_learning_spark.operators import textops
+
+    good_words = ("the quick brown fox jumps over that lazy dog with " * 6).split()
+    good = " ".join(good_words)  # 60 words, stopwords present, all alphabetic
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                   # passes every rule
+            (2, "short text"),                           # word-count floor
+            (3, ""),                                     # empty → fails, no div-by-zero
+            (4, good + "\n" + "\n".join(f"- item {i}" for i in range(60))),
+            (5, good.replace("fox", "fox #" * 3)),       # symbol-heavy
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.gopher_quality(docs).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["passes"] and out[2]["n_words"] == 2
+    assert not out[3]["passes"] and out[3]["mean_word_len"] == 0.0
+    # doc 4: 60 of 61 non-empty lines are bullets → bullet rule trips
+    assert out[4]["bullet_line_ratio"] > 0.9 and not out[4]["passes"]
+    assert out[5]["symbol_ratio"] >= 0.1 and not out[5]["passes"]
+
+
+def test_gopher_ellipsis_lines_counted(spark):
+    from kafka_streams_learning_spark.operators import textops
+
+    text = "first line goes on...\nsecond line is fine\nthird trails off…  "
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = textops.gopher_quality(docs).collect()[0]
+    assert abs(row["ellipsis_line_ratio"] - 2 / 3) < 1e-12
+
+
+def test_mixture_sample_tracks_target_weights(spark):
+    from kafka_streams_learning_spark.operators import sampling
+
+    rows = [(i, f"s{i % 2}") for i in range(4000)]  # 2000 per source
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.mixture_sample(df, {"s0": 3.0, "s1": 1.0})
+    counts = dict(
+        (r["source"], r["n"])
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    )
+    # T = min(2000/3, 2000/1) = 666.67 → s0 saturates (rate 1.0),
+    # s1 keeps ~666.67/2000 = 1/3 of its rows (binomial around 667)
+    assert counts["s0"] == 2000
+    assert 560 <= counts["s1"] <= 780
+    # deterministic: same inputs → identical keep set
+    again = sampling.mixture_sample(df, {"s0": 3.0, "s1": 1.0})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_mixture_sample_drops_unweighted_strata(spark):
+    from kafka_streams_learning_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "source"]
+    )
+    out = sampling.mixture_sample(df, {"a": 1.0})
+    assert {r["source"] for r in out.collect()} == {"a"}
+
+
+def test_dedup_survivors_keeps_min_id_and_singletons(spark):
+    from kafka_streams_learning_spark.operators import dedup
+
+    dup = "the same exact duplicated text body repeated verbatim here"
+    docs = spark.createDataFrame(
+        [(10, dup), (7, dup), (3, "a totally different document entirely"),
+         (5, dup)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_survivors(docs, n_perm=4, bands=4).collect()}
+    assert len(out) == 4  # verdict covers the WHOLE corpus
+    # identical texts share identical signatures → one group, min id kept
+    assert out[5]["group_id"] == 5 and out[5]["kept"]
+    assert out[7]["group_id"] == 5 and not out[7]["kept"]
+    assert out[10]["group_id"] == 5 and not out[10]["kept"]
+    # untouched document is its own kept singleton
+    assert out[3]["group_id"] == 3 and out[3]["kept"]

@@ -192,3 +192,33 @@ def test_decontamination_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan
     assert not E.has_cartesian(df)
     assert E.exchange_count(df) <= 2
+
+
+def test_gopher_quality_is_shuffle_free(spark):
+    # every Gopher rule is a per-row expression over one scan of text:
+    # zero exchanges, and the scan reads only (doc_id, text)
+    df = _df(spark, "x32_gopher_quality")
+    assert E.exchange_count(df) == 0
+    rs = E.read_schema(df)
+    assert "source" not in rs and "lang" not in rs
+
+
+def test_dedup_survivors_verdict_join_not_cartesian(spark):
+    # the pipeline's verdict join (corpus ⋈ component labels) and the
+    # banded candidate join must both be equi-joins — no cartesian
+    # product anywhere in the end-to-end dedup plan
+    assert not E.has_cartesian(_df(spark, "x33_dedup_survivors"))
+
+
+def test_mixture_sample_facts_never_shuffled(spark):
+    # the fact table must reach the keep-filter via broadcast only: the
+    # sole exchanges belong to the |strata|-row count aggregate feeding
+    # the rate table; the facts themselves join the rates broadcast-side
+    # and filter per-row
+    df = _df(spark, "x34_mixture_sample")
+    plan = E.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert not E.has_cartesian(df)
+    # count-agg side: one partial+final pair of exchanges max (plus the
+    # 1-row scalar reduce); none of them carry the fact scan
+    assert E.exchange_count(df) <= 3
