@@ -222,6 +222,10 @@ def gopher_quality(
         F.col(id_col),
         t,
         T.tokens(t).alias("_toks"),
+        # lowercased once here: the 8 stopword membership tests below all
+        # reference this column — inlining the transform would make
+        # Catalyst replay the lowercase pass per stopword
+        F.transform(T.tokens(t), F.lower).alias("_toks_lower"),
         F.filter(
             F.transform(F.split(t, "\n"), F.ltrim),
             lambda line: line != F.lit(""),
@@ -256,9 +260,7 @@ def gopher_quality(
         ).alias("_n_alpha"),
         sum(
             (
-                F.array_contains(
-                    F.transform("_toks", F.lower), F.lit(w)
-                ).cast("int")
+                F.array_contains(F.col("_toks_lower"), F.lit(w)).cast("int")
                 for w in GOPHER_REQUIRED_STOPWORDS
             ),
             F.lit(0),
