@@ -94,6 +94,20 @@ SHOWCASE: dict[str, str] = {
         "aggregation — decontamination as a broadcast semi-join, never "
         "all-pairs."
     ),
+    "x32_gopher_quality": (
+        "Zero Exchanges and a 2-column ReadSchema: every Gopher rule is "
+        "a per-row expression over one scan. The token array, its "
+        "lowercased twin, and the line array are staged as named columns "
+        "so each expensive build plans once — the 8 stopword tests share "
+        "one lowercase pass instead of inlining eight."
+    ),
+    "x34_mixture_sample": (
+        "The fact side is never shuffled: the only Exchanges belong to "
+        "the |strata|-row count aggregate that feeds the rate table; "
+        "rates come back to the scan via BroadcastHashJoin and the keep "
+        "decision is one md5 threshold per row — at 100 TB the sampler "
+        "costs a scan plus a broadcast of a handful of rows."
+    ),
 }
 
 
