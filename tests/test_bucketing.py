@@ -123,3 +123,26 @@ def test_enrich_join_bucketed_fallback_no_exchange(spark, bucketed_tables):
     plan = E.formatted_plan(j)
     assert "SortMergeJoin" in plan
     assert E.exchange_count(j) == 0, plan
+
+
+def test_enrich_join_bucketed_arm_zero_exchange(spark, bucketed_tables):
+    # the non-broadcast fallback of enrich_join: when the dimension
+    # outgrows the broadcast budget, co-bucketed layouts must give the
+    # SAME zero-fact-side-shuffle property through the operator's own API
+    from kafka_streams_learning_spark.operators import joins
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders, customer = bucketed_tables
+        o = bucketing.read_bucketed(spark, orders).withColumnRenamed(
+            "o_custkey", "custkey"
+        )
+        c = bucketing.read_bucketed(spark, customer).withColumnRenamed(
+            "c_custkey", "custkey"
+        )
+        j = joins.enrich_join(o, c, on="custkey", dim_bucketed=True)
+        plan = E.formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert E.exchange_count(j) == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
