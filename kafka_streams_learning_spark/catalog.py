@@ -468,6 +468,8 @@ _TAIL_STABLE = [
     "x15_distinct_cardinality",
     "x23_pii_redaction",
     "x25_rollup_stats",
+    # moved to the tail for x35+: driver-green r04, plumbing unchanged
+    "x14_multimodal_decode",
 ]
 
 # NEW extension rows this round — hoisted to the front of the extension
@@ -477,6 +479,7 @@ _HEAD_FIRST = [
     "x32_gopher_quality",
     "x33_dedup_survivors",
     "x34_mixture_sample",
+    "x35_kmeans_clusters",
 ]
 
 

@@ -23,6 +23,7 @@ from kafka_streams_learning_spark.catalog import QuerySpec
 from kafka_streams_learning_spark.functions.hashing import hash32_sql, perm_hash_sql
 from kafka_streams_learning_spark.functions.text import STOPWORDS, _LANG_MARKERS
 from kafka_streams_learning_spark.operators import (
+    clustering,
     dedup,
     multimodal,
     sampling,
@@ -1230,6 +1231,76 @@ WHERE {keep_hash} < CAST(floor(rate * {scale}) AS BIGINT)
 """
 
 
+# ---------------------------------------------------------------------------
+# X35 — k-means clustering (Lloyd's) over the embedding corpus.
+# The coarse-quantizer / SemDeDup primitive: deterministic lowest-id
+# seeding, KMEANS_ITER fixed assignment/update rounds, final (vec_id,
+# cluster, dist) assignment. Assignment is a zero-shuffle codegen
+# expression (centroids are broadcast literals); the update is one
+# groupBy with map-side partial aggs. The oracle unrolls the same
+# iterations as a CTE chain; every centroid component is snapped to the
+# 1e-6 grid with pure IEEE ops so both engines iterate on identical
+# doubles (see operators/clustering.py docstring).
+
+KMEANS_K = 8
+KMEANS_ITER = 3
+
+
+def _x35(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return clustering.kmeans(emb, k=KMEANS_K, n_iter=KMEANS_ITER, dim=EMB_DIM)
+
+
+def _kmeans_dist_sql(vec: str, cv: str) -> str:
+    """Squared-euclid distance, fixed element order — mirrors the Spark
+    zip_with/aggregate left fold bit-for-bit (same argument as _COS)."""
+    d = f"(CAST({vec}[i] AS DOUBLE) - {cv}[i])"
+    return (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> {d} * {d}))"
+    )
+
+
+def _x35_sql() -> str:
+    snap_seed = clustering.snap6_sql("CAST(x AS DOUBLE)")
+    parts = [
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         list_transform(embedding, x -> {snap_seed}) AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+)"""
+    ]
+    for t in range(KMEANS_ITER):
+        dist = _kmeans_dist_sql("e.embedding", "c.cv")
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cluster, {dist} AS dist
+    FROM embeddings e CROSS JOIN c{t} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+)"""
+        )
+        cm = clustering.snap6_sql("avg(CAST(a.embedding[t.i] AS DOUBLE))")
+        parts.append(
+            f"""c{t + 1} AS (
+  SELECT cid, list(cm ORDER BY i) AS cv FROM (
+    SELECT a.cluster AS cid, t.i, {cm} AS cm
+    FROM a{t} a CROSS JOIN range(1, {EMB_DIM + 1}) t(i)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)"""
+    )
+    dist = _kmeans_dist_sql("e.embedding", "c.cv")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT vec_id, cluster, dist FROM (
+  SELECT e.vec_id, c.cid AS cluster, {dist} AS dist
+  FROM embeddings e CROSS JOIN c{KMEANS_ITER} c
+) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1295,4 +1366,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x34_mixture_sample", _x34, _x34_sql(),
               "domain-mixture sampler toward target source weights "
               "(zero-shuffle on facts, hash-threshold keep)"),
+    QuerySpec("x35_kmeans_clusters", _x35, _x35_sql(),
+              "Lloyd's k-means over embeddings: zero-shuffle literal-"
+              "centroid assignment + one k-row-shuffle update per round"),
 ]

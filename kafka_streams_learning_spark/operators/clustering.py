@@ -1,0 +1,172 @@
+"""K-means clustering over `array<float>` embedding columns (Lloyd's).
+
+Training-data pipelines cluster embeddings constantly: IVF coarse
+quantizers (``similarity.ivf_topk``), SemDeDup-style semantic dedup
+(cluster → in-cluster pairwise similarity), and topic-balanced sampling
+all start from k-means centroids. This module implements Lloyd's
+iterations Spark-first:
+
+- **Assignment is a pure codegen expression, zero shuffle.** Centroids
+  are k×d doubles — always driver-resident, never a join side. Each
+  iteration embeds them as literal arrays; per-row distance is a
+  ``zip_with`` + ``aggregate`` left fold (same JVM-side HOF pattern as
+  :mod:`functions.vectors`), and argmin is ``array_min`` over an
+  ``array<struct<dist,cluster>>`` (lexicographic struct compare gives the
+  deterministic tie-break: lowest distance, then lowest cluster id).
+- **The update step is ONE groupBy(cluster) with d partial-aggregated
+  avg columns.** Map-side combine reduces each partition to ≤k rows of
+  width d before the (k-row) shuffle; the k×d result is collected to the
+  driver — the standard Lloyd's dataflow (pyspark.ml's KMeans does the
+  same aggregate-to-driver loop). At 100 TB each iteration is one scan +
+  one k-row exchange; nothing quadratic, nothing Python-side.
+- **Cross-engine determinism**: float sums are partition-order-dependent
+  at 1 ulp, so every centroid component is snapped to a 1e-6 grid right
+  inside the aggregate — both engines then feed *identical* doubles into
+  the next iteration's distances, and distances themselves are
+  fixed-element-order folds (bit-exact across engines, the same argument
+  as the x09/x10 cosine oracles). The snap is ``floor(x*1e6 + 0.5)/1e6``
+  rather than ``round(x, 6)`` because engine `round` semantics differ
+  (Spark rounds the decimal string HALF_UP, DuckDB rounds in floating
+  point) while multiply/add/floor/divide are exactly specified IEEE ops
+  that replay bit-for-bit anywhere. Empty clusters drop (groupBy emits
+  observed keys only), mirrored exactly by the SQL oracle.
+
+No reference-repo counterpart (the reference has no ML operators); this
+is part of the LLM-training extension surface next to dedup.py and
+similarity.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snap6(col, decimals: int = 6):
+    """Snap a double to the 10^-decimals grid with pure IEEE ops
+    (multiply, add, floor, divide) — identical in every engine."""
+    scale = F.lit(float(10**decimals))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def snap6_sql(expr: str, decimals: int = 6) -> str:
+    """DuckDB SQL mirror of :func:`snap6`."""
+    scale = f"{float(10 ** decimals)!r}"
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    dist_col: str = "dist",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Attach (cluster, dist) for the nearest centroid — expression-only,
+    zero shuffle. Ties break to the lowest cluster id via struct compare.
+
+    The whole k×d centroid matrix is ONE nested-array literal and the
+    argmin is ``array_min(transform(matrix, (c, j) → struct(dist, j)))``
+    — the expression tree is constant-size in both k and d, so Catalyst
+    analysis/codegen cost stays flat as k grows (an F.array of k unrolled
+    distance folds made every Lloyd iteration pay seconds of planning)."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cmat = F.lit([[float(c) for c in row] for row in centroids])
+    cands = F.transform(
+        cmat,
+        lambda c, j: F.struct(
+            F.aggregate(
+                F.zip_with(vec_d, c, lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            j.alias("cluster"),
+        ),
+    )
+    best = F.array_min(cands)
+    return df.withColumn("__best", best).withColumn(
+        cluster_col, F.col("__best.cluster")
+    ).withColumn(dist_col, F.col("__best.dist")).drop("__best")
+
+
+def update_centroids(
+    assigned: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    round_decimals: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """One Lloyd update: per-cluster component means, rounded for
+    cross-engine replay. Single groupBy (map-side partial agg, k-row
+    shuffle) + a k×d collect. Returns [(cluster_id, centroid)] sorted by
+    cluster id; empty clusters are absent."""
+    aggs = [
+        snap6(F.avg(F.col(vec_col).getItem(i).cast("double")), round_decimals).alias(
+            f"c{i}"
+        )
+        for i in range(dim)
+    ]
+    rows = assigned.groupBy(cluster_col).agg(*aggs).collect()
+    out = [(r[cluster_col], [r[f"c{i}"] for i in range(dim)]) for r in rows]
+    return sorted(out)
+
+
+def kmeans(
+    df: DataFrame,
+    k: int,
+    n_iter: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means: deterministic seeding (the k rows with the lowest
+    ids), ``n_iter`` fixed assignment/update rounds, then a final
+    assignment. Returns (id, cluster, dist) — dist is the squared
+    euclidean distance to the final centroid.
+
+    Fixed iteration count (no early stop) keeps the computation exactly
+    replayable by the unrolled SQL oracle; callers that want convergence
+    can loop :func:`assign_clusters`/:func:`update_centroids` directly and
+    compare successive rounded centroids driver-side for free (they are
+    already collected).
+    """
+    # Python floats ARE IEEE doubles, so the driver-side snap is the same
+    # computation snap6() runs in-engine (float32→double conversion is
+    # exact; multiply/add/floor/divide replay bit-for-bit).
+    scale = float(10**round_decimals)
+    seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = {
+        j: [math.floor(float(x) * scale + 0.5) / scale for x in r[vec_col]]
+        for j, r in enumerate(seed_rows)
+    }
+
+    for _ in range(n_iter):
+        assigned = assign_clusters(
+            df, _dense(centroids), vec_col=vec_col
+        ).withColumn("cluster", _relabel(centroids))
+        centroids = dict(
+            update_centroids(
+                assigned, dim, vec_col=vec_col, round_decimals=round_decimals
+            )
+        )
+
+    final = assign_clusters(df, _dense(centroids), vec_col=vec_col)
+    return final.withColumn("cluster", _relabel(centroids)).select(
+        id_col, "cluster", "dist"
+    )
+
+
+def _dense(centroids: dict[int, list[float]]) -> list[list[float]]:
+    """Centroid dict → dense list in sorted-cluster-id order (positions
+    shift when clusters empty out; `_relabel` maps positions back)."""
+    return [centroids[cid] for cid in sorted(centroids)]
+
+
+def _relabel(centroids: dict[int, list[float]]):
+    """Map dense argmin positions back to stable original cluster ids."""
+    ids = sorted(centroids)
+    mapping = F.array(*[F.lit(cid) for cid in ids])
+    return F.element_at(mapping, F.col("cluster") + 1)
