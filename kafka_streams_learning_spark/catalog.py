@@ -470,6 +470,7 @@ _TAIL_STABLE = [
     "x25_rollup_stats",
     # moved to the tail for x35+: driver-green r04, plumbing unchanged
     "x14_multimodal_decode",
+    "x20_balanced_sample",
 ]
 
 # NEW extension rows this round — hoisted to the front of the extension
@@ -480,6 +481,7 @@ _HEAD_FIRST = [
     "x33_dedup_survivors",
     "x34_mixture_sample",
     "x35_kmeans_clusters",
+    "x36_sequence_packing",
 ]
 
 

@@ -26,6 +26,7 @@ from kafka_streams_learning_spark.operators import (
     clustering,
     dedup,
     multimodal,
+    packing,
     sampling,
     similarity,
     textops,
@@ -1301,6 +1302,21 @@ SELECT vec_id, cluster, dist FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# X36 — sequence packing (concat-and-chunk): every document's location in
+# fixed-512-token training sequences, sharded into 16 independent packing
+# buckets (one exchange + per-bucket running sum; see operators/packing.py).
+
+PACK_BUDGET = 512
+PACK_BUCKETS = 16
+
+
+def _x36(spark: SparkSession, sf: str) -> DataFrame:
+    return packing.pack_sequences(
+        load_table(spark, sf, "documents"), budget=PACK_BUDGET, n_buckets=PACK_BUCKETS
+    )
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1369,4 +1385,8 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x35_kmeans_clusters", _x35, _x35_sql(),
               "Lloyd's k-means over embeddings: zero-shuffle literal-"
               "centroid assignment + one k-row-shuffle update per round"),
+    QuerySpec("x36_sequence_packing", _x36,
+              packing.pack_sql(PACK_BUDGET, PACK_BUCKETS),
+              "concat-and-chunk packing into fixed-token training "
+              "sequences (bucket-sharded running sum, one exchange)"),
 ]
