@@ -471,6 +471,7 @@ _TAIL_STABLE = [
     # moved to the tail for x35+: driver-green r04, plumbing unchanged
     "x14_multimodal_decode",
     "x20_balanced_sample",
+    "x21_tfidf_topk",
 ]
 
 # NEW extension rows this round — hoisted to the front of the extension
@@ -482,6 +483,7 @@ _HEAD_FIRST = [
     "x34_mixture_sample",
     "x35_kmeans_clusters",
     "x36_sequence_packing",
+    "x37_temporal_split",
 ]
 
 

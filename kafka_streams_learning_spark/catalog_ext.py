@@ -1317,6 +1317,35 @@ def _x36(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X37 — temporal train/heldout split with user-group integrity: earliest
+# TSPLIT_FRAC of users (by first event time) train, the rest heldout.
+# The rank window runs over |users| anchors, not |events| (see
+# sampling.temporal_split; temporal_split_approx is the >10M-group arm).
+
+TSPLIT_FRAC = 0.8
+
+
+def _x37(spark: SparkSession, sf: str) -> DataFrame:
+    return sampling.temporal_split(load_table(spark, sf, "events"), TSPLIT_FRAC)
+
+
+_X37_SQL = f"""
+WITH a AS (
+  SELECT user_id, min(ts) AS anchor FROM events GROUP BY 1
+), r AS (
+  SELECT user_id, anchor,
+         row_number() OVER (ORDER BY anchor, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM a
+)
+SELECT user_id, anchor,
+       CASE WHEN rn <= floor({TSPLIT_FRAC} * n) THEN 'train'
+            ELSE 'heldout' END AS split
+FROM r
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1389,4 +1418,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               packing.pack_sql(PACK_BUDGET, PACK_BUCKETS),
               "concat-and-chunk packing into fixed-token training "
               "sequences (bucket-sharded running sum, one exchange)"),
+    QuerySpec("x37_temporal_split", _x37, _X37_SQL,
+              "leakage-safe temporal split with user-group integrity "
+              "(rank over |users| anchors; approx-cutoff scale arm)"),
 ]

@@ -150,3 +150,70 @@ def mixture_sample(
 def mixture_hash_sql(id_expr: str, salt: str = MIX_SALT) -> str:
     """DuckDB SQL computing the same keep-hash as :func:`mixture_sample`."""
     return hashing.hash60_sql(f"'{salt}|' || CAST({id_expr} AS VARCHAR)")
+
+
+def temporal_split(
+    df: DataFrame,
+    frac_train: float,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal train/heldout split with GROUP integrity: every group
+    (user) lands wholly on one side, decided by its FIRST event time —
+    train = the earliest `frac_train` of groups, heldout = the rest. The
+    standard leakage guard when training on behavioral data: the heldout
+    set is strictly "users who first appeared later", so no user
+    contributes to both sides and the cut is a point in (anchor-) time.
+
+    Exact form: anchors are |groups| rows (one partial-agg groupBy of the
+    fact table), then ONE global rank window over those anchors — ranked
+    by (anchor, group) so ties are deterministic. The global window is a
+    single-partition sort of |groups| rows, NOT |events|; that is fine up
+    to ~10M groups. Beyond that use :func:`temporal_split_approx`, which
+    replaces the rank with an approx-percentile scalar cutoff and stays
+    fully parallel (same output contract, cutoff placement within the
+    sketch's rank error)."""
+    anchors = df.groupBy(group_col).agg(F.min(ts_col).alias("anchor"))
+    w = Window.orderBy("anchor", group_col)
+    ranked = anchors.select(
+        group_col,
+        "anchor",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    is_train = F.col("rn") <= F.floor(F.lit(float(frac_train)) * F.col("n"))
+    return ranked.select(
+        group_col,
+        "anchor",
+        F.when(is_train, F.lit("train")).otherwise(F.lit("heldout")).alias("split"),
+    )
+
+
+def temporal_split_approx(
+    df: DataFrame,
+    frac_train: float,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Scale arm of :func:`temporal_split`: the cutoff anchor is an
+    approx_percentile scalar (GK sketch, fixed memory), broadcast back as
+    a literal comparison — no global window, no single-partition sort;
+    every stage is parallel at any group count. Groups whose anchor
+    equals the cutoff go to train (<=), so the split is still total and
+    deterministic for a given sketch result."""
+    anchors = df.groupBy(group_col).agg(F.min(ts_col).alias("anchor"))
+    cut = anchors.agg(
+        F.expr(
+            f"approx_percentile(anchor, {float(frac_train)!r}, {accuracy})"
+        ).alias("cut")
+    )
+    return anchors.crossJoin(F.broadcast(cut)).select(
+        group_col,
+        "anchor",
+        F.when(F.col("anchor") <= F.col("cut"), F.lit("train"))
+        .otherwise(F.lit("heldout"))
+        .alias("split"),
+    )

@@ -601,3 +601,40 @@ def test_dedup_survivors_keeps_min_id_and_singletons(spark):
     assert out[10]["group_id"] == 5 and not out[10]["kept"]
     # untouched document is its own kept singleton
     assert out[3]["group_id"] == 3 and out[3]["kept"]
+
+
+def test_temporal_split_group_integrity_and_order(spark):
+    from kafka_streams_learning_spark.operators import sampling
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = sampling.temporal_split(ev, 0.8).collect()
+    n = len(out)
+    train = sorted(r["anchor"] for r in out if r["split"] == "train")
+    held = sorted(r["anchor"] for r in out if r["split"] == "heldout")
+    assert len(train) == int(0.8 * n) and len(train) + len(held) == n
+    # leakage guard: every train anchor precedes (or ties) every heldout one
+    assert train[-1] <= held[0]
+    # one row per user — group integrity by construction
+    assert len({r["user_id"] for r in out}) == n
+
+
+def test_temporal_split_approx_is_window_free(spark):
+    from kafka_streams_learning_spark.operators import sampling
+    from kafka_streams_learning_spark.plans import explain as E
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = sampling.temporal_split_approx(ev, 0.8)
+    plan = E.formatted_plan(out)
+    assert "Window" not in plan  # no rank, no single-partition sort
+    rows = out.collect()
+    frac = sum(r["split"] == "train" for r in rows) / len(rows)
+    assert 0.7 <= frac <= 0.9  # sketch-accurate placement
+    exact = {r["user_id"]: r["split"] for r in sampling.temporal_split(ev, 0.8).collect()}
+    agree = sum(exact[r["user_id"]] == r["split"] for r in rows) / len(rows)
+    assert agree >= 0.95
