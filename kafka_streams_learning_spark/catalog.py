@@ -472,6 +472,7 @@ _TAIL_STABLE = [
     "x14_multimodal_decode",
     "x20_balanced_sample",
     "x21_tfidf_topk",
+    "x24_quantile_stats",
 ]
 
 # NEW extension rows this round — hoisted to the front of the extension
@@ -484,6 +485,7 @@ _HEAD_FIRST = [
     "x35_kmeans_clusters",
     "x36_sequence_packing",
     "x37_temporal_split",
+    "x38_doc_chunking",
 ]
 
 

@@ -1346,6 +1346,38 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# X38 — overlapping token-window chunking (embedding/RAG prep): window of
+# CHUNK_TOKENS advancing by CHUNK_STRIDE; single narrow scan-shaped pass.
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def _x38(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.chunk_documents(
+        load_table(spark, sf, "documents"), CHUNK_TOKENS, CHUNK_STRIDE
+    )
+
+
+_X38_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_RAW} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, len(toks), {CHUNK_STRIDE})) AS tok_start
+  FROM t
+)
+SELECT doc_id,
+       CAST(tok_start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(least({CHUNK_TOKENS}, n - tok_start) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[tok_start + 1 : tok_start + {CHUNK_TOKENS}], ' ')
+         AS chunk_text
+FROM s
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1421,4 +1453,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x37_temporal_split", _x37, _X37_SQL,
               "leakage-safe temporal split with user-group integrity "
               "(rank over |users| anchors; approx-cutoff scale arm)"),
+    QuerySpec("x38_doc_chunking", _x38, _X38_SQL,
+              "overlapping token-window chunking (RAG/embedding prep) — "
+              "one narrow scan-shaped pass, no shuffle"),
 ]

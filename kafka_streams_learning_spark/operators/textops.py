@@ -291,3 +291,40 @@ def gopher_quality(
             & (F.col("n_req_stop") >= GOPHER_MIN_REQ_STOP)
         ).alias("passes"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    embedding/RAG prep step (chunk_tokens window advancing by stride).
+    Chunk starts are 0, stride, 2·stride … < n_tokens; the last chunk may
+    be partial; empty documents produce no chunks.
+
+    Scale shape: tokenize once, generate starts with `sequence`, and
+    `posexplode` — a pure narrow pipeline (no shuffle, no Python); output
+    rows ≈ input tokens / stride, produced streaming inside one codegen
+    stage, so a 100 TB corpus chunks in a single scan-shaped pass."""
+    toks = T.tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    e = df.select(
+        F.col(id_col), toks.alias("__toks"), n.alias("__n"),
+        F.posexplode(starts).alias("chunk_idx", "tok_start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("tok_start") + 1, chunk_tokens)
+    return e.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("tok_start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

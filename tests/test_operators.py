@@ -638,3 +638,27 @@ def test_temporal_split_approx_is_window_free(spark):
     exact = {r["user_id"]: r["split"] for r in sampling.temporal_split(ev, 0.8).collect()}
     agree = sum(exact[r["user_id"]] == r["split"] for r in rows) / len(rows)
     assert agree >= 0.95
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    from kafka_streams_learning_spark.operators import textops
+    from kafka_streams_learning_spark.plans import explain as E
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id: long, text: string",
+    )
+    out = textops.chunk_documents(df, chunk_tokens=4, stride=3)
+    assert E.exchange_count(out) == 0
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc  # empty doc yields no chunks
+    d1 = by_doc[1]
+    assert [r["tok_start"] for r in d1] == [0, 3, 6, 9]
+    assert [r["chunk_text"] for r in d1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+    ]
+    assert [r["n_chunk_tokens"] for r in d1] == [4, 4, 4, 1]
+    assert by_doc[2][0]["chunk_text"] == "a b" and len(by_doc[2]) == 1
