@@ -473,6 +473,7 @@ _TAIL_STABLE = [
     "x20_balanced_sample",
     "x21_tfidf_topk",
     "x24_quantile_stats",
+    "x22_asof_join",
 ]
 
 # NEW extension rows this round — hoisted to the front of the extension
@@ -486,6 +487,7 @@ _HEAD_FIRST = [
     "x36_sequence_packing",
     "x37_temporal_split",
     "x38_doc_chunking",
+    "x39_semantic_dedup",
 ]
 
 

@@ -1262,7 +1262,8 @@ def _kmeans_dist_sql(vec: str, cv: str) -> str:
     )
 
 
-def _x35_sql() -> str:
+def _kmeans_ctes() -> str:
+    """The shared c0→a0→c1→…→c{ITER} Lloyd's CTE chain (x35 and x39)."""
     snap_seed = clustering.snap6_sql("CAST(x AS DOUBLE)")
     parts = [
         f"""c0 AS (
@@ -1291,10 +1292,13 @@ def _x35_sql() -> str:
   ) GROUP BY 1
 )"""
     )
+    return ",\n".join(parts)
+
+
+def _x35_sql() -> str:
     dist = _kmeans_dist_sql("e.embedding", "c.cv")
-    ctes = ",\n".join(parts)
     return f"""
-WITH {ctes}
+WITH {_kmeans_ctes()}
 SELECT vec_id, cluster, dist FROM (
   SELECT e.vec_id, c.cid AS cluster, {dist} AS dist
   FROM embeddings e CROSS JOIN c{KMEANS_ITER} c
@@ -1378,6 +1382,55 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# X39 — SemDeDup: exact cosine near-dup pairs generated only within a
+# k-means cluster — the cluster-bounded scale path beside x26's banded
+# LSH. Pairs = equi-join on cluster id, Σ|cluster|² not n²; scoring is
+# normalize-once + one dot (same contract as x10/x26 re-scoring).
+
+SEMDEDUP_THRESHOLD = EMB_DUP_THRESHOLD
+
+
+def _x39(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    cents = clustering.kmeans_centroids(
+        emb, k=KMEANS_K, n_iter=KMEANS_ITER, dim=EMB_DIM
+    )
+    return similarity.semantic_near_dup_pairs(emb, cents, SEMDEDUP_THRESHOLD)
+
+
+_NORM_SQ = (
+    "list_sum(list_transform(embedding, "
+    "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
+)
+
+
+def _x39_sql() -> str:
+    dist = _kmeans_dist_sql("e.embedding", "c.cv")
+    return f"""
+WITH {_kmeans_ctes()},
+asg AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cluster, {dist} AS dist
+    FROM embeddings e CROSS JOIN c{KMEANS_ITER} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+),
+n AS (
+  SELECT vec_id, cluster,
+         list_transform(embedding,
+           x -> CAST(x AS DOUBLE) / sqrt({_NORM_SQ})) AS nv
+  FROM asg
+  WHERE {_NORM_SQ} > 0
+)
+SELECT cluster, vec_a, vec_b, score FROM (
+  SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(generate_series(1, len(a.nv)),
+             i -> a.nv[i] * b.nv[i])) AS score
+  FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+) WHERE score >= {SEMDEDUP_THRESHOLD}
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1456,4 +1509,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x38_doc_chunking", _x38, _X38_SQL,
               "overlapping token-window chunking (RAG/embedding prep) — "
               "one narrow scan-shaped pass, no shuffle"),
+    QuerySpec("x39_semantic_dedup", _x39, _x39_sql(),
+              "SemDeDup: exact cosine pairs within k-means clusters "
+              "(cluster-bounded equi-join, second scale path to x26)"),
 ]

@@ -113,7 +113,7 @@ def update_centroids(
     return sorted(out)
 
 
-def kmeans(
+def kmeans_centroids(
     df: DataFrame,
     k: int,
     n_iter: int,
@@ -121,18 +121,11 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 6,
-) -> DataFrame:
-    """Lloyd's k-means: deterministic seeding (the k rows with the lowest
-    ids), ``n_iter`` fixed assignment/update rounds, then a final
-    assignment. Returns (id, cluster, dist) — dist is the squared
-    euclidean distance to the final centroid.
-
-    Fixed iteration count (no early stop) keeps the computation exactly
-    replayable by the unrolled SQL oracle; callers that want convergence
-    can loop :func:`assign_clusters`/:func:`update_centroids` directly and
-    compare successive rounded centroids driver-side for free (they are
-    already collected).
-    """
+) -> dict[int, list[float]]:
+    """Train centroids: deterministic seeding (the k rows with the lowest
+    ids) + ``n_iter`` Lloyd rounds. Returns {cluster_id: centroid} with
+    empty clusters absent — driver-resident, ready to feed
+    :func:`assign_clusters` or `similarity.semantic_near_dup_pairs`."""
     # Python floats ARE IEEE doubles, so the driver-side snap is the same
     # computation snap6() runs in-engine (float32→double conversion is
     # exact; multiply/add/floor/divide replay bit-for-bit).
@@ -142,7 +135,6 @@ def kmeans(
         j: [math.floor(float(x) * scale + 0.5) / scale for x in r[vec_col]]
         for j, r in enumerate(seed_rows)
     }
-
     for _ in range(n_iter):
         assigned = assign_clusters(
             df, _dense(centroids), vec_col=vec_col
@@ -152,7 +144,32 @@ def kmeans(
                 assigned, dim, vec_col=vec_col, round_decimals=round_decimals
             )
         )
+    return centroids
 
+
+def kmeans(
+    df: DataFrame,
+    k: int,
+    n_iter: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means: :func:`kmeans_centroids` then a final assignment.
+    Returns (id, cluster, dist) — dist is the squared euclidean distance
+    to the final centroid.
+
+    Fixed iteration count (no early stop) keeps the computation exactly
+    replayable by the unrolled SQL oracle; callers that want convergence
+    can loop :func:`assign_clusters`/:func:`update_centroids` directly and
+    compare successive rounded centroids driver-side for free (they are
+    already collected).
+    """
+    centroids = kmeans_centroids(
+        df, k, n_iter, dim, id_col=id_col, vec_col=vec_col,
+        round_decimals=round_decimals,
+    )
     final = assign_clusters(df, _dense(centroids), vec_col=vec_col)
     return final.withColumn("cluster", _relabel(centroids)).select(
         id_col, "cluster", "dist"

@@ -348,3 +348,50 @@ def embedding_near_dup_pairs(
         .filter(F.col("score") >= threshold)
         .select("vec_a", "vec_b", "score")
     )
+
+
+def semantic_near_dup_pairs(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: exact cosine pairs (a < b, score ≥
+    threshold) generated only WITHIN a k-means cluster. The second
+    bounded-pair scale path next to the banded LSH (x26): cluster
+    assignment is a zero-shuffle expression over driver-trained centroids
+    (`clustering.kmeans_centroids`), then pairs come from an equi-join on
+    the cluster id — pair count is Σ|cluster|², never n². At 100 TB pick
+    k so clusters stay ~10³-10⁴ vectors (SemDeDup uses k in the tens of
+    thousands); with few clusters the equi-join skews, which AQE skew
+    splitting handles since the join is key-equal, not cartesian.
+    Scoring matches `embedding_near_dup_pairs` exactly: normalize once
+    per side, one dot product per pair."""
+    from kafka_streams_learning_spark.operators import clustering
+
+    assigned = clustering.assign_clusters(
+        df, clustering._dense(centroids), vec_col=vec_col
+    ).withColumn("cluster", clustering._relabel(centroids))
+    nrm = norm(F.col(vec_col))
+    base = (
+        assigned.select(id_col, "cluster", F.col(vec_col), nrm.alias("_nrm"))
+        .filter(F.col("_nrm") > 0)
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")
+            ).alias("nv"),
+        )
+    )
+    a = base.select("cluster", F.col(id_col).alias("vec_a"), F.col("nv").alias("na"))
+    b = base.select("cluster", F.col(id_col).alias("vec_b"), F.col("nv").alias("nb"))
+    prods = F.zip_with(F.col("na"), F.col("nb"), lambda x, y: x * y)
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("score", F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x))
+        .filter(F.col("score") >= threshold)
+        .select("cluster", "vec_a", "vec_b", "score")
+    )

@@ -106,3 +106,31 @@ def test_snap6_is_engine_exact(spark):
         for r in df.select("x", clustering.snap6(F.col("x")).alias("s")).collect()
     }
     assert got == {v: _snap(v) for v in vals}
+
+
+def test_semantic_pairs_subset_of_exact_with_same_scores(spark):
+    from kafka_streams_learning_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = clustering.kmeans_centroids(emb, k=4, n_iter=2, dim=64)
+    sem = similarity.semantic_near_dup_pairs(emb, cents, 0.2).collect()
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["score"]
+        for r in similarity.embedding_near_dup_pairs(emb, 0.2).collect()
+    }
+    assert sem, "threshold produced no pairs — test data drifted"
+    for r in sem:
+        # every semantic pair is a true pair with the bit-identical score
+        assert exact[(r["vec_a"], r["vec_b"])] == r["score"]
+    # and the in-cluster restriction keeps a useful fraction of them
+    assert len(sem) / len(exact) >= 0.1
+
+
+def test_semantic_pairs_plan_is_equi_join_not_cartesian(spark):
+    from kafka_streams_learning_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = {0: [0.0] * 64, 1: [1.0] * 64}
+    df = similarity.semantic_near_dup_pairs(emb, cents, 0.3)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
