@@ -474,6 +474,7 @@ _TAIL_STABLE = [
     "x21_tfidf_topk",
     "x24_quantile_stats",
     "x22_asof_join",
+    "x18_ann_lsh_topk",
 ]
 
 # NEW extension rows this round — hoisted to the front of the extension

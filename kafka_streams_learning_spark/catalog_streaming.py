@@ -544,6 +544,72 @@ def _s12(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+
+
+# s15 — streaming near-dup filter: per-record MinHash signature computed
+# as a pure expression (no per-doc aggregation — chaining two stateful
+# aggs is unsupported in one streaming query), single-band LSH bucket =
+# md5 of the full signature, then ONE stateful groupBy(bucket) keeping
+# (first doc id, member count). The streaming twin of the x06/x11 sketch
+# family: near-duplicate groups emerge incrementally as the corpus
+# streams in; complete-mode final state hash-matches the batch oracle
+# regardless of arrival order (min/count are order-free).
+
+
+def _s15(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.catalog_ext import JACCARD_K, MINHASH_PERMS
+    from kafka_streams_learning_spark.functions.hashing import hash32, perm_hash
+    from kafka_streams_learning_spark.functions.text import word_shingles
+
+    stream = shared_replay_table(
+        spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"
+    )
+    harr = F.transform(
+        word_shingles(F.col("text"), JACCARD_K), lambda s: hash32(s)
+    )
+    mins = [
+        F.array_min(F.transform(harr, lambda h: perm_hash(h, i))).cast("string")
+        for i in range(MINHASH_PERMS)
+    ]
+    bucket = F.md5(F.concat_ws("_", *mins))
+    groups = (
+        stream.select(F.col("doc_id"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+    name = _fresh_name("s15_out")
+    runner.run_to_memory(groups, name, "complete", state_partitions=STATE_SHARDS)
+    return spark.table(name)
+
+
+def _s15_sql() -> str:
+    from kafka_streams_learning_spark.catalog_ext import (
+        MINHASH_PERMS,
+        _SHINGLES,
+        _TOKS_NORM,
+    )
+    from kafka_streams_learning_spark.functions.hashing import (
+        hash32_sql,
+        perm_hash_sql,
+    )
+
+    mins = ",\n       ".join(
+        f"MIN({perm_hash_sql('h', i)}) AS mh{i}" for i in range(MINHASH_PERMS)
+    )
+    sig_cast = ", ".join(f"CAST(mh{i} AS VARCHAR)" for i in range(MINHASH_PERMS))
+    return rf"""
+WITH t AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS shingles FROM t),
+u AS (SELECT doc_id, {hash32_sql('unnest(shingles)')} AS h FROM s),
+sig AS (SELECT doc_id,
+       {mins}
+FROM u GROUP BY doc_id),
+b AS (SELECT doc_id, md5(concat_ws('_', {sig_cast})) AS bucket FROM sig)
+SELECT bucket, MIN(doc_id) AS keep_id, COUNT(*) AS n_members
+FROM b GROUP BY 1
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -577,4 +643,7 @@ STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s14_stream_stateless_map", _s14, _s14_sql(),
               "stateless per-record map through the streaming engine "
               "(q01/P1 twin — append mode, no state store)"),
+    QuerySpec("s15_stream_neardup_filter", _s15, _s15_sql(),
+              "streaming MinHash-LSH near-dup groups: expression-only "
+              "signature, one stateful bucket aggregation (x06/x11 twin)"),
 ]

@@ -656,3 +656,35 @@ def test_ordered_asof_checkpoint_recovery(spark, tmpdir):
         (3, 1, 12 * 60 * 1_000_000),
         (4, 1, 40 * 60 * 1_000_000),
     ]
+
+
+def test_streaming_neardup_merges_across_batches(spark, tmpdir):
+    """s15: a batch-2 document whose MinHash bucket collides with a
+    batch-1 document merges into the SAME group (keep_id = first arrival
+    by doc_id); a distinct doc forms its own bucket."""
+    from kafka_streams_learning_spark.catalog_ext import JACCARD_K, MINHASH_PERMS
+    from kafka_streams_learning_spark.functions.hashing import hash32, perm_hash
+    from kafka_streams_learning_spark.functions.text import word_shingles
+
+    schema = "doc_id long, text string"
+    same = "the quick brown fox jumps over the lazy dog"
+    chunks = [
+        [(1, same), (2, "completely different text about spark streaming")],
+        [(3, same)],  # near-dup of doc 1, arrives a batch later
+    ]
+    stage_explicit_chunks(spark, chunks, schema, tmpdir)
+    stream = replay_stream(spark, tmpdir, schema)
+    harr = F.transform(word_shingles(F.col("text"), JACCARD_K), lambda s: hash32(s))
+    mins = [
+        F.array_min(F.transform(harr, lambda h: perm_hash(h, i))).cast("string")
+        for i in range(MINHASH_PERMS)
+    ]
+    groups = (
+        stream.select("doc_id", F.md5(F.concat_ws("_", *mins)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+    name = "s15_test_out"
+    runner.run_to_memory(groups, name, "complete", state_partitions=2)
+    rows = sorted(spark.table(name).collect(), key=lambda r: r["keep_id"])
+    assert [(r["keep_id"], r["n_members"]) for r in rows] == [(1, 2), (2, 1)]
