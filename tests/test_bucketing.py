@@ -146,3 +146,33 @@ def test_enrich_join_bucketed_arm_zero_exchange(spark, bucketed_tables):
         assert E.exchange_count(j) == 0, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_write_sharded_layout_and_roundtrip(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from kafka_streams_learning_spark.sources import sink
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "sharded")
+    sink.write_sharded(docs, path, n_shards=4, max_records_per_file=100)
+    back = spark.read.parquet(path)
+    # round-trip: same rows (shard column added)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns) | {"shard"}
+    # every shard directory exists; file rollover respects the cap
+    for s in range(4):
+        files = glob.glob(f"{path}/shard={s}/*.parquet")
+        assert files, f"shard {s} missing"
+        for f in files:
+            assert pq.ParquetFile(f).metadata.num_rows <= 100
+    # shard assignment matches the plan's accounting
+    plan = {r["shard"]: r["n_rows"] for r in sink.shard_plan(docs, 4).collect()}
+    got = {r["shard"]: r["cnt"] for r in back.groupBy("shard")
+           .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == plan
+    # no shard grossly imbalanced (hash uniformity)
+    assert max(plan.values()) <= 3 * min(plan.values())

@@ -662,3 +662,31 @@ def test_chunk_documents_covers_and_overlaps(spark):
     ]
     assert [r["n_chunk_tokens"] for r in d1] == [4, 4, 4, 1]
     assert by_doc[2][0]["chunk_text"] == "a b" and len(by_doc[2]) == 1
+
+
+def test_sliding_count_hot_key_linear_and_correct(spark):
+    """A 20%-hot key must stay correct through the RANGE-frame form (the
+    old self-join exploded O(p^2) here) — verified against a brute-force
+    model on the skewed key."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    rid = 0
+    for i in range(200):  # hot key: 200 events, one per minute
+        rows.append(("hot", rid, base + _dt.timedelta(minutes=i))); rid += 1
+    for u in range(40):  # 40 cold keys with 5 events each
+        for i in range(5):
+            rows.append((f"u{u}", rid, base + _dt.timedelta(minutes=7 * i))); rid += 1
+    df = spark.createDataFrame(rows, "user string, rid long, ts timestamp")
+    out = sliding.sliding_count(
+        df, "user", "ts", "10 MINUTES", id_cols=["user", "rid", "ts"]
+    ).collect()
+    by_rid = {r["rid"]: r["cnt"] for r in out}
+    lookback = _dt.timedelta(minutes=10)
+    for u, rid_, ts_ in rows:
+        want = sum(
+            1 for u2, _, t2 in rows
+            if u2 == u and ts_ - lookback <= t2 <= ts_
+        )
+        assert by_rid[rid_] == want, (u, rid_)
