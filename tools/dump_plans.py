@@ -108,6 +108,25 @@ SHOWCASE: dict[str, str] = {
         "decision is one md5 threshold per row — at 100 TB the sampler "
         "costs a scan plus a broadcast of a handful of rows."
     ),
+    "x35_kmeans_clusters": (
+        "The final assignment (shown) is Exchange-free: the whole k×d "
+        "centroid matrix is ONE nested-array literal and the argmin is "
+        "array_min(transform(...)) — a constant-size expression fused "
+        "into the scan projection. Each Lloyd iteration adds one "
+        "partial-agg groupBy whose shuffle carries k rows."
+    ),
+    "x36_sequence_packing": (
+        "One Exchange (hashpartitioning on the packing bucket) + one "
+        "per-bucket Sort + a running-sum Window — the whole packing "
+        "layout in a single shuffle whose parallelism is the bucket "
+        "count, i.e. the target shard count at 100 TB."
+    ),
+    "x39_semantic_dedup": (
+        "Pair generation is a cluster-id SortMergeJoin/ShuffledHashJoin "
+        "— key-equal, so AQE can skew-split it; no CartesianProduct or "
+        "BroadcastNestedLoop anywhere (plan-tested). Σ|cluster|² pairs "
+        "instead of n²."
+    ),
 }
 
 
