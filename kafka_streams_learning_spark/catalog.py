@@ -475,6 +475,7 @@ _TAIL_STABLE = [
     "x24_quantile_stats",
     "x22_asof_join",
     "x18_ann_lsh_topk",
+    "x13_ann_ivf_topk",
 ]
 
 # NEW extension rows this round — hoisted to the front of the extension
@@ -489,6 +490,7 @@ _HEAD_FIRST = [
     "x37_temporal_split",
     "x38_doc_chunking",
     "x39_semantic_dedup",
+    "x40_training_layout",
 ]
 
 

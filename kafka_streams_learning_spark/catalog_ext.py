@@ -1246,10 +1246,25 @@ WHERE {keep_hash} < CAST(floor(rate * {scale}) AS BIGINT)
 KMEANS_K = 8
 KMEANS_ITER = 3
 
+# Lloyd training collects k×d doubles through the driver over n_iter jobs;
+# x35 and x39 train the IDENTICAL model, so one catalog run pays it once
+# (same per-process precedent as the s05 changelog staging cache). Fresh
+# process per round ⇒ the cache can never span a fixture regeneration.
+_CENTROID_CACHE: dict[str, dict[int, list[float]]] = {}
+
+
+def _trained_centroids(spark: SparkSession, sf: str) -> dict[int, list[float]]:
+    if sf not in _CENTROID_CACHE:
+        emb = load_table(spark, sf, "embeddings")
+        _CENTROID_CACHE[sf] = clustering.kmeans_centroids(
+            emb, k=KMEANS_K, n_iter=KMEANS_ITER, dim=EMB_DIM
+        )
+    return _CENTROID_CACHE[sf]
+
 
 def _x35(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    return clustering.kmeans(emb, k=KMEANS_K, n_iter=KMEANS_ITER, dim=EMB_DIM)
+    return clustering.assign_labeled(emb, _trained_centroids(spark, sf))
 
 
 def _kmeans_dist_sql(vec: str, cv: str) -> str:
@@ -1393,9 +1408,7 @@ SEMDEDUP_THRESHOLD = EMB_DUP_THRESHOLD
 
 def _x39(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    cents = clustering.kmeans_centroids(
-        emb, k=KMEANS_K, n_iter=KMEANS_ITER, dim=EMB_DIM
-    )
+    cents = _trained_centroids(spark, sf)
     return similarity.semantic_near_dup_pairs(emb, cents, SEMDEDUP_THRESHOLD)
 
 
@@ -1428,6 +1441,54 @@ SELECT cluster, vec_a, vec_b, score FROM (
              i -> a.nv[i] * b.nv[i])) AS score
   FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 ) WHERE score >= {SEMDEDUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# X40 — the full training-prep pipeline, fused: clean (lang+quality+dedup
+# survivor) → hash split (same salt as x19, so assignments agree) → pack
+# the train split into sequences. TWO exchanges end-to-end (fingerprint
+# window + packing window); the deliverable layout a dataloader consumes.
+
+TRAIN_PCT = 80
+
+
+def _x40(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators.pipeline import training_layout
+
+    return training_layout(
+        load_table(spark, sf, "documents"),
+        CLEAN_MIN_QUALITY,
+        CLEAN_LANGS,
+        TRAIN_PCT,
+        budget=PACK_BUDGET,
+        n_buckets=PACK_BUCKETS,
+    )
+
+
+def _x40_sql() -> str:
+    from kafka_streams_learning_spark.operators.sampling import (
+        hash_split_bucket_sql,
+    )
+
+    langs_in = ", ".join(f"'{lang}'" for lang in CLEAN_LANGS)
+    return f"""
+WITH stats AS ({_X01_SQL}),
+lang AS ({_lang_sql()}),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})),
+surv AS (
+  SELECT d.doc_id, d.text, lang.lang_guess, stats.quality
+  FROM documents d
+  JOIN keep USING (doc_id)
+  JOIN lang ON lang.doc_id = d.doc_id
+  JOIN stats ON stats.doc_id = d.doc_id
+  WHERE lang.lang_guess IN ({langs_in}) AND stats.quality >= {CLEAN_MIN_QUALITY}
+    AND {hash_split_bucket_sql('d.doc_id')} < {TRAIN_PCT}
+),
+p AS ({packing.pack_sql(PACK_BUDGET, PACK_BUCKETS, table="surv")})
+SELECT p.doc_id, s.lang_guess, s.quality, p.bucket, p.tok_start,
+       p.n_tokens, p.seq_first, p.seq_last, p.n_seqs
+FROM p JOIN surv s USING (doc_id)
 """
 
 
@@ -1512,4 +1573,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x39_semantic_dedup", _x39, _x39_sql(),
               "SemDeDup: exact cosine pairs within k-means clusters "
               "(cluster-bounded equi-join, second scale path to x26)"),
+    QuerySpec("x40_training_layout", _x40, _x40_sql(),
+              "fused prep pipeline: clean → dedup survivor → hash split "
+              "→ train-split sequence packing (two exchanges end-to-end)"),
 ]

@@ -147,6 +147,20 @@ def kmeans_centroids(
     return centroids
 
 
+def assign_labeled(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, dist) against trained centroids — zero-shuffle, with
+    dense argmin positions mapped back to the stable cluster ids."""
+    final = assign_clusters(df, _dense(centroids), vec_col=vec_col)
+    return final.withColumn("cluster", _relabel(centroids)).select(
+        id_col, "cluster", "dist"
+    )
+
+
 def kmeans(
     df: DataFrame,
     k: int,
@@ -170,10 +184,7 @@ def kmeans(
         df, k, n_iter, dim, id_col=id_col, vec_col=vec_col,
         round_decimals=round_decimals,
     )
-    final = assign_clusters(df, _dense(centroids), vec_col=vec_col)
-    return final.withColumn("cluster", _relabel(centroids)).select(
-        id_col, "cluster", "dist"
-    )
+    return assign_labeled(df, centroids, id_col=id_col, vec_col=vec_col)
 
 
 def _dense(centroids: dict[int, list[float]]) -> list[list[float]]:

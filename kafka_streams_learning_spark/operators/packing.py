@@ -40,6 +40,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = PACK_SALT,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign every document its packed location: ``(bucket, tok_start,
     n_tokens, seq_first, seq_last, n_seqs)`` where ``tok_start`` is the
@@ -49,10 +50,13 @@ def pack_sequences(
     Deterministic: order within a bucket is (hash, id); integer window
     cumsum — nothing float-dependent, so the oracle replays exactly.
     Zero-token documents are kept (n_seqs = 0, seq_last < seq_first
-    by convention) rather than silently dropped."""
+    by convention) rather than silently dropped. ``carry_cols`` ride
+    along into the output unchanged (no extra join needed)."""
+    carry_cols = carry_cols or []
     h = hashing.hash60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
     base = df.select(
         F.col(id_col),
+        *carry_cols,
         h.alias("__h"),
         (h % n_buckets).cast("int").alias("bucket"),
         subword_count(F.col(text_col)).alias("n_tokens"),
@@ -68,6 +72,7 @@ def pack_sequences(
     seq_last = F.floor((tok_end - 1) / F.lit(budget)).alias("seq_last")
     return base.select(
         id_col,
+        *carry_cols,
         "bucket",
         tok_start,
         "n_tokens",

@@ -49,3 +49,58 @@ def clean_corpus(
         )
         .select(id_col, "lang_guess", "n_tokens", "quality")
     )
+
+
+def training_layout(
+    df: DataFrame,
+    min_quality: float,
+    langs: tuple[str, ...],
+    train_pct: int,
+    budget: int,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full prep pipeline, fused: clean (lang + quality + dedup
+    survivor) → deterministic hash split → concat-and-chunk packing of
+    the TRAIN split. Output is the training-sequence layout: one row per
+    surviving train document with its (bucket, tok_start, seq_first,
+    seq_last) location plus the cleaning features that justified keeping
+    it.
+
+    Plan shape — TWO exchanges end-to-end: the dedup-survivor window
+    (partition by fingerprint) and the packing window (partition by
+    bucket). Everything else — language scores, quality, the split
+    decision — is expression-only and fuses into the scan; the split uses
+    the SAME salt/hash as `sampling.hash_split`, so a document's split
+    here always agrees with x19's standalone assignment."""
+    from kafka_streams_learning_spark.operators import packing, sampling
+
+    t = F.col(text_col)
+    feats = df.select(
+        id_col,
+        text_col,
+        T.lang_guess(t).alias("lang_guess"),
+        T.quality_score(t).alias("quality"),
+        T.fingerprint(t).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    split_bucket = sampling._bucket(id_col, sampling.SPLIT_SALT, 100)
+    survivors = (
+        feats.withColumn("_rk", F.row_number().over(w))
+        .filter(
+            (F.col("_rk") == 1)
+            & F.col("lang_guess").isin(*langs)
+            & (F.col("quality") >= min_quality)
+            & (split_bucket < train_pct)
+        )
+        .select(id_col, text_col, "lang_guess", "quality")
+    )
+    return packing.pack_sequences(
+        survivors,
+        budget=budget,
+        n_buckets=n_buckets,
+        id_col=id_col,
+        text_col=text_col,
+        carry_cols=["lang_guess", "quality"],
+    )

@@ -58,3 +58,36 @@ def test_token_totals_conserved(spark):
 
 def test_packing_is_single_exchange(spark):
     assert E.exchange_count(_packed(spark)) == 1
+
+
+def test_training_layout_two_exchanges_and_component_agreement(spark):
+    from kafka_streams_learning_spark.operators.pipeline import (
+        clean_corpus,
+        training_layout,
+    )
+    from kafka_streams_learning_spark.operators import sampling
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = training_layout(docs, 0.55, ("en",), 80, budget=BUDGET, n_buckets=4)
+    # two exchanges end-to-end: fingerprint window + packing window
+    assert E.exchange_count(out) == 2
+    rows = out.collect()
+    got_ids = {r["doc_id"] for r in rows}
+    # agreement with the standalone components it composes
+    clean_ids = {r["doc_id"] for r in clean_corpus(docs, 0.55, ("en",)).collect()}
+    split = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(
+            docs, [("train", 80), ("val", 10), ("test", 10)]
+        ).collect()
+    }
+    assert got_ids == {i for i in clean_ids if split[i] == "train"}
+    # packed contiguously within each bucket
+    by_bucket = {}
+    for r in sorted(rows, key=lambda r: (r["bucket"], r["tok_start"])):
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for docs_in_b in by_bucket.values():
+        expect = 0
+        for r in docs_in_b:
+            assert r["tok_start"] == expect
+            expect += r["n_tokens"]
