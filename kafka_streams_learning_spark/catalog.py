@@ -476,6 +476,7 @@ _TAIL_STABLE = [
     "x22_asof_join",
     "x18_ann_lsh_topk",
     "x13_ann_ivf_topk",
+    "x16_clean_corpus",
 ]
 
 # NEW extension rows this round — hoisted to the front of the extension
@@ -491,6 +492,7 @@ _HEAD_FIRST = [
     "x38_doc_chunking",
     "x39_semantic_dedup",
     "x40_training_layout",
+    "x41_vocab_coverage",
 ]
 
 

@@ -1492,6 +1492,36 @@ FROM p JOIN surv s USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# X41 — frequency-ranked vocabulary with cumulative corpus coverage: the
+# pre-tokenizer diagnostic. Global window over |vocab| rows, never corpus
+# rows; WindowGroupLimit prunes map-side at the literal rank cap.
+
+VOCAB_SIZE = 200
+
+
+def _x41(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.vocab_coverage(load_table(spark, sf, "documents"), VOCAB_SIZE)
+
+
+_X41_SQL = rf"""
+WITH toks AS (
+  SELECT unnest({_TOKS_NORM}) AS token FROM documents
+), c AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1
+), r AS (
+  SELECT token, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS total
+  FROM c
+)
+SELECT token, cnt, rank, cum_cnt / CAST(total AS DOUBLE) AS coverage
+FROM r WHERE rank <= {VOCAB_SIZE}
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1576,4 +1606,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x40_training_layout", _x40, _x40_sql(),
               "fused prep pipeline: clean → dedup survivor → hash split "
               "→ train-split sequence packing (two exchanges end-to-end)"),
+    QuerySpec("x41_vocab_coverage", _x41, _X41_SQL,
+              "frequency-ranked vocabulary with cumulative coverage "
+              "(window over |vocab| rows, TakeOrdered-pruned map-side)"),
 ]

@@ -8,7 +8,7 @@ with no Python in the path and full column pruning at the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_learning_spark.functions import text as T
@@ -327,4 +327,46 @@ def chunk_documents(
         .cast("long")
         .alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, vocab_size: int, text_col: str = "text"
+) -> DataFrame:
+    """Frequency-ranked vocabulary with corpus coverage: the top
+    ``vocab_size`` tokens, each with count, rank, and the cumulative
+    fraction of all token occurrences covered through that rank — the
+    standard pre-tokenizer diagnostic ("how big must V be for 95%
+    coverage?").
+
+    Scale shape: explode → partial-agg count per token (one shuffle on
+    token); ranking + running coverage are a single global window over
+    the DISTINCT-TOKEN table — |vocab| rows, not corpus rows (natural
+    text vocabularies are millions at most; the corpus itself never
+    sorts). The literal rank filter collapses to TakeOrderedAndProject
+    below the window: each task keeps a partial top-V before the
+    singleton-partition exchange (plan-tested)."""
+    tok = df.select(
+        F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # rank-filter FIRST (rank-only window → WindowGroupLimit prunes
+    # map-side), cumsum SECOND: the filter keeps a prefix of the same
+    # ordering, so the running sum over survivors equals the running sum
+    # over everything — and a mixed rank+sum window would disable the
+    # group-limit pruning.
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= vocab_size)
+        .withColumn("cum_cnt", F.sum("cnt").over(cum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            "rank",
+            (F.col("cum_cnt") / F.col("total")).alias("coverage"),
+        )
     )

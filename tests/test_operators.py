@@ -690,3 +690,26 @@ def test_sliding_count_hot_key_linear_and_correct(spark):
             if u2 == u and ts_ - lookback <= t2 <= ts_
         )
         assert by_rid[rid_] == want, (u, rid_)
+
+
+def test_vocab_coverage_monotone_and_complete(spark):
+    from kafka_streams_learning_spark.operators import textops
+    from kafka_streams_learning_spark.plans import explain as E
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "doc_id: long, text: string"
+    )
+    out = sorted(
+        textops.vocab_coverage(df, 10).collect(), key=lambda r: r["rank"]
+    )
+    assert [(r["token"], r["cnt"]) for r in out] == [
+        ("a", 4), ("b", 3), ("c", 1), ("d", 1),
+    ]
+    covs = [r["coverage"] for r in out]
+    assert covs == sorted(covs) and covs[-1] == 1.0
+    assert covs[0] == 4 / 9
+    # the literal global-rank cap collapses to TakeOrderedAndProject —
+    # per-partition partial top-V before the singleton exchange (stronger
+    # than WindowGroupLimit: the limit subsumes the rank window's input)
+    plan = E.formatted_plan(textops.vocab_coverage(df, 10))
+    assert "TakeOrderedAndProject" in plan
