@@ -477,6 +477,7 @@ _TAIL_STABLE = [
     "x18_ann_lsh_topk",
     "x13_ann_ivf_topk",
     "x16_clean_corpus",
+    "x09_ann_brute_topk",
 ]
 
 # NEW extension rows this round — hoisted to the front of the extension
@@ -493,6 +494,7 @@ _HEAD_FIRST = [
     "x39_semantic_dedup",
     "x40_training_layout",
     "x41_vocab_coverage",
+    "x42_cross_source_dups",
 ]
 
 

@@ -1522,6 +1522,34 @@ FROM r WHERE rank <= {VOCAB_SIZE}
 """
 
 
+# ---------------------------------------------------------------------------
+# X42 — cross-source duplication matrix: the near-dup pair graph rolled
+# up by provenance (mirror/leakage detection between corpus components).
+# Pair generation is x11's bucket-bounded LSH; the rollup is two
+# equi-joins against a 2-column projection + a |sources|² aggregate.
+
+
+def _x42(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.cross_source_dup_matrix(
+        load_table(spark, sf, "documents"), n_perm=MINHASH_PERMS, bands=MINHASH_PERMS
+    )
+
+
+def _x42_sql() -> str:
+    return f"""
+WITH pairs AS ({_lsh_sql()}),
+j AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs
+  JOIN documents da ON pairs.doc_a = da.doc_id
+  JOIN documents db ON pairs.doc_b = db.doc_id
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs
+FROM j GROUP BY 1, 2
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1609,4 +1637,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x41_vocab_coverage", _x41, _X41_SQL,
               "frequency-ranked vocabulary with cumulative coverage "
               "(window over |vocab| rows, TakeOrdered-pruned map-side)"),
+    QuerySpec("x42_cross_source_dups", _x42, _x42_sql(),
+              "cross-source duplication matrix over the LSH pair graph "
+              "(mirror/leakage detection; driver-sized output)"),
 ]

@@ -282,3 +282,40 @@ def dedup_survivors(
             (F.col(id_col) == group).alias("kept"),
         )
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    n_perm: int,
+    bands: int,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Provenance analysis over the near-dup pair graph: how much does
+    each pair of sources duplicate each other? (Cross-source overlap is
+    the classic symptom of scraped mirrors and benchmark leakage between
+    corpus components.) Returns (source_a ≤ source_b, n_pairs).
+
+    Shape: LSH candidate pairs (bucket-bounded, never all-pairs) → two
+    equi-joins against the (id → source) projection — the pair table is
+    the fact side, the projection is column-pruned to two columns — then
+    an order-normalized pair key and a tiny |sources|² aggregate, so the
+    output is driver-sized no matter the corpus."""
+    pairs = lsh_candidate_pairs(df, n_perm, bands, k, text_col, id_col)
+    src = df.select(F.col(id_col), F.col(source_col))
+    j = (
+        pairs.join(src.withColumnRenamed(id_col, "doc_a")
+                   .withColumnRenamed(source_col, "sa"), "doc_a")
+        .join(src.withColumnRenamed(id_col, "doc_b")
+              .withColumnRenamed(source_col, "sb"), "doc_b")
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -713,3 +713,22 @@ def test_vocab_coverage_monotone_and_complete(spark):
     # than WindowGroupLimit: the limit subsumes the rank window's input)
     plan = E.formatted_plan(textops.vocab_coverage(df, 10))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cross_source_dup_matrix_counts_known_mirrors(spark):
+    from kafka_streams_learning_spark.operators import dedup
+
+    same1 = "alpha beta gamma delta epsilon zeta"
+    same2 = "one two three four five six seven"
+    rows = [
+        (1, same1, "web"), (2, same1, "books"),      # cross-source mirror
+        (3, same2, "web"), (4, same2, "web"),        # within-source dup
+        (5, "totally unrelated text here okay", "books"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    out = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in dedup.cross_source_dup_matrix(df, n_perm=4, bands=4).collect()
+    }
+    assert out == {("books", "web"): 1, ("web", "web"): 1}
+    assert all(a <= b for a, b in out)  # order-normalized pair key
