@@ -127,6 +127,14 @@ SHOWCASE: dict[str, str] = {
         "BroadcastNestedLoop anywhere (plan-tested). Σ|cluster|² pairs "
         "instead of n²."
     ),
+    "x40_training_layout": (
+        "The WHOLE prep pipeline — language ID, quality gate, dedup "
+        "survivorship, train-split decision, sequence packing — in TWO "
+        "Exchanges (plan-tested): the fingerprint window and the packing "
+        "window. Every feature and the split hash fuse into the scan "
+        "projection; cleaning features ride through the packing window "
+        "as carried columns, so there is no join back."
+    ),
 }
 
 
