@@ -478,6 +478,11 @@ _TAIL_STABLE = [
     "x13_ann_ivf_topk",
     "x16_clean_corpus",
     "x09_ann_brute_topk",
+    # moved to the tail for x43/x44: sketch rows whose oracle SQL is
+    # generated from the same constants as the Spark expressions (cannot
+    # drift), driver-green since r02, locally oracle-checked every round
+    "x06_minhash_signatures",
+    "x08_simhash",
 ]
 
 # NEW extension rows this round — hoisted to the front of the extension
@@ -495,6 +500,8 @@ _HEAD_FIRST = [
     "x40_training_layout",
     "x41_vocab_coverage",
     "x42_cross_source_dups",
+    "x43_unigram_logprob",
+    "x44_dup_span_stats",
 ]
 
 

@@ -1550,6 +1550,105 @@ FROM j GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# X43 — CCNet-style unigram log-prob quality score: fit a top-V unigram
+# LM on the corpus, score each document by mean token log-probability.
+# Fixed-point (1e-6) logprobs make the per-doc score an exact integer
+# sum — engine-portable regardless of aggregation order.
+
+LM_VOCAB_SIZE = 20  # < the fixture's 31 distinct tokens, so UNK is real
+
+
+def _x43(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.unigram_logprob(load_table(spark, sf, "documents"), LM_VOCAB_SIZE)
+
+
+_X43_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_NORM}) AS token FROM documents
+), c AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+), v AS (
+  SELECT token, cnt FROM (
+    SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c
+  ) WHERE rank <= {LM_VOCAB_SIZE}
+), s AS (
+  SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM c) AS n_total,
+         (SELECT CAST(SUM(cnt) AS BIGINT) FROM v) AS n_vocab
+), vq AS (
+  SELECT token,
+         CAST(floor(ln(cnt / CAST(n_total + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS q
+  FROM v, s
+), uq AS (
+  SELECT CAST(floor(ln((n_total - n_vocab + 1) / CAST(n_total + 1 AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS unk_q
+  FROM s
+), d AS (
+  SELECT tok.doc_id,
+         COUNT(*) AS n_tokens,
+         COUNT(*) FILTER (vq.q IS NULL) AS n_unk,
+         CAST(SUM(COALESCE(vq.q, uq.unk_q)) AS BIGINT) AS logprob_q_sum
+  FROM tok LEFT JOIN vq USING (token), uq
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_unk, logprob_q_sum,
+       CAST(logprob_q_sum AS DOUBLE) / (1000000.0 * n_tokens) AS avg_logprob
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# X44 — ExactSubstr-flavored duplicated-span stats: per document, the
+# share of k-token windows that also occur in ANOTHER document, plus the
+# longest contiguous run of such windows (= longest shared substring of
+# length ≥ k, in windows).
+
+DUP_SPAN_THRESHOLD = 0.5
+
+
+def _x44(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dup_span_stats(
+        load_table(spark, sf, "documents"), k=JACCARD_K, threshold=DUP_SPAN_THRESHOLD
+    )
+
+
+_X44_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(sh))) AS pos,
+         unnest(sh) AS sh
+  FROM (SELECT doc_id, {_SHINGLES} AS sh FROM t)
+), shared AS (
+  SELECT sh FROM (SELECT sh, doc_id FROM w GROUP BY 1, 2)
+  GROUP BY sh HAVING COUNT(*) >= 2
+), flagged AS (
+  SELECT w.doc_id, w.pos, shared.sh IS NOT NULL AS dup
+  FROM w LEFT JOIN shared ON w.sh = shared.sh
+), runs AS (
+  SELECT doc_id, MAX(run_len) AS longest_dup_run FROM (
+    SELECT doc_id, island, COUNT(*) AS run_len FROM (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM flagged WHERE dup
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+), stats AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         CAST(SUM(CAST(dup AS BIGINT)) AS BIGINT) AS n_dup_windows
+  FROM flagged GROUP BY 1
+)
+SELECT stats.doc_id, n_windows, n_dup_windows,
+       n_dup_windows / CAST(n_windows AS DOUBLE) AS dup_ratio,
+       COALESCE(longest_dup_run, 0) AS longest_dup_run,
+       n_dup_windows / CAST(n_windows AS DOUBLE) >= {DUP_SPAN_THRESHOLD}
+         AS is_dup_heavy
+FROM stats LEFT JOIN runs ON stats.doc_id = runs.doc_id
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1640,4 +1739,10 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x42_cross_source_dups", _x42, _x42_sql(),
               "cross-source duplication matrix over the LSH pair graph "
               "(mirror/leakage detection; driver-sized output)"),
+    QuerySpec("x43_unigram_logprob", _x43, _X43_SQL,
+              "CCNet-style unigram-LM quality score (top-V vocab + UNK "
+              "mass, exact fixed-point integer logprob sums)"),
+    QuerySpec("x44_dup_span_stats", _x44, _X44_SQL,
+              "ExactSubstr-flavored cross-doc duplicated-span stats "
+              "(shared k-gram windows + longest contiguous run)"),
 ]

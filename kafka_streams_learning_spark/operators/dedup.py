@@ -21,7 +21,7 @@ the DuckDB oracle replays every sketch exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_learning_spark.functions import text as T
@@ -318,4 +318,79 @@ def cross_source_dup_matrix(
         )
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span analysis — the ExactSubstr dedup
+    verdict (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better") re-expressed at k-gram granularity: for
+    every document, how many of its k-token windows also occur in at
+    least one OTHER document, and how long is the longest contiguous
+    run of such windows? ExactSubstr builds a corpus suffix array; the
+    Spark-native equivalent flags shared fixed-k windows, whose maximal
+    runs are exactly the shared substrings of length ≥ k.
+
+    Complements `repetition_stats` (x30, WITHIN-document duplication)
+    with the BETWEEN-document signal used to cut boilerplate and
+    mirrored spans before pretraining.
+
+    Returns (id, n_windows, n_dup_windows, dup_ratio, longest_dup_run,
+    is_dup_heavy). `dup_ratio` is a single IEEE division of exact
+    integer counts — engine-portable.
+
+    Scale shape: posexplode windows → distinct (shingle, doc) postings →
+    shingle-key count to find shingles in ≥2 docs (map-side partial
+    agg) → equi-join back on shingle → two doc-key aggregates. Nothing
+    is ever all-pairs: the shuffle is bounded by the postings list like
+    x07, and the run/ratio rollups re-use one doc-key partitioning. At
+    100 TB, hash each shingle to 64 bits before the shuffle (same
+    portable hash family as MinHash) so exchange rows stay narrow — the
+    string form is kept here so the oracle joins on exact text.
+    """
+    win = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_shingles(F.col(text_col), k)).alias("pos", "sh"),
+    )
+    shared = (
+        win.select("sh", "id")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("sh", F.lit(True).alias("dup"))
+    )
+    flagged = win.join(shared, "sh", "left").select(
+        "id", "pos", F.coalesce("dup", F.lit(False)).alias("dup")
+    )
+    # gaps-and-islands: consecutive dup windows share (pos - rank)
+    wdoc = Window.partitionBy("id").orderBy("pos")
+    runs = (
+        flagged.filter("dup")
+        .withColumn("island", F.col("pos") - F.row_number().over(wdoc))
+        .groupBy("id", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("id")
+        .agg(F.max("run_len").alias("longest_dup_run"))
+    )
+    stats = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("dup").cast("long")).alias("n_dup_windows"),
+    )
+    ratio = F.col("n_dup_windows") / F.col("n_windows")
+    return stats.join(runs, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_windows",
+        "n_dup_windows",
+        ratio.alias("dup_ratio"),
+        F.coalesce(F.col("longest_dup_run"), F.lit(0).cast("bigint")).alias(
+            "longest_dup_run"
+        ),
+        (ratio >= F.lit(threshold)).alias("is_dup_heavy"),
     )

@@ -8,7 +8,7 @@ with no Python in the path and full column pruning at the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_learning_spark.functions import text as T
@@ -369,4 +369,106 @@ def vocab_coverage(
             "rank",
             (F.col("cum_cnt") / F.col("total")).alias("coverage"),
         )
+    )
+
+
+LOGPROB_SCALE = 1_000_000  # fixed-point grid for cross-engine logprob sums
+
+
+def unigram_logprob(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style unigram language-model score per document — the
+    cheap stand-in for the KenLM perplexity filter (Wenzek et al. 2019,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): fit a unigram LM on the corpus itself, score each document
+    by its mean token log-probability, and let downstream consumers
+    keep the head of the distribution.
+
+    Model contract (deterministic, engine-portable):
+
+    - vocabulary = top-``vocab_size`` tokens by (count desc, token);
+      everything else folds into one UNK type whose count is the
+      residual corpus mass;
+    - with ``N`` = total token occurrences and ``C`` = in-vocab
+      occurrences, ``p(tok) = cnt/(N+1)`` and
+      ``p(UNK) = (N-C+1)/(N+1)`` — the +1 keeps the UNK mass non-empty
+      even when the vocabulary covers the whole corpus;
+    - every log-probability is snapped ONCE to a fixed-point grid,
+      ``q = floor(ln(p)*1e6 + 0.5)`` as BIGINT, so the per-document
+      score is an INTEGER sum — exact, associative, and identical
+      across engines regardless of aggregation order (float sums over
+      rows are partition-order-dependent; integer sums are not);
+    - ``avg_logprob = logprob_q_sum / (1e6 * n_tokens)`` is a single
+      IEEE division of exact integers — bit-reproducible.
+
+    Scale shape: the token-count table is MATERIALIZED once (one corpus
+    explode + one token-key shuffle with map-side partial agg) and then
+    feeds every model arm — vocab cut, total mass, in-vocab mass — as
+    cheap scans of a |distinct-token| table; the top-V cut collapses to
+    TakeOrderedAndProject (partial top-V per task, same shape as
+    `vocab_coverage`). The scoring pass scans the corpus exactly once:
+    explode → broadcast-hash-join against the ≤V-row vocab → doc-key
+    hash-agg with map-side partial combine (a document's tokens are
+    co-located in the scan). The corpus is read twice total and never
+    shuffled on token for scoring (plan-tested).
+    """
+    from kafka_streams_learning_spark.operators.materialize import materialized
+
+    tok = df.select(
+        F.col(id_col),
+        F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token"),
+    )
+    # the count table feeds THREE plan arms (vocab, total mass, in-vocab
+    # mass); materializing it runs the corpus explode+count ONCE — the
+    # un-materialized form re-scans and re-aggregates the corpus per arm
+    counts = materialized(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
+        tag="x43-token-counts",
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    vocab = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= vocab_size)
+        .drop("rank")
+    )
+    scalars = counts.agg(F.sum("cnt").alias("n_total")).crossJoin(
+        vocab.agg(F.sum("cnt").alias("n_vocab"))
+    )
+
+    scale = F.lit(float(LOGPROB_SCALE))
+    denom = F.col("n_total") + F.lit(1)
+
+    def _q(p: Column) -> Column:
+        # floor() on a double already yields LONG in Spark; the grid snap
+        # uses only IEEE mul/add/floor, matching the DuckDB oracle op-for-op
+        return F.floor(F.log(p) * scale + F.lit(0.5))
+
+    vocab_q = vocab.crossJoin(F.broadcast(scalars)).select(
+        "token", _q(F.col("cnt") / denom).alias("q")
+    )
+    unk_q = scalars.select(
+        _q((F.col("n_total") - F.col("n_vocab") + F.lit(1)) / denom).alias("unk_q")
+    )
+    scored = (
+        tok.join(F.broadcast(vocab_q), "token", "left")
+        .crossJoin(F.broadcast(unk_q))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("q").isNull(), 1).otherwise(0)).alias("n_unk"),
+            F.sum(F.coalesce(F.col("q"), F.col("unk_q"))).alias("logprob_q_sum"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "n_unk",
+        "logprob_q_sum",
+        (
+            F.col("logprob_q_sum").cast("double") / (scale * F.col("n_tokens"))
+        ).alias("avg_logprob"),
     )

@@ -732,3 +732,66 @@ def test_cross_source_dup_matrix_counts_known_mirrors(spark):
     }
     assert out == {("books", "web"): 1, ("web", "web"): 1}
     assert all(a <= b for a, b in out)  # order-normalized pair key
+
+
+def test_unigram_logprob_matches_python_model(spark):
+    # CCNet-style unigram score vs a plain-Python model: same vocab cut,
+    # same +1 UNK-mass guard, same fixed-point grid (Python floats are
+    # IEEE doubles, so floor/log here reproduce the engine bit-for-bit)
+    import math
+
+    from kafka_streams_learning_spark.operators import textops
+
+    rows = [(1, "a a a b"), (2, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.unigram_logprob(df, vocab_size=2).collect()}
+
+    def q(p):
+        return math.floor(math.log(p) * 1e6 + 0.5)
+
+    n, d = 8, 9.0  # N tokens; D = N + 1
+    qa, qb, qu = q(4 / d), q(2 / d), q((n - 6 + 1) / d)
+    assert got[1].n_tokens == 4 and got[1].n_unk == 0
+    assert got[1].logprob_q_sum == 3 * qa + qb
+    assert got[1].avg_logprob == (3 * qa + qb) / (1e6 * 4)
+    assert got[2].n_tokens == 4 and got[2].n_unk == 2
+    assert got[2].logprob_q_sum == qa + qb + 2 * qu
+    assert got[2].avg_logprob == (qa + qb + 2 * qu) / (1e6 * 4)
+
+
+def test_dup_span_stats_flags_shared_windows_and_runs(spark):
+    # ExactSubstr-style verdict: only windows shared with ANOTHER doc
+    # count, runs are contiguous, and a short doc's single all-token
+    # shingle participates like any other window
+    from kafka_streams_learning_spark.operators import dedup
+
+    rows = [
+        (1, "p q r s t"),  # windows: pq qr rs st — pq,qr shared with doc 2
+        (2, "p q r x y"),  # windows: pq qr rx xy
+        (3, "z z"),        # single all-token shingle, unshared
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.dup_span_stats(df, k=2, threshold=0.5).collect()}
+    for d in (1, 2):
+        assert got[d].n_windows == 4 and got[d].n_dup_windows == 2
+        assert got[d].longest_dup_run == 2
+        assert got[d].dup_ratio == 0.5 and got[d].is_dup_heavy
+    assert got[3].n_windows == 1 and got[3].n_dup_windows == 0
+    assert got[3].longest_dup_run == 0 and not got[3].is_dup_heavy
+
+
+def test_dup_span_stats_counts_runs_not_totals(spark):
+    # two disjoint shared runs: longest run must be the max island, not
+    # the total shared-window count
+    from kafka_streams_learning_spark.operators import dedup
+
+    rows = [
+        (1, "a b c SOLO1 d e f g"),   # shares "a b c" and "d e f g" spans
+        (2, "a b c SOLO2 d e f g"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.dup_span_stats(df, k=2, threshold=0.9).collect()}
+    # doc1 windows: ab bc cS1 S1d de ef fg (7); shared: ab bc de ef fg
+    assert got[1].n_windows == 7 and got[1].n_dup_windows == 5
+    assert got[1].longest_dup_run == 3  # de-ef-fg
+    assert not got[1].is_dup_heavy

@@ -222,3 +222,30 @@ def test_mixture_sample_facts_never_shuffled(spark):
     # count-agg side: one partial+final pair of exchanges max (plus the
     # 1-row scalar reduce); none of them carry the fact scan
     assert E.exchange_count(df) <= 3
+
+
+def test_unigram_logprob_broadcasts_vocab_no_cartesian(spark):
+    # x43's scoring pass must be explode → BROADCAST join against the
+    # top-V vocab → doc-key hash-agg; the corpus must never shuffle on
+    # token for scoring, and the top-V cut must prune map-side
+    df = _df(spark, "x43_unigram_logprob")
+    plan = E.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # unpartitioned literal rank filter → TakeOrderedAndProject (partial
+    # top-V per task before the singleton exchange, same shape as x41)
+    assert "TakeOrdered" in plan
+    # the corpus itself is scanned exactly once: every other scan is the
+    # materialized (tiny) token-count table feeding the vocab arms
+    import re as _re
+
+    scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    mat_scans = plan.count("mat-x43-token-counts")
+    assert scans - mat_scans == 1, (scans, mat_scans)
+
+
+def test_dup_span_stats_is_postings_bounded(spark):
+    # x44's shared-shingle detection is an equi-join on the shingle
+    # postings — all-pairs must never materialize
+    plan = E.formatted_plan(_df(spark, "x44_dup_span_stats"))
+    assert "CartesianProduct" not in plan
