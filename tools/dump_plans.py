@@ -135,6 +135,20 @@ SHOWCASE: dict[str, str] = {
         "projection; cleaning features ride through the packing window "
         "as carried columns, so there is no join back."
     ),
+    "x43_unigram_logprob": (
+        "The CCNet-style unigram-LM score in one materialized count table "
+        "+ one scoring pass: the corpus parquet is scanned exactly ONCE "
+        "for scoring (every other scan is the tiny materialized "
+        "token-count table feeding the vocab/mass arms), the ≤V-row vocab "
+        "joins as a BroadcastHashJoin, and the top-V cut collapses to "
+        "TakeOrderedAndProject — partial top-V per task before the "
+        "singleton exchange. The corpus never shuffles on token."
+    ),
+    "x44_dup_span_stats": (
+        "ExactSubstr-style shared-window detection as an equi-join on the "
+        "shingle postings — no CartesianProduct (plan-tested); the "
+        "run-length and ratio rollups reuse one doc-key partitioning."
+    ),
 }
 
 
