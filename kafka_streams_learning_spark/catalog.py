@@ -483,6 +483,13 @@ _TAIL_STABLE = [
     # drift), driver-green since r02, locally oracle-checked every round
     "x06_minhash_signatures",
     "x08_simhash",
+    # moved to the tail for x45: the deterministic half-corpus exact
+    # ground-truth arm (x26 is the catalogued scale path), driver-green
+    # since r03 with a fixed-order-fold oracle that cannot drift
+    "x10_embedding_near_dups",
+    # moved to the tail for x46: driver-green since r01, oracle SQL
+    # generated from the shared shingle fragment (cannot drift)
+    "x07_ngram_jaccard_dups",
 ]
 
 # NEW extension rows this round — hoisted to the front of the extension
@@ -502,6 +509,8 @@ _HEAD_FIRST = [
     "x42_cross_source_dups",
     "x43_unigram_logprob",
     "x44_dup_span_stats",
+    "x45_ccnet_buckets",
+    "x46_bpe_pair_counts",
 ]
 
 

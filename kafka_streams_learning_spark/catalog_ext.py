@@ -1649,6 +1649,55 @@ FROM stats LEFT JOIN runs ON stats.doc_id = runs.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# X45 — the CCNet corpus partition: tercile cuts over the x43 unigram-LM
+# score label every document head / middle / tail (head = kept slice).
+# Exact `percentile` is measured bit-portable vs DuckDB quantile_cont
+# (x24); scores are exact integer sums, so labels replay exactly.
+
+
+def _x45(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.ccnet_buckets(load_table(spark, sf, "documents"), LM_VOCAB_SIZE)
+
+
+_X45_SQL = rf"""
+WITH scored AS ({_X43_SQL}),
+cuts AS (
+  SELECT quantile_cont(avg_logprob, 1.0/3.0) AS c1,
+         quantile_cont(avg_logprob, 2.0/3.0) AS c2
+  FROM scored
+)
+SELECT doc_id, avg_logprob,
+       CASE WHEN avg_logprob >= c2 THEN 'head'
+            WHEN avg_logprob >= c1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored, cuts
+"""
+
+
+# ---------------------------------------------------------------------------
+# X46 — BPE merge candidates: top-k adjacent token-pair frequencies
+# (first merge iteration of Sennrich et al. 2016). Pairs are the k=2
+# word shingles, so Spark and oracle share the one shingle contract.
+
+PAIR_TOPK = 30
+
+
+def _x46(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.bpe_pair_counts(load_table(spark, sf, "documents"), PAIR_TOPK)
+
+
+_X46_SQL = rf"""
+WITH t AS (
+  SELECT {_TOKS_NORM} AS toks FROM documents
+), p AS (
+  SELECT unnest({_shingles_sql(2)}) AS pair FROM t
+)
+SELECT pair, COUNT(*) AS cnt FROM p WHERE contains(pair, ' ')
+GROUP BY 1 ORDER BY cnt DESC, pair LIMIT {PAIR_TOPK}
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1745,4 +1794,10 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x44_dup_span_stats", _x44, _X44_SQL,
               "ExactSubstr-flavored cross-doc duplicated-span stats "
               "(shared k-gram windows + longest contiguous run)"),
+    QuerySpec("x45_ccnet_buckets", _x45, _X45_SQL,
+              "CCNet head/middle/tail corpus partition over the "
+              "unigram-LM score (bit-portable tercile cuts)"),
+    QuerySpec("x46_bpe_pair_counts", _x46, _X46_SQL,
+              "BPE merge candidates: top-k adjacent token-pair "
+              "frequencies (heavy-hitters plan)"),
 ]

@@ -472,3 +472,69 @@ def unigram_logprob(
             F.col("logprob_q_sum").cast("double") / (scale * F.col("n_tokens"))
         ).alias("avg_logprob"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CCNet corpus partition (Wenzek et al. 2019 §4.3): score every
+    document with the unigram LM (`unigram_logprob`), cut the score
+    distribution at its terciles, and label each document head / middle
+    / tail — head is the best-scoring third (highest mean logprob =
+    lowest perplexity), the slice CCNet keeps for pretraining.
+
+    Determinism: the scores are exact fixed-point sums, and the tercile
+    cuts use exact `percentile` interpolation, which is measured
+    bit-portable against DuckDB's `quantile_cont` (see
+    `core.quantile_stats`); comparisons against the cuts are then exact.
+
+    Scale shape: the scored table (one row per document) is
+    MATERIALIZED once, so the corpus-side work of `unigram_logprob`
+    runs once; the tercile agg reduces it to ONE broadcast row and the
+    labeling pass is a per-row expression over the scored table. Exact
+    `percentile` buffers the score vector on one reducer — beyond ~1e9
+    documents swap in `approx_percentile` cuts (the x24/x37 pattern;
+    the label contract is unchanged, cut placement shifts within sketch
+    error).
+    """
+    from kafka_streams_learning_spark.operators.materialize import materialized
+
+    scored = materialized(
+        unigram_logprob(df, vocab_size, text_col=text_col, id_col=id_col),
+        tag="x45-scored",
+    )
+    cuts = scored.agg(
+        F.percentile("avg_logprob", 1 / 3).alias("c1"),
+        F.percentile("avg_logprob", 2 / 3).alias("c2"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.col("c2"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("c1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def bpe_pair_counts(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """Top-k adjacent token-pair frequencies — the merge-candidate table
+    of the first BPE iteration (Sennrich et al. 2016), the other half of
+    tokenizer prep beside `vocab_coverage`'s unigram table.
+
+    Adjacent pairs ARE the k=2 word shingles, so this reuses the
+    let-bound shingle chain shared with the MinHash/Jaccard family (and
+    its oracle SQL fragment); a 1-token document's degenerate all-token
+    shingle contains no space and is filtered out.
+
+    Scale shape: explode → map-side partial count → one shuffle on pair
+    → TakeOrdered(k): the heavy-hitters plan of `token_topk`; no global
+    sort of the pair table."""
+    pair = df.select(
+        F.explode(T.word_shingles(F.col(text_col), 2)).alias("pair")
+    ).filter(F.instr(F.col("pair"), " ") > 0)
+    counts = pair.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("pair")).limit(k)

@@ -795,3 +795,29 @@ def test_dup_span_stats_counts_runs_not_totals(spark):
     assert got[1].n_windows == 7 and got[1].n_dup_windows == 5
     assert got[1].longest_dup_run == 3  # de-ef-fg
     assert not got[1].is_dup_heavy
+
+
+def test_ccnet_buckets_label_by_terciles(spark):
+    # single-token docs make each doc's score its token's logprob: four
+    # 'a' docs tie at the top (>= c2 -> head), 'b' (rarest) and 'c'
+    # (the UNK-mass score) fall below c1 -> tail; middle is empty here
+    # because the tied top scores ARE the c2 cut
+    from kafka_streams_learning_spark.operators import textops
+
+    rows = [(1, "a"), (2, "a"), (3, "a"), (4, "a"), (5, "b"), (6, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bucket for r in textops.ccnet_buckets(df, vocab_size=2).collect()}
+    assert [got[i] for i in (1, 2, 3, 4)] == ["head"] * 4
+    assert got[5] == "tail" and got[6] == "tail"
+
+
+def test_bpe_pair_counts_adjacency_and_degenerate_filter(spark):
+    # adjacent pairs with exact counts; a 1-token doc contributes nothing
+    # (its degenerate all-token shingle has no space)
+    from kafka_streams_learning_spark.operators import textops
+
+    rows = [(1, "a b a b c"), (2, "a b"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.pair: r.cnt for r in textops.bpe_pair_counts(df, k=10).collect()}
+    # doc1 pairs: "a b","b a","a b","b c"; doc2: "a b"
+    assert got == {"a b": 3, "b a": 1, "b c": 1}
