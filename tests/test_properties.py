@@ -320,3 +320,64 @@ def test_contamination_hits_matches_python_model(spark, docs):
             assert i not in got, d
         else:
             assert got[i].n_hits == hits and got[i].n_shingles == len(mine), d
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_DOC, min_size=1, max_size=8))
+def test_dup_span_stats_matches_python_model(spark, docs):
+    from kafka_streams_learning_spark.operators.dedup import dup_span_stats
+
+    k = 2
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dup_span_stats(df, k=k, threshold=0.5).collect()}
+    member = {}  # shingle -> set of docs containing it
+    for i, d in rows:
+        for sh in set(_py_shingles(d, k)):
+            member.setdefault(sh, set()).add(i)
+    for i, d in rows:
+        flags = [len(member[sh]) >= 2 for sh in _py_shingles(d, k)]
+        longest = run = 0
+        for f in flags:
+            run = run + 1 if f else 0
+            longest = max(longest, run)
+        assert got[i].n_windows == len(flags), d
+        assert got[i].n_dup_windows == sum(flags), d
+        assert got[i].longest_dup_run == longest, d
+        assert got[i].is_dup_heavy == (sum(flags) / len(flags) >= 0.5), d
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_DOC, min_size=1, max_size=8))
+def test_unigram_logprob_matches_python_model(spark, docs):
+    import math
+    from collections import Counter
+
+    from kafka_streams_learning_spark.operators.textops import unigram_logprob
+
+    vocab_size = 2
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_logprob(df, vocab_size).collect()}
+
+    def toks(d):
+        return [t for t in d.lower().split() if t]
+
+    counts = Counter(t for _, d in rows for t in toks(d))
+    vocab = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size])
+    n, c = sum(counts.values()), sum(vocab.values())
+
+    def q(p):
+        return math.floor(math.log(p) * 1e6 + 0.5)
+
+    for i, d in rows:
+        ts = toks(d)
+        if not ts:
+            assert i not in got, d  # tokenless docs drop from the explode
+            continue
+        want = sum(q(vocab[t] / (n + 1)) if t in vocab else q((n - c + 1) / (n + 1))
+                   for t in ts)
+        assert got[i].n_tokens == len(ts), d
+        assert got[i].n_unk == sum(t not in vocab for t in ts), d
+        assert got[i].logprob_q_sum == want, d
+        assert got[i].avg_logprob == want / (1e6 * len(ts)), d
