@@ -155,3 +155,42 @@ def test_shared_replay_table_caches_per_key(spark):
     finally:
         _SHARED_STAGED.clear()
         _SHARED_STAGED.update(before)
+
+
+def test_jsonl_source_routes_malformed_lines(spark, tmp_path):
+    # schema-pinned JSONL read: clean rows parse, malformed lines land in
+    # quarantine with the raw line preserved, nothing throws
+    from kafka_streams_learning_spark.sources import jsonl
+
+    p = tmp_path / "shard-00000.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}\n'
+        'NOT JSON AT ALL {{{\n'
+        '{"doc_id": 2, "text": "zwei", "lang": "de", "source": "web", "n_chars": 4}\n'
+    )
+    df = jsonl.read_jsonl(spark, str(p), jsonl.DOCUMENTS_SCHEMA)
+    clean, quarantine = jsonl.split_clean_quarantine(df)
+    got = {r.doc_id: r for r in clean.collect()}
+    assert set(got) == {1, 2}
+    assert got[1].text == "hello world" and got[2].lang == "de"
+    assert clean.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    bad = quarantine.collect()
+    assert len(bad) == 1 and bad[0].raw_line.startswith("NOT JSON")
+
+
+def test_jsonl_clean_rows_feed_operators(spark, tmp_path):
+    # the parsed frame is a drop-in documents table: run a catalog
+    # operator over it end-to-end
+    from kafka_streams_learning_spark.operators import textops
+    from kafka_streams_learning_spark.sources import jsonl
+
+    p = tmp_path / "shard.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "a b a", "lang": "en", "source": "w", "n_chars": 5}\n'
+        '{"doc_id": 2, "text": "c", "lang": "en", "source": "w", "n_chars": 1}\n'
+    )
+    clean, _ = jsonl.split_clean_quarantine(
+        jsonl.read_jsonl(spark, str(p), jsonl.DOCUMENTS_SCHEMA)
+    )
+    got = {r.doc_id: r.n_tokens for r in textops.text_stats(clean).collect()}
+    assert got == {1: 3, 2: 1}
