@@ -610,6 +610,67 @@ FROM b GROUP BY 1
 """
 
 
+# s16 — STREAM-STATIC join: score a document stream against a
+# pretrained unigram LM (x43's model tables, trained in batch). The
+# static ≤V-row vocab broadcasts into every micro-batch's join — the
+# "enrich a stream against a trained model / slowly-changing reference
+# table" pattern, distinct from s05's foreachBatch KTable (the static
+# side here is a plain DataFrame the engine re-binds per batch). The
+# per-doc integer score aggregates in complete mode; because the scores
+# are exact integer sums, the final state hash-matches x43's batch
+# oracle regardless of micro-batch boundaries or arrival order.
+
+
+def _s16(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.catalog_ext import LM_VOCAB_SIZE
+    from kafka_streams_learning_spark.functions import text as T
+    from kafka_streams_learning_spark.operators.textops import (
+        LOGPROB_SCALE,
+        unigram_model,
+    )
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    vocab_q, unk_q = unigram_model(load_table(spark, sf, "documents"), LM_VOCAB_SIZE)
+    # the UNK logprob is one integer — ferry it through the driver as a
+    # literal (the 1-row-collect precedent of the sampler rate table)
+    unk = unk_q.collect()[0][0]
+
+    stream = shared_replay_table(
+        spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"
+    )
+    tok = stream.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("token"),
+    )
+    scored = (
+        tok.join(F.broadcast(vocab_q), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("q").isNull(), 1).otherwise(0)).alias("n_unk"),
+            F.sum(F.coalesce(F.col("q"), F.lit(unk))).alias("logprob_q_sum"),
+        )
+    )
+    name = _fresh_name("s16_out")
+    runner.run_to_memory(scored, name, "complete", state_partitions=STATE_SHARDS)
+    return spark.table(name).select(
+        "doc_id",
+        "n_tokens",
+        "n_unk",
+        "logprob_q_sum",
+        (
+            F.col("logprob_q_sum").cast("double")
+            / (F.lit(float(LOGPROB_SCALE)) * F.col("n_tokens"))
+        ).alias("avg_logprob"),
+    )
+
+
+def _s16_sql() -> str:
+    from kafka_streams_learning_spark.catalog_ext import _X43_SQL
+
+    return _X43_SQL
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -646,4 +707,7 @@ STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s15_stream_neardup_filter", _s15, _s15_sql(),
               "streaming MinHash-LSH near-dup groups: expression-only "
               "signature, one stateful bucket aggregation (x06/x11 twin)"),
+    QuerySpec("s16_stream_quality_score", _s16, _s16_sql(),
+              "stream-static join: document stream scored against the "
+              "batch-trained unigram LM (x43 twin)"),
 ]

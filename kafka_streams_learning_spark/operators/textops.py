@@ -375,6 +375,58 @@ def vocab_coverage(
 LOGPROB_SCALE = 1_000_000  # fixed-point grid for cross-engine logprob sums
 
 
+def unigram_model(
+    df: DataFrame, vocab_size: int, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the unigram LM of `unigram_logprob` on a corpus and return
+    its two tables: ``vocab_q`` (token → fixed-point logprob ``q``, at
+    most ``vocab_size`` rows — broadcast it into scoring joins) and
+    ``unk_q`` (ONE row holding the UNK logprob). Separated out so the
+    model trains once in batch and then scores OTHER frames — including
+    a document stream (s16's stream-static join).
+
+    The token-count table is MATERIALIZED once (one corpus explode + one
+    token-key shuffle with map-side partial agg) and then feeds every
+    model arm — vocab cut, total mass, in-vocab mass — as cheap scans of
+    a |distinct-token| table; the top-V cut collapses to
+    TakeOrderedAndProject (partial top-V per task, same shape as
+    `vocab_coverage`)."""
+    from kafka_streams_learning_spark.operators.materialize import materialized
+
+    tok = df.select(
+        F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token")
+    )
+    counts = materialized(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
+        tag="x43-token-counts",
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    vocab = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= vocab_size)
+        .drop("rank")
+    )
+    scalars = counts.agg(F.sum("cnt").alias("n_total")).crossJoin(
+        vocab.agg(F.sum("cnt").alias("n_vocab"))
+    )
+
+    scale = F.lit(float(LOGPROB_SCALE))
+    denom = F.col("n_total") + F.lit(1)
+
+    def _q(p: Column) -> Column:
+        # floor() on a double already yields LONG in Spark; the grid snap
+        # uses only IEEE mul/add/floor, matching the DuckDB oracle op-for-op
+        return F.floor(F.log(p) * scale + F.lit(0.5))
+
+    vocab_q = vocab.crossJoin(F.broadcast(scalars)).select(
+        "token", _q(F.col("cnt") / denom).alias("q")
+    )
+    unk_q = scalars.select(
+        _q((F.col("n_total") - F.col("n_vocab") + F.lit(1)) / denom).alias("unk_q")
+    )
+    return vocab_q, unk_q
+
+
 def unigram_logprob(
     df: DataFrame,
     vocab_size: int,
@@ -416,43 +468,12 @@ def unigram_logprob(
     co-located in the scan). The corpus is read twice total and never
     shuffled on token for scoring (plan-tested).
     """
-    from kafka_streams_learning_spark.operators.materialize import materialized
-
+    vocab_q, unk_q = unigram_model(df, vocab_size, text_col=text_col)
     tok = df.select(
         F.col(id_col),
         F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token"),
     )
-    # the count table feeds THREE plan arms (vocab, total mass, in-vocab
-    # mass); materializing it runs the corpus explode+count ONCE — the
-    # un-materialized form re-scans and re-aggregates the corpus per arm
-    counts = materialized(
-        tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
-        tag="x43-token-counts",
-    )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    vocab = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= vocab_size)
-        .drop("rank")
-    )
-    scalars = counts.agg(F.sum("cnt").alias("n_total")).crossJoin(
-        vocab.agg(F.sum("cnt").alias("n_vocab"))
-    )
-
     scale = F.lit(float(LOGPROB_SCALE))
-    denom = F.col("n_total") + F.lit(1)
-
-    def _q(p: Column) -> Column:
-        # floor() on a double already yields LONG in Spark; the grid snap
-        # uses only IEEE mul/add/floor, matching the DuckDB oracle op-for-op
-        return F.floor(F.log(p) * scale + F.lit(0.5))
-
-    vocab_q = vocab.crossJoin(F.broadcast(scalars)).select(
-        "token", _q(F.col("cnt") / denom).alias("q")
-    )
-    unk_q = scalars.select(
-        _q((F.col("n_total") - F.col("n_vocab") + F.lit(1)) / denom).alias("unk_q")
-    )
     scored = (
         tok.join(F.broadcast(vocab_q), "token", "left")
         .crossJoin(F.broadcast(unk_q))
