@@ -625,14 +625,15 @@ def _s16(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_learning_spark.catalog_ext import LM_VOCAB_SIZE
     from kafka_streams_learning_spark.functions import text as T
     from kafka_streams_learning_spark.operators.textops import (
-        LOGPROB_SCALE,
+        score_tokens,
         unigram_model,
     )
     from kafka_streams_learning_spark.sources.batch import load_table
 
     vocab_q, unk_q = unigram_model(load_table(spark, sf, "documents"), LM_VOCAB_SIZE)
     # the UNK logprob is one integer — ferry it through the driver as a
-    # literal (the 1-row-collect precedent of the sampler rate table)
+    # literal (the 1-row-collect precedent of the sampler rate table; a
+    # stream cannot cross-join the 1-row static frame the batch path uses)
     unk = unk_q.collect()[0][0]
 
     stream = shared_replay_table(
@@ -642,27 +643,13 @@ def _s16(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("token"),
     )
-    scored = (
-        tok.join(F.broadcast(vocab_q), "token", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("q").isNull(), 1).otherwise(0)).alias("n_unk"),
-            F.sum(F.coalesce(F.col("q"), F.lit(unk))).alias("logprob_q_sum"),
-        )
-    )
+    # the aggregate/projection expressions are textops.score_tokens — the
+    # SAME definition the batch scorer uses, which is what keeps this
+    # stream's final state hash-equal to x43's oracle
+    scored = score_tokens(tok, vocab_q, F.lit(unk))
     name = _fresh_name("s16_out")
     runner.run_to_memory(scored, name, "complete", state_partitions=STATE_SHARDS)
-    return spark.table(name).select(
-        "doc_id",
-        "n_tokens",
-        "n_unk",
-        "logprob_q_sum",
-        (
-            F.col("logprob_q_sum").cast("double")
-            / (F.lit(float(LOGPROB_SCALE)) * F.col("n_tokens"))
-        ).alias("avg_logprob"),
-    )
+    return spark.table(name)
 
 
 def _s16_sql() -> str:

@@ -473,15 +473,31 @@ def unigram_logprob(
         F.col(id_col),
         F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token"),
     )
+    return score_tokens(
+        tok.crossJoin(F.broadcast(unk_q)), vocab_q, F.col("unk_q"), id_col=id_col
+    )
+
+
+def score_tokens(
+    tok: DataFrame, vocab_q: DataFrame, unk: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """The ONE scoring definition shared by the batch scorer
+    (`unigram_logprob`) and the streaming twin (catalog s16): per-doc
+    token count, UNK count, exact integer logprob sum, and the final
+    IEEE average. ``tok`` is (id, token) rows; ``unk`` is the UNK
+    logprob as a column — the batch path cross-joins the 1-row
+    `unigram_model` table, the streaming path passes a driver-ferried
+    literal (a stream cannot cross-join a static frame). Keeping the
+    aggregate expressions in one place is what guarantees both engines'
+    rows hash-match the same DuckDB oracle."""
     scale = F.lit(float(LOGPROB_SCALE))
     scored = (
         tok.join(F.broadcast(vocab_q), "token", "left")
-        .crossJoin(F.broadcast(unk_q))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.when(F.col("q").isNull(), 1).otherwise(0)).alias("n_unk"),
-            F.sum(F.coalesce(F.col("q"), F.col("unk_q"))).alias("logprob_q_sum"),
+            F.sum(F.coalesce(F.col("q"), unk)).alias("logprob_q_sum"),
         )
     )
     return scored.select(

@@ -63,7 +63,9 @@ def read_jsonl(
     )
 
 
-def split_clean_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_clean_quarantine(
+    df: DataFrame, tag: str | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(clean rows without the corrupt column, quarantined raw lines).
 
     The parsed frame is MATERIALIZED (parquet) before splitting — this
@@ -71,10 +73,17 @@ def split_clean_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     referenced columns are only the corrupt-record column (the
     quarantine side would be exactly that query against the raw JSON),
     and (b) the scale contract anyway: JSON parses once, both splits and
-    every downstream pass read the columnar copy."""
+    every downstream pass read the columnar copy.
+
+    Untagged by default: each ingest gets its own process-lifetime
+    staging dir, so two ingests never invalidate each other's returned
+    frames. Pass a ``tag`` (e.g. derived from the input path) only for a
+    REPEATED ingest of the same input whose older generations should be
+    reclaimed — a tagged re-call deletes the previous call's parquet
+    once the new write commits (`materialize.run_named_dir` contract)."""
     from kafka_streams_learning_spark.operators.materialize import materialized
 
-    parsed = materialized(df, tag="jsonl-parsed")
+    parsed = materialized(df, tag=tag)
     clean = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")

@@ -194,3 +194,23 @@ def test_jsonl_clean_rows_feed_operators(spark, tmp_path):
     )
     got = {r.doc_id: r.n_tokens for r in textops.text_stats(clean).collect()}
     assert got == {1: 3, 2: 1}
+
+
+def test_jsonl_two_ingests_do_not_invalidate_each_other(spark, tmp_path):
+    # regression: a second ingest must not reclaim the first ingest's
+    # materialized parquet (untagged staging is per-call)
+    from kafka_streams_learning_spark.sources import jsonl
+
+    a = tmp_path / "a.jsonl"
+    b = tmp_path / "b.jsonl"
+    a.write_text('{"doc_id": 1, "text": "x", "lang": "en", "source": "w", "n_chars": 1}\n')
+    b.write_text('{"doc_id": 2, "text": "y", "lang": "en", "source": "w", "n_chars": 1}\n')
+    clean_a, _ = jsonl.split_clean_quarantine(
+        jsonl.read_jsonl(spark, str(a), jsonl.DOCUMENTS_SCHEMA)
+    )
+    clean_b, _ = jsonl.split_clean_quarantine(
+        jsonl.read_jsonl(spark, str(b), jsonl.DOCUMENTS_SCHEMA)
+    )
+    # act on A AFTER B ingested — formerly FileNotFoundException
+    assert [r.doc_id for r in clean_a.collect()] == [1]
+    assert [r.doc_id for r in clean_b.collect()] == [2]
