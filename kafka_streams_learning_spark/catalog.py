@@ -492,6 +492,10 @@ _TAIL_STABLE = [
     "x07_ngram_jaccard_dups",
     # moved to the tail for s16: same shared-fragment SQL as x06/x07
     "x11_lsh_candidates",
+    # moved to the tail for x47: driver-green r04; x28 (still in the
+    # prefix) consumes x26's pair graph, so the banded embedding-LSH
+    # path stays driver-exercised transitively
+    "x26_embedding_near_dups_lsh",
 ]
 
 # NEW extension rows this round — hoisted to the front of the extension
@@ -513,6 +517,7 @@ _HEAD_FIRST = [
     "x44_dup_span_stats",
     "x45_ccnet_buckets",
     "x46_bpe_pair_counts",
+    "x47_quality_weighted_sample",
 ]
 
 

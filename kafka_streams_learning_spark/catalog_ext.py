@@ -1698,6 +1698,32 @@ GROUP BY 1 ORDER BY cnt DESC, pair LIMIT {PAIR_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# X47 — quality-weighted sampling: keep-probability per CCNet bucket
+# (head 1.0 / middle 0.5 / tail 0.125 — exact binary fractions so the
+# integer hash threshold is identical in both engines).
+
+QUALITY_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.125}
+
+
+def _x47(spark: SparkSession, sf: str) -> DataFrame:
+    buckets = textops.ccnet_buckets(load_table(spark, sf, "documents"), LM_VOCAB_SIZE)
+    return sampling.quality_weighted_sample(buckets, QUALITY_RATES)
+
+
+def _x47_sql() -> str:
+    values = ", ".join(f"('{b}', {r})" for b, r in sorted(QUALITY_RATES.items()))
+    scale = f"{1 << 60}.0"
+    keep_hash = sampling.quality_hash_sql("s.doc_id")
+    return f"""
+WITH scored AS ({_X45_SQL}),
+r AS (SELECT * FROM (VALUES {values}) AS t(bucket, rate))
+SELECT s.doc_id, s.bucket
+FROM scored s JOIN r USING (bucket)
+WHERE {keep_hash} < CAST(floor(rate * {scale}) AS BIGINT)
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1800,4 +1826,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x46_bpe_pair_counts", _x46, _X46_SQL,
               "BPE merge candidates: top-k adjacent token-pair "
               "frequencies (heavy-hitters plan)"),
+    QuerySpec("x47_quality_weighted_sample", _x47, _x47_sql(),
+              "quality-weighted keep: per-CCNet-bucket hash-threshold "
+              "sampling (zero shuffle on the scored table)"),
 ]

@@ -217,3 +217,44 @@ def temporal_split_approx(
         .otherwise(F.lit("heldout"))
         .alias("split"),
     )
+
+
+QUALITY_SALT = "qsample"
+
+
+def quality_weighted_sample(
+    scored: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    salt: str = QUALITY_SALT,
+) -> DataFrame:
+    """Quality-weighted corpus selection: keep each document with the
+    probability its quality bucket prescribes (e.g. CCNet head 1.0 /
+    middle 0.5 / tail 0.125) — the soft alternative to hard-dropping
+    the tail, used when low-quality slices should survive at reduced
+    weight (the DCLM / FineWeb-style weighting step downstream of a
+    quality classifier).
+
+    Same determinism/scale contract as `mixture_sample`: the ≤|buckets|
+    rate table broadcasts onto the scan and the keep decision is one
+    per-row md5 threshold — zero shuffle on the scored table, and a
+    document's fate never changes as other documents arrive. Rates are
+    exact binary fractions in the catalog so both engines compare the
+    hash against the identical integer threshold."""
+    spark = scored.sparkSession
+    r_df = spark.createDataFrame(
+        [(b, float(r)) for b, r in sorted(rates.items())], [bucket_col, "rate"]
+    )
+    h = hashing.hash60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    return (
+        scored.join(F.broadcast(r_df), bucket_col)
+        .filter(h < F.floor(F.col("rate") * F.lit(_MIX_SCALE)).cast("long"))
+        .select(F.col(id_col), F.col(bucket_col))
+    )
+
+
+def quality_hash_sql(id_expr: str, salt: str = QUALITY_SALT) -> str:
+    """DuckDB SQL computing the same keep-hash as
+    :func:`quality_weighted_sample`."""
+    return hashing.hash60_sql(f"'{salt}|' || CAST({id_expr} AS VARCHAR)")

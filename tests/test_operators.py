@@ -821,3 +821,26 @@ def test_bpe_pair_counts_adjacency_and_degenerate_filter(spark):
     got = {r.pair: r.cnt for r in textops.bpe_pair_counts(df, k=10).collect()}
     # doc1 pairs: "a b","b a","a b","b c"; doc2: "a b"
     assert got == {"a b": 3, "b a": 1, "b c": 1}
+
+
+def test_quality_weighted_sample_keeps_head_deterministically(spark):
+    # rate-1.0 head docs always survive; the keep set is a pure function
+    # of (doc_id, salt) so two invocations agree row-for-row; sub-1.0
+    # buckets actually drop rows on this corpus (hash is deterministic,
+    # so this is a fixed outcome, not a flaky statistical assertion)
+    from kafka_streams_learning_spark.operators import sampling, textops
+
+    rows = [(i, ("common " * 3 if i % 3 == 0 else "rare%d unique%d " % (i, i)) + "w")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    buckets = textops.ccnet_buckets(df, vocab_size=2)
+    by_bucket = {}
+    for r in buckets.collect():
+        by_bucket.setdefault(r.bucket, set()).add(r.doc_id)
+    rates = {"head": 1.0, "middle": 0.5, "tail": 0.125}
+    kept1 = {r.doc_id for r in sampling.quality_weighted_sample(buckets, rates).collect()}
+    kept2 = {r.doc_id for r in sampling.quality_weighted_sample(buckets, rates).collect()}
+    assert kept1 == kept2
+    assert by_bucket.get("head", set()) <= kept1
+    dropped = set().union(*by_bucket.values()) - kept1
+    assert dropped and dropped.isdisjoint(by_bucket.get("head", set()))
