@@ -492,10 +492,13 @@ _TAIL_STABLE = [
     "x07_ngram_jaccard_dups",
     # moved to the tail for s16: same shared-fragment SQL as x06/x07
     "x11_lsh_candidates",
-    # moved to the tail for x47: driver-green r04; x28 (still in the
-    # prefix) consumes x26's pair graph, so the banded embedding-LSH
-    # path stays driver-exercised transitively
+    # moved to the tail for x47/x48: both driver-green r04 with
+    # judge-verified oracles; the never-driver-gated round-5 rows take
+    # priority in the prefix. Embedding-pair scoring stays prefix-covered
+    # via x39; x28's recursive-CTE oracle (the one driver-timeout risk)
+    # now runs only in the local gate.
     "x26_embedding_near_dups_lsh",
+    "x28_neardup_groups",
 ]
 
 # NEW extension rows this round — hoisted to the front of the extension
@@ -518,6 +521,7 @@ _HEAD_FIRST = [
     "x45_ccnet_buckets",
     "x46_bpe_pair_counts",
     "x47_quality_weighted_sample",
+    "x48_containment_pairs",
 ]
 
 

@@ -562,9 +562,9 @@ def _x17(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_X17_SQL = f"""
-SELECT doc_id,
-       array_to_string(CASE WHEN length(text) >= {textops.ROLLING_K}
+# the bottom-k rolling-hash sketch as a LIST expression — the ONE source
+# for both x17's CSV projection and x48's containment postings
+_ROLLING_SKETCH_LIST = f"""CASE WHEN length(text) >= {textops.ROLLING_K}
             THEN list_slice(list_sort(list_distinct(
                    list_transform(
                      generate_series(1, length(text) - {textops.ROLLING_K - 1}),
@@ -574,7 +574,11 @@ SELECT doc_id,
                               p -> CAST(ord(substr(text, p, 1)) AS BIGINT)),
                             (acc, c) -> acc * {textops.ROLLING_BASE} + c)))),
                  1, {textops.ROLLING_BOTTOM})
-            ELSE [] END, ',') AS fp_sketch
+            ELSE [] END"""
+
+_X17_SQL = f"""
+SELECT doc_id,
+       array_to_string({_ROLLING_SKETCH_LIST}, ',') AS fp_sketch
 FROM documents
 """
 
@@ -1724,6 +1728,43 @@ WHERE {keep_hash} < CAST(floor(rate * {scale}) AS BIGINT)
 """
 
 
+# ---------------------------------------------------------------------------
+# X48 — winnowing containment candidates: pairs sharing ≥ MIN_SHARED
+# bottom-k rolling-hash window fingerprints, with boilerplate
+# fingerprints (df > n_docs/20) discarded before pairing. Reuses x17's
+# sketch expression on both sides.
+
+CONTAIN_MIN_SHARED = 2
+CONTAIN_DF_DENOM = 20
+
+
+def _x48(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.containment_candidates(
+        load_table(spark, sf, "documents"),
+        min_shared=CONTAIN_MIN_SHARED,
+        max_df_denom=CONTAIN_DF_DENOM,
+    )
+
+
+_X48_SQL = f"""
+WITH sk AS (
+  SELECT doc_id, {_ROLLING_SKETCH_LIST} AS fp_sketch FROM documents
+), post AS (
+  SELECT doc_id AS id, unnest(fp_sketch) AS h FROM sk
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), rare AS (
+  SELECT h FROM post, n GROUP BY h, n_docs
+  HAVING COUNT(*) * {CONTAIN_DF_DENOM} <= n_docs
+), p AS (
+  SELECT post.id, post.h FROM post JOIN rare USING (h)
+)
+SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS n_shared
+FROM p a JOIN p b ON a.h = b.h AND a.id < b.id
+GROUP BY 1, 2 HAVING COUNT(*) >= {CONTAIN_MIN_SHARED}
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1829,4 +1870,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x47_quality_weighted_sample", _x47, _x47_sql(),
               "quality-weighted keep: per-CCNet-bucket hash-threshold "
               "sampling (zero shuffle on the scored table)"),
+    QuerySpec("x48_containment_pairs", _x48, _X48_SQL,
+              "winnowing containment candidates from rolling-hash "
+              "sketches (boilerplate fingerprints df-capped)"),
 ]

@@ -394,3 +394,57 @@ def dup_span_stats(
         ),
         (ratio >= F.lit(threshold)).alias("is_dup_heavy"),
     )
+
+
+def containment_candidates(
+    df: DataFrame,
+    min_shared: int = 2,
+    max_df_denom: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-containment candidate pairs from the bottom-k
+    rolling-hash sketches (`textops.rolling_fingerprints`) — the
+    winnowing/MOSS pipeline (Schleimer et al. 2003): documents sharing
+    ≥ ``min_shared`` character-window fingerprints likely share long
+    substrings, catching quote/near-copy containment that word-level
+    MinHash (x06/x11) misses when tokenization differs.
+
+    As in real winnowing deployments, fingerprints appearing in more
+    than 1/``max_df_denom`` of all documents are DISCARDED before
+    pairing (boilerplate windows match everything and say nothing);
+    the cap is the pure-integer comparison ``max_df_denom·df ≤ n_docs``
+    — no floats anywhere in this operator, so the oracle replays it
+    trivially.
+
+    Scale shape: the sketch postings (≤ ROLLING_BOTTOM rows per doc)
+    are MATERIALIZED once and feed the df-count and both self-join
+    sides; pairs emerge only from an equi-join on fingerprint, with
+    fanout per fingerprint bounded by the df cap — never all-pairs.
+    """
+    from kafka_streams_learning_spark.operators.textops import (
+        rolling_fingerprints,
+    )
+
+    post = _materialized(
+        rolling_fingerprints(df, text_col=text_col, id_col=id_col).select(
+            F.col(id_col).alias("id"), F.explode("fp_sketch").alias("h")
+        ),
+        tag="x48-postings",
+    )
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    rare = (
+        post.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df_h"))
+        .crossJoin(F.broadcast(ndocs))
+        .filter(F.col("df_h") * max_df_denom <= F.col("n_docs"))
+        .select("h")
+    )
+    p = post.join(rare, "h")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -844,3 +844,21 @@ def test_quality_weighted_sample_keeps_head_deterministically(spark):
     assert by_bucket.get("head", set()) <= kept1
     dropped = set().union(*by_bucket.values()) - kept1
     assert dropped and dropped.isdisjoint(by_bucket.get("head", set()))
+
+
+def test_containment_candidates_shared_sketches_and_df_cap(spark):
+    # identical docs share the full bottom-k sketch; an unrelated doc
+    # pairs with nothing; the boilerplate df-cap can prune everything
+    from kafka_streams_learning_spark.operators import dedup
+
+    rows = [
+        (1, "abcdefghijklmnop"),
+        (2, "abcdefghijklmnop"),
+        (3, "qrstuvwxyz012345"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.n_shared
+           for r in dedup.containment_candidates(df, min_shared=2, max_df_denom=1).collect()}
+    assert got == {(1, 2): 4}  # ROLLING_BOTTOM shared fingerprints
+    # 5%-style cap on a 3-doc corpus discards every fingerprint
+    assert dedup.containment_candidates(df, min_shared=1, max_df_denom=20).count() == 0
