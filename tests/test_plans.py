@@ -249,3 +249,17 @@ def test_dup_span_stats_is_postings_bounded(spark):
     # postings — all-pairs must never materialize
     plan = E.formatted_plan(_df(spark, "x44_dup_span_stats"))
     assert "CartesianProduct" not in plan
+
+
+def test_containment_pairs_no_cartesian_and_single_sketch_scan(spark):
+    # x48: pairs come from the fingerprint equi-join over materialized
+    # postings — never all-pairs, and the expensive per-window Horner
+    # sketch expression runs inside the materialization write, not
+    # inline on each of the three postings consumers
+    df = _df(spark, "x48_containment_pairs")
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the rolling-hash chain evaluates ascii codes per char; its absence
+    # from THIS plan proves every consumer reads the materialized parquet
+    assert "ascii(" not in plan
+    assert plan.count("mat-x48-postings") >= 3  # dfreq + both join sides

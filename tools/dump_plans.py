@@ -149,6 +149,20 @@ SHOWCASE: dict[str, str] = {
         "shingle postings — no CartesianProduct (plan-tested); the "
         "run-length and ratio rollups reuse one doc-key partitioning."
     ),
+    "x47_quality_weighted_sample": (
+        "Quality-weighted keep as a broadcast of the 3-row bucket-rate "
+        "table onto the scored table + one md5 threshold per row — the "
+        "scored table itself never shuffles for the keep decision, and "
+        "the rates are exact binary fractions so the integer hash "
+        "threshold is engine-identical."
+    ),
+    "x48_containment_pairs": (
+        "Winnowing containment pairs: the per-window Horner sketch runs "
+        "once inside the postings materialization (no ascii() in this "
+        "plan — plan-tested), boilerplate fingerprints are pruned by a "
+        "pure-integer df cap, and pairs emerge only from the fingerprint "
+        "equi-join — never all-pairs."
+    ),
 }
 
 
