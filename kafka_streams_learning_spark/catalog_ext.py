@@ -572,7 +572,8 @@ _ROLLING_SKETCH_LIST = f"""CASE WHEN length(text) >= {textops.ROLLING_K}
                             [CAST(0 AS BIGINT)] || list_transform(
                               generate_series(i, i + {textops.ROLLING_K - 1}),
                               p -> CAST(ord(substr(text, p, 1)) AS BIGINT)),
-                            (acc, c) -> acc * {textops.ROLLING_BASE} + c)))),
+                            (acc, c) -> (acc * {textops.ROLLING_BASE} + c)
+                                        & {textops.ROLLING_MASK})))),
                  1, {textops.ROLLING_BOTTOM})
             ELSE [] END"""
 
@@ -1660,8 +1661,29 @@ FROM stats LEFT JOIN runs ON stats.doc_id = runs.doc_id
 # (x24); scores are exact integer sums, so labels replay exactly.
 
 
+# the scored/bucketed table is shared per (process, sf) like the Lloyd
+# centroids (_CENTROID_CACHE): x45 and x47 both consume it, and without
+# the cache each consumer re-trains the unigram LM and re-scores the
+# whole corpus. The cache stores the PATH of a private staging write
+# (never a reclaimable tag generation), so later direct ccnet_buckets
+# calls can't invalidate it.
+_BUCKETS_CACHE: dict[str, str] = {}
+
+
+def _ccnet_buckets_shared(spark: SparkSession, sf: str) -> DataFrame:
+    if sf not in _BUCKETS_CACHE:
+        from kafka_streams_learning_spark.sources.replay import run_staging_dir
+
+        path = run_staging_dir("x45-buckets")
+        textops.ccnet_buckets(
+            load_table(spark, sf, "documents"), LM_VOCAB_SIZE
+        ).write.mode("overwrite").parquet(path)
+        _BUCKETS_CACHE[sf] = path
+    return spark.read.parquet(_BUCKETS_CACHE[sf])
+
+
 def _x45(spark: SparkSession, sf: str) -> DataFrame:
-    return textops.ccnet_buckets(load_table(spark, sf, "documents"), LM_VOCAB_SIZE)
+    return _ccnet_buckets_shared(spark, sf)
 
 
 _X45_SQL = rf"""
@@ -1711,8 +1733,9 @@ QUALITY_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.125}
 
 
 def _x47(spark: SparkSession, sf: str) -> DataFrame:
-    buckets = textops.ccnet_buckets(load_table(spark, sf, "documents"), LM_VOCAB_SIZE)
-    return sampling.quality_weighted_sample(buckets, QUALITY_RATES)
+    return sampling.quality_weighted_sample(
+        _ccnet_buckets_shared(spark, sf), QUALITY_RATES
+    )
 
 
 def _x47_sql() -> str:

@@ -440,7 +440,10 @@ def containment_candidates(
         .filter(F.col("df_h") * max_df_denom <= F.col("n_docs"))
         .select("h")
     )
-    p = post.join(rare, "h")
+    # the pruned postings feed BOTH self-join sides; without this second
+    # materialization Catalyst plans the whole df-cap arm (postings
+    # count + corpus count + rare filter) once per side (x11 precedent)
+    p = _materialized(post.join(rare, "h"), tag="x48-pruned")
     a, b = p.alias("a"), p.alias("b")
     return (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))

@@ -24,11 +24,24 @@ SPLIT_SALT = "split"
 BALANCE_SALT = "bal"
 
 
+def keyed_hash(id_col: str, salt: str) -> Column:
+    """The sampler family's salted id-hash — the ONE Spark-side
+    definition of `hash60(salt|id)`; `keyed_hash_sql` is its oracle
+    mirror. Every sampler (split/balance/mixture/quality) derives its
+    decision from this pair, so the cross-engine contract lives in
+    exactly one place."""
+    return hashing.hash60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+
+
+def keyed_hash_sql(id_expr: str, salt: str) -> str:
+    """DuckDB mirror of :func:`keyed_hash`."""
+    return hashing.hash60_sql(f"'{salt}|' || CAST({id_expr} AS VARCHAR)")
+
+
 def _bucket(id_col: str, salt: str, mod: int) -> Column:
     """Deterministic bucket in [0, mod) from the row id — hash60 is
     non-negative in a signed long, so `%` is safe in every engine."""
-    h = hashing.hash60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
-    return (h % mod).cast("int")
+    return (keyed_hash(id_col, salt) % mod).cast("int")
 
 
 def hash_split(
@@ -61,8 +74,7 @@ def hash_split(
 
 def hash_split_bucket_sql(id_expr: str, salt: str = SPLIT_SALT) -> str:
     """DuckDB SQL computing the same bucket as :func:`hash_split`."""
-    h = hashing.hash60_sql(f"'{salt}|' || CAST({id_expr} AS VARCHAR)")
-    return f"CAST({h} % 100 AS INT)"
+    return f"CAST({keyed_hash_sql(id_expr, salt)} % 100 AS INT)"
 
 
 def balanced_sample(
@@ -83,8 +95,7 @@ def balanced_sample(
     cap rows, so the skew costs memory proportional to cap, not to the
     stratum size."""
     cap = df.groupBy(strata_col).count().agg(F.min("count")).collect()[0][0]
-    order = hashing.hash60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(strata_col).orderBy(order, F.col(id_col))
+    w = Window.partitionBy(strata_col).orderBy(keyed_hash(id_col, salt), F.col(id_col))
     return (
         df.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= int(cap))
@@ -94,7 +105,7 @@ def balanced_sample(
 
 def balanced_order_sql(id_expr: str, salt: str = BALANCE_SALT) -> str:
     """DuckDB SQL for the in-stratum ordering hash of :func:`balanced_sample`."""
-    return hashing.hash60_sql(f"'{salt}|' || CAST({id_expr} AS VARCHAR)")
+    return keyed_hash_sql(id_expr, salt)
 
 
 MIX_SALT = "mix"
@@ -139,17 +150,23 @@ def mixture_sample(
         strata_col,
         F.least(F.lit(1.0), (F.col("wt") * F.col("t")) / F.col("count")).alias("rate"),
     )
-    h = hashing.hash60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
-    return (
-        df.join(F.broadcast(rates), strata_col)
-        .filter(h < F.floor(F.col("rate") * F.lit(_MIX_SCALE)).cast("long"))
-        .select(F.col(id_col), F.col(strata_col))
+    return _rate_keep(df.join(F.broadcast(rates), strata_col), id_col, salt).select(
+        F.col(id_col), F.col(strata_col)
     )
+
+
+def _rate_keep(df: DataFrame, id_col: str, salt: str) -> DataFrame:
+    """Shared keep-filter of the rate-based samplers (mixture, quality):
+    a row survives iff its salted id-hash clears the row's ``rate``
+    threshold — one definition so the Spark filter and every oracle's
+    `keyed_hash_sql` comparison can never drift apart."""
+    h = keyed_hash(id_col, salt)
+    return df.filter(h < F.floor(F.col("rate") * F.lit(_MIX_SCALE)).cast("long"))
 
 
 def mixture_hash_sql(id_expr: str, salt: str = MIX_SALT) -> str:
     """DuckDB SQL computing the same keep-hash as :func:`mixture_sample`."""
-    return hashing.hash60_sql(f"'{salt}|' || CAST({id_expr} AS VARCHAR)")
+    return keyed_hash_sql(id_expr, salt)
 
 
 def temporal_split(
@@ -246,15 +263,12 @@ def quality_weighted_sample(
     r_df = spark.createDataFrame(
         [(b, float(r)) for b, r in sorted(rates.items())], [bucket_col, "rate"]
     )
-    h = hashing.hash60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
-    return (
-        scored.join(F.broadcast(r_df), bucket_col)
-        .filter(h < F.floor(F.col("rate") * F.lit(_MIX_SCALE)).cast("long"))
-        .select(F.col(id_col), F.col(bucket_col))
-    )
+    return _rate_keep(
+        scored.join(F.broadcast(r_df), bucket_col), id_col, salt
+    ).select(F.col(id_col), F.col(bucket_col))
 
 
 def quality_hash_sql(id_expr: str, salt: str = QUALITY_SALT) -> str:
     """DuckDB SQL computing the same keep-hash as
     :func:`quality_weighted_sample`."""
-    return hashing.hash60_sql(f"'{salt}|' || CAST({id_expr} AS VARCHAR)")
+    return keyed_hash_sql(id_expr, salt)

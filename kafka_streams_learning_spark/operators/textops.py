@@ -38,8 +38,16 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 ROLLING_K = 8  # chars per rolling window
-ROLLING_BASE = 128  # Horner base; 128^8 = 2^56 keeps the hash in a signed long
+ROLLING_BASE = 128  # Horner base
 ROLLING_BOTTOM = 4  # bottom-k sketch size
+# fold-state mask: the accumulator is clamped to 55 bits at EVERY Horner
+# step, so acc*128 ≤ 2^62 and the +codepoint (≤ 0x10FFFF) can never reach
+# 2^63 — without it, one 8-char window of high-codepoint text (e.g. CJK,
+# ord ≈ 2^15) overflows BIGINT: Spark's long silently wraps while DuckDB
+# RAISES, so the engines diverge exactly when the corpus goes non-ASCII.
+# ASCII-only hash values change too (top bit folds away) — consistently
+# on both engines, and nothing pins absolute sketch values.
+ROLLING_MASK = (1 << 55) - 1
 
 
 def rolling_fingerprints(
@@ -67,7 +75,7 @@ def rolling_fingerprints(
     window_hash = lambda chars, i: F.aggregate(  # noqa: E731
         F.slice(chars, i, ROLLING_K),
         F.lit(0).cast("long"),
-        lambda acc, c: acc * ROLLING_BASE + c,
+        lambda acc, c: (acc * ROLLING_BASE + c).bitwiseAND(F.lit(ROLLING_MASK)),
     )
     hashes = F.transform(
         F.array(codes),

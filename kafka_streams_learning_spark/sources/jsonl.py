@@ -64,7 +64,7 @@ def read_jsonl(
 
 
 def split_clean_quarantine(
-    df: DataFrame, tag: str | None = None
+    df: DataFrame, source: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(clean rows without the corrupt column, quarantined raw lines).
 
@@ -75,14 +75,23 @@ def split_clean_quarantine(
     and (b) the scale contract anyway: JSON parses once, both splits and
     every downstream pass read the columnar copy.
 
-    Untagged by default: each ingest gets its own process-lifetime
-    staging dir, so two ingests never invalidate each other's returned
-    frames. Pass a ``tag`` (e.g. derived from the input path) only for a
-    REPEATED ingest of the same input whose older generations should be
-    reclaimed — a tagged re-call deletes the previous call's parquet
-    once the new write commits (`materialize.run_named_dir` contract)."""
+    Staging lifecycle: with ``source`` (the input path), the parquet
+    copy lives under a tag DERIVED FROM THAT PATH — repeated re-ingests
+    of the same input reclaim their previous generation (disk stays
+    bounded at one live copy per input), while ingests of different
+    inputs can never invalidate each other. Without ``source``, each
+    call gets its own process-lifetime staging dir — fully isolated,
+    but re-ingesting in a loop accumulates one copy per call until the
+    interpreter exits; long-lived pollers should pass the path."""
+    import hashlib
+
     from kafka_streams_learning_spark.operators.materialize import materialized
 
+    tag = (
+        "jsonl-" + hashlib.md5(source.encode()).hexdigest()[:12]
+        if source is not None
+        else None
+    )
     parsed = materialized(df, tag=tag)
     clean = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(

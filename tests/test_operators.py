@@ -862,3 +862,30 @@ def test_containment_candidates_shared_sketches_and_df_cap(spark):
     assert got == {(1, 2): 4}  # ROLLING_BOTTOM shared fingerprints
     # 5%-style cap on a 3-doc corpus discards every fingerprint
     assert dedup.containment_candidates(df, min_shared=1, max_df_denom=20).count() == 0
+
+
+def test_rolling_fingerprints_cross_engine_on_non_ascii(spark):
+    # the masked Horner fold must agree between engines even on
+    # high-codepoint text (unmasked, DuckDB raises BIGINT overflow while
+    # Spark silently wraps — regression for the x17/x48 sketch family)
+    import duckdb
+
+    from kafka_streams_learning_spark.catalog_ext import _X17_SQL
+    from kafka_streams_learning_spark.operators import textops
+
+    rows = [(1, "漢字漢字漢字漢字漢字ab"), (2, "abcdefghijklmnop"), (3, "short")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.fp_sketch)
+        for r in textops.rolling_fingerprints(sdf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS "
+        + " UNION ALL ".join(f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in rows)
+    )
+    want = {
+        i: [int(x) for x in sk.split(",")] if sk else []
+        for i, sk in con.execute(_X17_SQL).fetchall()
+    }
+    assert got == want

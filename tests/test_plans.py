@@ -262,4 +262,8 @@ def test_containment_pairs_no_cartesian_and_single_sketch_scan(spark):
     # the rolling-hash chain evaluates ascii codes per char; its absence
     # from THIS plan proves every consumer reads the materialized parquet
     assert "ascii(" not in plan
-    assert plan.count("mat-x48-postings") >= 3  # dfreq + both join sides
+    # the df-cap arm ran once, inside the pruned-postings materialization:
+    # the pair join reads ONLY mat-x48-pruned (both sides), never re-plans
+    # the postings count / corpus count subtree
+    assert plan.count("mat-x48-pruned") >= 2
+    assert "mat-x48-postings" not in plan

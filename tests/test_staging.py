@@ -214,3 +214,25 @@ def test_jsonl_two_ingests_do_not_invalidate_each_other(spark, tmp_path):
     # act on A AFTER B ingested — formerly FileNotFoundException
     assert [r.doc_id for r in clean_a.collect()] == [1]
     assert [r.doc_id for r in clean_b.collect()] == [2]
+
+
+def test_jsonl_source_tag_bounds_repeated_ingest(spark, tmp_path):
+    # passing the input path reclaims the previous generation on
+    # re-ingest: exactly one live gen dir for that input afterward
+    import os
+
+    from kafka_streams_learning_spark.sources import jsonl
+    from kafka_streams_learning_spark.sources.replay import run_named_dir
+
+    p = tmp_path / "poll.jsonl"
+    p.write_text('{"doc_id": 1, "text": "x", "lang": "en", "source": "w", "n_chars": 1}\n')
+    for _ in range(3):
+        clean, _q = jsonl.split_clean_quarantine(
+            jsonl.read_jsonl(spark, str(p), jsonl.DOCUMENTS_SCHEMA), source=str(p)
+        )
+        assert clean.count() == 1
+    import hashlib
+
+    tag = "jsonl-" + hashlib.md5(str(p).encode()).hexdigest()[:12]
+    gens = [d for d in os.listdir(run_named_dir(f"mat-{tag}")) if d.startswith("gen-")]
+    assert len(gens) == 1
