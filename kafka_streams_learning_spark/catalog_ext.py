@@ -1759,6 +1759,7 @@ WHERE {keep_hash} < CAST(floor(rate * {scale}) AS BIGINT)
 
 CONTAIN_MIN_SHARED = 2
 CONTAIN_DF_DENOM = 20
+CONTAIN_DF_ABS = 64
 
 
 def _x48(spark: SparkSession, sf: str) -> DataFrame:
@@ -1766,6 +1767,7 @@ def _x48(spark: SparkSession, sf: str) -> DataFrame:
         load_table(spark, sf, "documents"),
         min_shared=CONTAIN_MIN_SHARED,
         max_df_denom=CONTAIN_DF_DENOM,
+        max_df_abs=CONTAIN_DF_ABS,
     )
 
 
@@ -1779,6 +1781,7 @@ WITH sk AS (
 ), rare AS (
   SELECT h FROM post, n GROUP BY h, n_docs
   HAVING COUNT(*) * {CONTAIN_DF_DENOM} <= n_docs
+     AND COUNT(*) <= {CONTAIN_DF_ABS}
 ), p AS (
   SELECT post.id, post.h FROM post JOIN rare USING (h)
 )

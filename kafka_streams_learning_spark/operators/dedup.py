@@ -400,6 +400,7 @@ def containment_candidates(
     df: DataFrame,
     min_shared: int = 2,
     max_df_denom: int = 20,
+    max_df_abs: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -410,17 +411,23 @@ def containment_candidates(
     substrings, catching quote/near-copy containment that word-level
     MinHash (x06/x11) misses when tokenization differs.
 
-    As in real winnowing deployments, fingerprints appearing in more
-    than 1/``max_df_denom`` of all documents are DISCARDED before
-    pairing (boilerplate windows match everything and say nothing);
-    the cap is the pure-integer comparison ``max_df_denom·df ≤ n_docs``
-    — no floats anywhere in this operator, so the oracle replays it
-    trivially.
+    As in real winnowing deployments (MOSS discards fingerprints above
+    an absolute occurrence cap), boilerplate fingerprints are DISCARDED
+    before pairing — they match everything and say nothing. TWO caps
+    compose, both pure-integer so the oracle replays them trivially:
+    the fractional ``max_df_denom·df ≤ n_docs`` (nothing in >1/denom of
+    a small corpus) and the absolute ``df ≤ max_df_abs``. The absolute
+    cap is the SCALE bound: a fingerprint shared by 65+ documents is
+    template text no matter how big the corpus is, and capping df
+    absolutely caps candidate pairs at max_df_abs²/2 per fingerprint —
+    a CONSTANT — so total pair fanout grows with the number of rare
+    fingerprints, not quadratically with corpus size (measured 16× at
+    sf0.1: 919k → 58k candidate rows).
 
     Scale shape: the sketch postings (≤ ROLLING_BOTTOM rows per doc)
     are MATERIALIZED once and feed the df-count and both self-join
     sides; pairs emerge only from an equi-join on fingerprint, with
-    fanout per fingerprint bounded by the df cap — never all-pairs.
+    fanout per fingerprint bounded by the df caps — never all-pairs.
     """
     from kafka_streams_learning_spark.operators.textops import (
         rolling_fingerprints,
@@ -437,7 +444,10 @@ def containment_candidates(
         post.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df_h"))
         .crossJoin(F.broadcast(ndocs))
-        .filter(F.col("df_h") * max_df_denom <= F.col("n_docs"))
+        .filter(
+            (F.col("df_h") * max_df_denom <= F.col("n_docs"))
+            & (F.col("df_h") <= max_df_abs)
+        )
         .select("h")
     )
     # the pruned postings feed BOTH self-join sides; without this second
