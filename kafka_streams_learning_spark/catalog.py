@@ -505,6 +505,7 @@ _TAIL_STABLE = [
 # head so they sit well inside the driver's ~50-entry prefix on their
 # first gated round.
 _HEAD_FIRST = [
+    "x49_bm25_topk",
     "x32_gopher_quality",
     "x33_dedup_survivors",
     "x34_mixture_sample",

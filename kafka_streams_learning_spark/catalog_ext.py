@@ -1791,6 +1791,76 @@ GROUP BY 1, 2 HAVING COUNT(*) >= {CONTAIN_MIN_SHARED}
 """
 
 
+# ---------------------------------------------------------------------------
+# X49 — BM25 top-k retrieval: the decontamination-by-retrieval probe.
+# Fixed query set over the corpus vocabulary; idf quantized round(ln,9)
+# (the x21 contract) and per-(doc,term) contributions snapped to the
+# 1e-6 fixed-point grid before the per-query INTEGER sum (the x43
+# contract), so ranking replays bit-for-bit in both engines.
+
+BM25_QUERIES = [
+    ("q1", "stream join window"),
+    ("q2", "fast hash scan"),
+    ("q3", "customer query sort"),
+]
+BM25_TOPK = 10
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _x49(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.bm25_topk(
+        load_table(spark, sf, "documents"),
+        BM25_QUERIES,
+        BM25_TOPK,
+        k1=BM25_K1,
+        b=BM25_B,
+    )
+
+
+def _x49_sql() -> str:
+    from kafka_streams_learning_spark.operators.textops import LOGPROB_SCALE
+
+    q_rows = sorted({(qid, t) for qid, qtext in BM25_QUERIES for t in qtext.split()})
+    q_values = ", ".join(f"('{qid}', '{t}')" for qid, t in q_rows)
+    terms = ", ".join(f"'{t}'" for t in sorted({t for _, t in q_rows}))
+    scale = f"{float(LOGPROB_SCALE)!r}"
+    k1, b, k1p1 = f"{BM25_K1!r}", f"{BM25_B!r}", f"{BM25_K1 + 1.0!r}"
+    return rf"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
+), d AS (
+  SELECT doc_id, len(toks) AS dl,
+         list_filter(toks, t -> list_contains([{terms}], t)) AS qtoks
+  FROM base
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS dl_sum FROM d
+), tfc AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(qtoks) AS term FROM d) GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, COUNT(*) AS dfreq FROM tfc GROUP BY 1
+), q(qid, term) AS (VALUES {q_values}),
+contrib AS (
+  SELECT qid, doc_id,
+    CAST(floor(
+      round(ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 9)
+        * (tf * {k1p1})
+        / (tf + {k1} * (1.0 - {b} + {b} * dl / (CAST(dl_sum AS DOUBLE) / n_docs)))
+        * {scale} + 0.5) AS BIGINT) AS cq
+  FROM tfc JOIN dfreq USING (term) JOIN q USING (term), stats
+), sc AS (
+  SELECT qid, doc_id, SUM(cq) AS score_q FROM contrib GROUP BY 1, 2
+)
+SELECT qid, doc_id, rank, CAST(score_q AS DOUBLE) / {scale} AS score FROM (
+  SELECT qid, doc_id, score_q,
+         CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY score_q DESC, doc_id) AS INT) AS rank
+  FROM sc
+) WHERE rank <= {BM25_TOPK}
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1899,4 +1969,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x48_containment_pairs", _x48, _X48_SQL,
               "winnowing containment candidates from rolling-hash "
               "sketches (boilerplate fingerprints df-capped)"),
+    QuerySpec("x49_bm25_topk", _x49, _x49_sql(),
+              "BM25 top-k retrieval per query "
+              "(decontamination-by-retrieval probe)"),
 ]

@@ -583,3 +583,104 @@ def bpe_pair_counts(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     ).filter(F.instr(F.col("pair"), " ") > 0)
     counts = pair.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.orderBy(F.col("cnt").desc(), F.col("pair")).limit(k)
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents per query by BM25 (Robertson/Spärck Jones, the
+    Okapi `+1` idf variant so scores stay non-negative even for terms in
+    most documents). Sparse lexical retrieval is the standard
+    decontamination-by-retrieval / curation probe in training-data
+    pipelines — given benchmark queries, pull the corpus documents most
+    likely to leak them.
+
+    Cross-engine portability (the x21/x43 contracts combined): the idf is
+    quantized once — ``round(ln((N-df+0.5)/(df+0.5)+1), 9)`` — and every
+    per-(doc,term) contribution is snapped to the 1e-6 fixed-point grid
+    BEFORE the per-query sum, so a document's score is an EXACT integer
+    sum: associative, arrival-order-free, identical across engines. The
+    top-k ranking orders by that integer (ties → doc id asc), never by a
+    float.
+
+    Scale shape: the corpus is tokenized ONCE into a (doc, dl, matched
+    query terms) projection — the query-term filter is a per-row literal
+    array-membership expression, so non-matching tokens die in the scan
+    and the explode is bounded by |matches|, not corpus tokens. That
+    projection is MATERIALIZED and feeds both arms (the 1-row N/avgdl
+    aggregate and the tf table) without recomputing the tokenize pass.
+    df/idf aggregate over ≤|query terms| keys; the ≤|queries|·|terms| map
+    broadcasts; per-query top-k is a WindowGroupLimit (partial top-k per
+    task before the |queries|-key exchange)."""
+    from kafka_streams_learning_spark.operators.materialize import materialized
+
+    spark = df.sparkSession
+    q_rows = sorted({(qid, t) for qid, qtext in queries for t in qtext.split()})
+    q_df = spark.createDataFrame(q_rows, ["qid", "term"])
+    terms_lit = F.array(*[F.lit(t) for t in sorted({t for _, t in q_rows})])
+
+    base = materialized(
+        df.select(
+            F.col(id_col),
+            T.tokens(T.normalized_text(F.col(text_col))).alias("toks"),
+        ).select(
+            id_col,
+            F.size("toks").alias("dl"),
+            F.filter("toks", lambda t: F.array_contains(terms_lit, t)).alias(
+                "qtoks"
+            ),
+        ),
+        tag="x49-doclens",
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("qtoks").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+
+    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs")
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+            / (F.col("dfreq") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        9,
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    contrib = idf * (tf_d * F.lit(k1 + 1.0)) / denom
+    scale = float(LOGPROB_SCALE)
+    contrib_q = F.floor(contrib * F.lit(scale) + F.lit(0.5)).cast("long")
+
+    per_q = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, "term", contrib_q.alias("cq"))
+        .join(F.broadcast(q_df), "term")
+        .groupBy("qid", id_col)
+        .agg(F.sum("cq").alias("score_q"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score_q").desc(), F.col(id_col))
+    return (
+        per_q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            id_col,
+            "rank",
+            (F.col("score_q").cast("double") / F.lit(scale)).alias("score"),
+        )
+    )

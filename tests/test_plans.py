@@ -267,3 +267,19 @@ def test_containment_pairs_no_cartesian_and_single_sketch_scan(spark):
     # the postings count / corpus count subtree
     assert plan.count("mat-x48-pruned") >= 2
     assert "mat-x48-postings" not in plan
+
+
+def test_bm25_tokenizes_once_and_prunes_topk_map_side(spark):
+    # x49: the corpus tokenize pass runs inside the x49-doclens
+    # materialization write; every consumer (N/avgdl aggregate, tf table)
+    # reads the materialized parquet — a `split(` in THIS plan would mean
+    # the corpus is tokenized once per consumer arm
+    df = _df(spark, "x49_bm25_topk")
+    plan = E.formatted_plan(df)
+    assert "split(" not in plan
+    assert "CartesianProduct" not in plan
+    # dfreq / the (qid,term) map / the 1-row stats all broadcast — the
+    # only shuffles key on (doc, term) and (qid, doc)
+    assert "BroadcastHashJoin" in plan
+    # the literal rank cap prunes per-task before the |queries|-key exchange
+    assert E.plan_has(df, "WindowGroupLimit")

@@ -381,3 +381,62 @@ def test_unigram_logprob_matches_python_model(spark, docs):
         assert got[i].n_unk == sum(t not in vocab for t in ts), d
         assert got[i].logprob_q_sum == want, d
         assert got[i].avg_logprob == want / (1e6 * len(ts)), d
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_DOC, min_size=1, max_size=8))
+def test_bm25_topk_matches_python_model(spark, docs):
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from kafka_streams_learning_spark.operators.textops import bm25_topk
+
+    queries = [("q1", "ab c"), ("q2", "d"), ("q3", "a c d")]
+    k1, b, k = 1.2, 0.75, 3
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.qid, r.doc_id, r.rank, r.score)
+        for r in bm25_topk(df, queries, k, k1=k1, b=b).collect()
+    )
+
+    def toks(d):
+        return [t for t in d.lower().split() if t]
+
+    def round9(x):
+        # mirror Spark's round(double, 9): BigDecimal.valueOf uses the
+        # shortest decimal repr (== Python repr), then HALF_UP
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        )
+
+    n_docs = len(rows)
+    dl = {i: len(toks(d)) for i, d in rows}
+    avgdl = sum(dl.values()) / n_docs
+    tf = {i: Counter(toks(d)) for i, d in rows}
+    want = []
+    for qid, qtext in queries:
+        terms = sorted(set(qtext.split()))
+        dfreq = {t: sum(t in tf[i] for i in tf) for t in terms}
+        scores = {}
+        for i, _ in rows:
+            cq = 0
+            for t in terms:
+                f = tf[i][t]
+                if not f:
+                    continue
+                idf = round9(
+                    math.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+                )
+                contrib = idf * (f * (k1 + 1.0)) / (
+                    f + k1 * (1.0 - b + b * dl[i] / avgdl)
+                )
+                cq += math.floor(contrib * 1e6 + 0.5)
+            if cq or any(tf[i][t] for t in terms):
+                scores[i] = cq
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        want.extend(
+            (qid, i, r + 1, sq / 1e6) for r, (i, sq) in enumerate(ranked)
+        )
+    assert got == sorted(want)

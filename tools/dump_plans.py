@@ -163,6 +163,13 @@ SHOWCASE: dict[str, str] = {
         "pure-integer df cap, and pairs emerge only from the fingerprint "
         "equi-join — never all-pairs."
     ),
+    "x49_bm25_topk": (
+        "BM25 retrieval: the corpus tokenizes once inside the doclens "
+        "materialization (no split() in this plan — plan-tested); dfreq, "
+        "the (qid,term) map, and the 1-row N/avgdl aggregate all "
+        "broadcast, so the only shuffles key on (doc,term) and "
+        "(qid,doc); the literal rank cap plans a WindowGroupLimit."
+    ),
 }
 
 
