@@ -506,6 +506,7 @@ _TAIL_STABLE = [
 # first gated round.
 _HEAD_FIRST = [
     "x49_bm25_topk",
+    "x50_jl_projection",
     "x32_gopher_quality",
     "x33_dedup_survivors",
     "x34_mixture_sample",

@@ -16,6 +16,8 @@ the two sides cannot drift.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1861,6 +1863,44 @@ SELECT qid, doc_id, rank, CAST(score_q AS DOUBLE) / {scale} AS score FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# X50 — Johnson-Lindenstrauss projection: compress the embedding corpus
+# to JL_OUT_DIM dims with a deterministic ±1 Rademacher matrix before
+# similarity search. Components snap to the 1e-6 grid and ship as a
+# comma-joined integer string (no float formatting in the hash).
+
+JL_OUT_DIM = 16
+
+
+def _x50(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.jl_project(
+        load_table(spark, sf, "embeddings"), JL_OUT_DIM, EMB_DIM
+    )
+
+
+def _x50_sql() -> str:
+    from kafka_streams_learning_spark.operators.similarity import _rademacher
+
+    inv = f"{1.0 / math.sqrt(JL_OUT_DIM)!r}"
+    comps = []
+    for c in range(JL_OUT_DIM):
+        lit = "[" + ", ".join(repr(s) for s in _rademacher(c, EMB_DIM)) + "]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+            f"j -> CAST(embedding[j] AS DOUBLE) * ({lit})[j]))"
+        )
+        comps.append(
+            f"CAST(CAST(floor({dot} * {inv} * 1000000.0 + 0.5) AS BIGINT) "
+            "AS VARCHAR)"
+        )
+    csv = ",\n    ".join(comps)
+    return f"""
+SELECT vec_id, concat_ws(',',
+    {csv}) AS proj_q
+FROM embeddings
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -1972,4 +2012,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x49_bm25_topk", _x49, _x49_sql(),
               "BM25 top-k retrieval per query "
               "(decontamination-by-retrieval probe)"),
+    QuerySpec("x50_jl_projection", _x50, _x50_sql(),
+              "Johnson-Lindenstrauss ±1 projection of the embedding "
+              "corpus (pre-ANN compression)"),
 ]

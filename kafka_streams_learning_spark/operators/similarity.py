@@ -395,3 +395,63 @@ def semantic_near_dup_pairs(
         .filter(F.col("score") >= threshold)
         .select("cluster", "vec_a", "vec_b", "score")
     )
+
+
+def _rademacher(out_comp: int, dim: int) -> list[float]:
+    """Deterministic ±1 Rademacher row for output component `out_comp`:
+    the sign of input position j comes from md5 parity — the dense ±1
+    JL variant of Achlioptas (2003), reproducible in any engine with
+    md5 and no RNG state (the `_hyperplane` recipe with a 2-point
+    distribution)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"jl|{out_comp}|{j}".encode()).hexdigest()[:15], 16) % 2
+        == 0
+        else -1.0
+        for j in range(dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection x → Rx/√out_dim with a
+    deterministic ±1 Rademacher matrix — the standard compression pass
+    run over an embedding corpus BEFORE similarity search: pairwise
+    distances survive within (1±ε) at out_dim = O(ln n/ε²), and every
+    downstream ANN probe (x09/x13/x18) gets a dim/out_dim-fold cheaper
+    dot product.
+
+    Determinism/portability: the matrix is a pure function of md5 (no
+    RNG), each projected component is a sequential left-fold dot
+    (`F.aggregate` — bit-identical to DuckDB's `list_sum`, the measured
+    x18 contract), and components snap to the 1e-6 fixed-point grid and
+    ship as a comma-joined INTEGER string — no float formatting in the
+    output, so rows hash identically across engines.
+
+    Scale shape: one narrow per-row expression — ZERO shuffles, no UDF;
+    the out_dim folds share the one vector read inside whole-stage
+    codegen. The ±1 literals live in the plan (out_dim × dim doubles,
+    KBs), not in a join side."""
+    inv = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for c in range(out_dim):
+        signs = F.array(*[F.lit(s) for s in _rademacher(c, dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), signs, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(
+            F.floor(dot * F.lit(inv) * F.lit(float(scale)) + F.lit(0.5))
+            .cast("long")
+            .cast("string")
+        )
+    return df.select(F.col(id_col), F.concat_ws(",", *comps).alias("proj_q"))

@@ -889,3 +889,36 @@ def test_rolling_fingerprints_cross_engine_on_non_ascii(spark):
         for i, sk in con.execute(_X17_SQL).fetchall()
     }
     assert got == want
+
+
+def test_jl_projection_preserves_distances(spark):
+    """JL guarantee sanity: with out_dim=16 the projected pairwise
+    distances track the original within loose (1±ε) bounds on real
+    fixture embeddings — the property that makes the compression usable
+    as an ANN pre-pass."""
+    import itertools
+    import math
+
+    from kafka_streams_learning_spark.operators.similarity import jl_project
+
+    from .conftest import SF_DIR
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") < 40)
+    )
+    orig = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    proj = {
+        r.vec_id: [int(c) / 1e6 for c in r.proj_q.split(",")]
+        for r in jl_project(emb, 16, 64).collect()
+    }
+    ratios = []
+    for a, b in itertools.combinations(sorted(orig), 2):
+        d_o = math.dist(orig[a], orig[b])
+        d_p = math.dist(proj[a], proj[b])
+        if d_o > 1e-9:
+            ratios.append(d_p / d_o)
+    # ε for out_dim=16 is large in theory; empirically the bulk sits well
+    # inside [0.4, 1.6] and the MEAN ratio is close to 1 (unbiased)
+    assert 0.8 < sum(ratios) / len(ratios) < 1.2
+    assert all(0.2 < r < 2.2 for r in ratios)

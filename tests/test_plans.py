@@ -283,3 +283,13 @@ def test_bm25_tokenizes_once_and_prunes_topk_map_side(spark):
     assert "BroadcastHashJoin" in plan
     # the literal rank cap prunes per-task before the |queries|-key exchange
     assert E.plan_has(df, "WindowGroupLimit")
+
+
+def test_jl_projection_is_pure_map(spark):
+    # x50: one narrow per-row expression over the embedding scan —
+    # zero exchanges, no Python in the path; the ±1 matrix lives in the
+    # plan as literals, never as a join side
+    df = _df(spark, "x50_jl_projection")
+    assert E.exchange_count(df) == 0
+    plan = E.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

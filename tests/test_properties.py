@@ -440,3 +440,44 @@ def test_bm25_topk_matches_python_model(spark, docs):
             (qid, i, r + 1, sq / 1e6) for r, (i, sq) in enumerate(ranked)
         )
     assert got == sorted(want)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0, max_value=4.0, allow_nan=False, width=32
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_jl_project_matches_python_model(spark, vecs):
+    import math
+
+    from kafka_streams_learning_spark.operators.similarity import (
+        _rademacher,
+        jl_project,
+    )
+
+    dim, out_dim = 8, 4
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.proj_q for r in jl_project(df, out_dim, dim).collect()}
+
+    inv = 1.0 / math.sqrt(out_dim)
+    import struct
+
+    for i, v in rows:
+        comps = []
+        for c in range(out_dim):
+            acc = 0.0
+            # float32 storage then f32→f64 widening, exactly like parquet
+            for x, s in zip(v, _rademacher(c, dim)):
+                acc += struct.unpack("f", struct.pack("f", x))[0] * s
+            comps.append(str(math.floor(acc * inv * 1e6 + 0.5)))
+        assert got[i] == ",".join(comps), v
