@@ -507,6 +507,7 @@ _TAIL_STABLE = [
 _HEAD_FIRST = [
     "x49_bm25_topk",
     "x50_jl_projection",
+    "x51_epoch_shuffle",
     "x32_gopher_quality",
     "x33_dedup_survivors",
     "x34_mixture_sample",

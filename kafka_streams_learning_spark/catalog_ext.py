@@ -1901,6 +1901,43 @@ FROM embeddings
 """
 
 
+# ---------------------------------------------------------------------------
+# X51 — deterministic per-epoch training-order shuffle: (shard, pos)
+# coordinates as a pure function of (doc_id, epoch) — the reproducible
+# replacement for orderBy(rand()) when laying out training examples.
+
+EPOCH_NUM = 3
+EPOCH_SHARDS = 8
+
+
+def _x51(spark: SparkSession, sf: str) -> DataFrame:
+    return sampling.epoch_shuffle(
+        load_table(spark, sf, "documents"), EPOCH_NUM, EPOCH_SHARDS
+    )
+
+
+def _x51_sql() -> str:
+    from kafka_streams_learning_spark.operators.sampling import (
+        EPOCH_SALT,
+        keyed_hash_sql,
+    )
+
+    shard_h = keyed_hash_sql("doc_id", f"{EPOCH_SALT}-shard|{EPOCH_NUM}")
+    ord_h = keyed_hash_sql("doc_id", f"{EPOCH_SALT}-pos|{EPOCH_NUM}")
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST({shard_h} % {EPOCH_SHARDS} AS INT) AS shard,
+         {ord_h} AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -2015,4 +2052,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x50_jl_projection", _x50, _x50_sql(),
               "Johnson-Lindenstrauss ±1 projection of the embedding "
               "corpus (pre-ANN compression)"),
+    QuerySpec("x51_epoch_shuffle", _x51, _x51_sql(),
+              "deterministic per-epoch training-order shuffle "
+              "(shard, pos) coordinates"),
 ]

@@ -272,3 +272,35 @@ def quality_hash_sql(id_expr: str, salt: str = QUALITY_SALT) -> str:
     """DuckDB SQL computing the same keep-hash as
     :func:`quality_weighted_sample`."""
     return keyed_hash_sql(id_expr, salt)
+
+
+EPOCH_SALT = "epoch"
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = EPOCH_SALT,
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: every row gets a
+    (shard, pos) coordinate that is a pure function of (id, epoch) —
+    the reproducible alternative to `orderBy(rand())` for laying out
+    training examples each epoch. Re-running any epoch replays the exact
+    order (resumable training, bitwise-auditable data order); epochs
+    decorrelate because the salt folds the epoch number into the hash.
+
+    Scale shape: shard = id-hash mod n_shards (per-row expression), pos =
+    rank within shard by a SECOND independent hash — ONE exchange on
+    shard and a per-shard sort bounded by |corpus|/n_shards. Pick
+    n_shards = target output-file count at scale (thousands): shards
+    sort in parallel, no global sort of the corpus ever runs."""
+    shard = _bucket(id_col, f"{salt}-shard|{epoch}", n_shards)
+    order = keyed_hash(id_col, f"{salt}-pos|{epoch}")
+    w = Window.partitionBy("shard").orderBy("ord", id_col)
+    return (
+        df.select(F.col(id_col), shard.alias("shard"), order.alias("ord"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

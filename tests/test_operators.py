@@ -922,3 +922,24 @@ def test_jl_projection_preserves_distances(spark):
     # inside [0.4, 1.6] and the MEAN ratio is close to 1 (unbiased)
     assert 0.8 < sum(ratios) / len(ratios) < 1.2
     assert all(0.2 < r < 2.2 for r in ratios)
+
+
+def test_epoch_shuffle_deterministic_dense_and_decorrelated(spark):
+    from kafka_streams_learning_spark.operators.sampling import epoch_shuffle
+
+    rows = [(i,) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    a = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(df, 1, 4).collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(df, 1, 4).collect()}
+    c = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(df, 2, 4).collect()}
+    # same epoch replays the exact order; every doc is placed exactly once
+    assert a == b and len(a) == 300
+    # positions are dense 1..|shard| within each shard
+    by_shard = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    # a different epoch is a different permutation for almost every doc
+    moved = sum(a[i] != c[i] for i in a)
+    assert moved > 250

@@ -293,3 +293,12 @@ def test_jl_projection_is_pure_map(spark):
     assert E.exchange_count(df) == 0
     plan = E.formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_shuffle_single_exchange(spark):
+    # x51: shard assignment is a per-row expression; the only shuffle is
+    # the shard-key exchange feeding the per-shard rank — no global sort
+    df = _df(spark, "x51_epoch_shuffle")
+    assert E.exchange_count(df) == 1
+    plan = E.formatted_plan(df)
+    assert "rangepartitioning" not in plan.lower()

@@ -170,6 +170,17 @@ SHOWCASE: dict[str, str] = {
         "broadcast, so the only shuffles key on (doc,term) and "
         "(qid,doc); the literal rank cap plans a WindowGroupLimit."
     ),
+    "x50_jl_projection": (
+        "JL projection: a pure per-row expression pipeline — zero "
+        "exchanges, no Python; the ±1 Rademacher matrix is plan "
+        "literals and each component folds sequentially inside "
+        "whole-stage codegen."
+    ),
+    "x51_epoch_shuffle": (
+        "Epoch shuffle: shard assignment per-row, rank within shard by "
+        "an independent hash — one hash-partitioned exchange, per-shard "
+        "sorts, never a global range sort."
+    ),
 }
 
 
