@@ -504,27 +504,29 @@ _TAIL_STABLE = [
 # NEW extension rows this round — hoisted to the front of the extension
 # head so they sit well inside the driver's ~50-entry prefix on their
 # first gated round.
+# newest-first: the never-driver-verified entries must land inside the
+# gate's ~50-entry prefix; the oldest head entries overflow first
 _HEAD_FIRST = [
-    "x49_bm25_topk",
-    "x50_jl_projection",
     "x51_epoch_shuffle",
-    "x32_gopher_quality",
-    "x33_dedup_survivors",
-    "x34_mixture_sample",
-    "x35_kmeans_clusters",
-    "x36_sequence_packing",
-    "x37_temporal_split",
-    "x38_doc_chunking",
-    "x39_semantic_dedup",
-    "x40_training_layout",
-    "x41_vocab_coverage",
-    "x42_cross_source_dups",
-    "x43_unigram_logprob",
-    "x44_dup_span_stats",
-    "x45_ccnet_buckets",
-    "x46_bpe_pair_counts",
-    "x47_quality_weighted_sample",
+    "x50_jl_projection",
+    "x49_bm25_topk",
     "x48_containment_pairs",
+    "x47_quality_weighted_sample",
+    "x46_bpe_pair_counts",
+    "x45_ccnet_buckets",
+    "x44_dup_span_stats",
+    "x43_unigram_logprob",
+    "x42_cross_source_dups",
+    "x41_vocab_coverage",
+    "x40_training_layout",
+    "x39_semantic_dedup",
+    "x38_doc_chunking",
+    "x37_temporal_split",
+    "x36_sequence_packing",
+    "x35_kmeans_clusters",
+    "x34_mixture_sample",
+    "x33_dedup_survivors",
+    "x32_gopher_quality",
 ]
 
 
@@ -532,7 +534,11 @@ def all_queries() -> list[QuerySpec]:
     from kafka_streams_learning_spark.catalog_ext import EXTENSION_QUERIES
     from kafka_streams_learning_spark.catalog_streaming import STREAMING_QUERIES
 
-    ext_first = [q for q in EXTENSION_QUERIES if q.name in _HEAD_FIRST]
+    # _HEAD_FIRST's own order is the priority order (newest first): the
+    # external gate checks a ~50-entry prefix, so entries the driver has
+    # never verified must sort before long-verified ones
+    by_name = {q.name: q for q in EXTENSION_QUERIES}
+    ext_first = [by_name[n] for n in _HEAD_FIRST if n in by_name]
     ext_head = [
         q
         for q in EXTENSION_QUERIES
