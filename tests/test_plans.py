@@ -302,3 +302,15 @@ def test_epoch_shuffle_single_exchange(spark):
     assert E.exchange_count(df) == 1
     plan = E.formatted_plan(df)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_jl_topk_prunes_before_single_exchange(spark):
+    # x52: candidate cap is a literal rank filter → WindowGroupLimit
+    # prunes per task; the exact re-rank window reuses the query-key
+    # partitioning, so the whole two-stage rank costs ONE exchange; the
+    # corpus side joins the broadcast queries, never a shuffle join
+    df = _df(spark, "x52_ann_jl_topk")
+    assert E.plan_has(df, "WindowGroupLimit")
+    assert E.exchange_count(df) == 1
+    plan = E.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan

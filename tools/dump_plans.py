@@ -181,6 +181,12 @@ SHOWCASE: dict[str, str] = {
         "an independent hash — one hash-partitioned exchange, per-shard "
         "sorts, never a global range sort."
     ),
+    "x52_ann_jl_topk": (
+        "Two-stage ANN: the materialized projected corpus joins the "
+        "broadcast queries; WindowGroupLimit prunes candidates per task "
+        "and the exact re-rank reuses the query-key partitioning — one "
+        "exchange for both ranking stages."
+    ),
 }
 
 
