@@ -1941,20 +1941,21 @@ def _x52_sql() -> str:
         )
 
     pdot = _udot("q.qp", "e.proj")
-    pqq = _udot("q.qp", "q.qp")
-    pcc = _udot("e.proj", "e.proj")
+    self_dot = _udot("proj", "proj")
     return f"""
-WITH pc AS (
+WITH pc0 AS (
   SELECT vec_id, embedding,
          [{proj}] AS proj
   FROM embeddings
+), pc AS (
+  SELECT vec_id, embedding, proj, sqrt({self_dot}) AS nrm FROM pc0
 ), q AS (
-  SELECT vec_id AS query_id, embedding AS qv, proj AS qp FROM pc
+  SELECT vec_id AS query_id, embedding AS qv, proj AS qp, nrm AS qn FROM pc
   WHERE vec_id % {ANN_QUERY_MOD} = 0
 ), cand AS (
   SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding,
-         CASE WHEN sqrt({pqq}) * sqrt({pcc}) > 0
-              THEN ({pdot}) / (sqrt({pqq}) * sqrt({pcc})) END AS pscore
+         CASE WHEN q.qn * e.nrm > 0
+              THEN ({pdot}) / (q.qn * e.nrm) END AS pscore
   FROM q JOIN pc e ON e.vec_id != q.query_id
 ), pruned AS (
   SELECT query_id, neighbor_id, qv, embedding FROM (

@@ -518,27 +518,39 @@ def jl_topk(
     would re-evaluate the 16×64-literal fold tree per pair and the
     codegen blow-up dominates runtime (~20s → ~3s measured at
     sf0.001). At scale this is the natural shape anyway — the projected
-    table (x50's output) is computed once and searched many times."""
+    table (x50's output) is computed once and searched many times. The
+    projection NORM is precomputed per ROW on both sides too: a plain
+    cosine() per pair would refold both 16-element norms for every
+    (query, candidate) pair — two-thirds of the candidate-scan flops
+    for values that are per-row constants."""
+    from kafka_streams_learning_spark.functions.vectors import dot, norm as vnorm
     from kafka_streams_learning_spark.operators.materialize import materialized
 
     cp = materialized(
-        jl_project_vectors(corpus, out_dim, dim, id_col, vec_col),
+        jl_project_vectors(corpus, out_dim, dim, id_col, vec_col).withColumn(
+            "nrm", vnorm(F.col("proj"))
+        ),
         tag="x52-proj",
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("proj").alias("c_proj"),
+        F.col("nrm").alias("c_nrm"),
     )
     qp = broadcast(
-        jl_project_vectors(queries, out_dim, dim, id_col, vec_col).select(
+        jl_project_vectors(queries, out_dim, dim, id_col, vec_col)
+        .withColumn("nrm", vnorm(F.col("proj")))
+        .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
             F.col("proj").alias("q_proj"),
+            F.col("nrm").alias("q_nrm"),
         )
     )
-    cand = (
-        cp.join(qp, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("pscore", cosine(F.col("q_proj"), F.col("c_proj")))
+    denom = F.col("q_nrm") * F.col("c_nrm")
+    cand = cp.join(qp, F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "pscore",
+        F.when(denom > 0, dot(F.col("q_proj"), F.col("c_proj")) / denom),
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.col("pscore").desc(), F.col("neighbor_id")
