@@ -507,6 +507,7 @@ _TAIL_STABLE = [
 # newest-first: the never-driver-verified entries must land inside the
 # gate's ~50-entry prefix; the oldest head entries overflow first
 _HEAD_FIRST = [
+    "x53_sketch_calibration",
     "x52_ann_jl_topk",
     "x51_epoch_shuffle",
     "x50_jl_projection",

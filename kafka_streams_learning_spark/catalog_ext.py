@@ -1978,6 +1978,50 @@ SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {ANN_K}
 
 
 # ---------------------------------------------------------------------------
+# X53 — sketch calibration: MinHash-estimated vs exact Jaccard for every
+# LSH candidate pair (the n_perm / band-layout tuning table). Both
+# ratios are exact small-integer divisions; a hash-collision-induced
+# false candidate surfaces with exact 0.0 via the LEFT join.
+
+
+def _x53(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.sketch_calibration(
+        load_table(spark, sf, "documents"), MINHASH_PERMS, JACCARD_K
+    )
+
+
+def _x53_sql() -> str:
+    est_terms = " + ".join(
+        f"(CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_PERMS)
+    )
+    ors = " OR ".join(f"x.mh{i} = y.mh{i}" for i in range(MINHASH_PERMS))
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         ({est_terms}) / {float(MINHASH_PERMS)!r} AS est_jaccard
+  FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ({ors})
+), t AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS shingles FROM t),
+post AS (SELECT DISTINCT doc_id AS id, unnest(shingles) AS shingle FROM s),
+sizes AS (SELECT id, COUNT(*) AS n FROM post GROUP BY 1),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS ni
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+), exact AS (
+  SELECT doc_a, doc_b, ni / (sa.n + sb.n - ni) AS exact_jaccard
+  FROM inter JOIN sizes sa ON doc_a = sa.id JOIN sizes sb ON doc_b = sb.id
+)
+SELECT p.doc_a, p.doc_b, p.est_jaccard,
+       COALESCE(e.exact_jaccard, 0.0) AS exact_jaccard,
+       abs(p.est_jaccard - COALESCE(e.exact_jaccard, 0.0)) AS abs_err
+FROM pairs p LEFT JOIN exact e ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # X51 — deterministic per-epoch training-order shuffle: (shard, pos)
 # coordinates as a pure function of (doc_id, epoch) — the reproducible
 # replacement for orderBy(rand()) when laying out training examples.
@@ -2134,4 +2178,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x52_ann_jl_topk", _x52, _x52_sql(),
               "two-stage ANN: JL-compressed candidate scan + exact "
               "full-dim re-rank"),
+    QuerySpec("x53_sketch_calibration", _x53, _x53_sql(),
+              "MinHash-estimated vs exact Jaccard on LSH candidate "
+              "pairs (sketch tuning table)"),
 ]

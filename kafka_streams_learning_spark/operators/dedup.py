@@ -116,14 +116,21 @@ def lsh_candidate_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b): docs whose signatures collide
     in at least one band. rows_per_band = n_perm // bands. The self-join
     runs per (band, bucket) group — the only shuffle keys are band buckets,
-    never the full cross product."""
+    never the full cross product.
+
+    Pass `sig` (a `minhash_signatures` output, ideally materialized) when
+    the caller also consumes the signatures itself — otherwise the whole
+    shingle→minhash pipeline would run once here and once in the caller
+    (x53's calibration join does exactly this)."""
     assert n_perm % bands == 0, "n_perm must divide evenly into bands"
     rows = n_perm // bands
-    sig = minhash_signatures(df, n_perm, k, text_col, id_col)
+    if sig is None:
+        sig = minhash_signatures(df, n_perm, k, text_col, id_col)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
@@ -460,4 +467,67 @@ def containment_candidates(
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def sketch_calibration(
+    df: DataFrame,
+    n_perm: int,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sketch-accuracy diagnostic: for every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (fraction of agreeing permutation minima —
+    the estimator whose expectation IS the true Jaccard, Broder 1997)
+    side by side with the EXACT shingle Jaccard, plus the absolute
+    error. This is the table you consult when tuning n_perm / band
+    layout: if the error column is wide at your dedup threshold, the
+    sketch is under-sized for the corpus.
+
+    Scale shape: signatures are MATERIALIZED once and feed three arms
+    (band bucketing inside `lsh_candidate_pairs` plus both sides of the
+    estimate join); the exact arm is the x07 inverted-index form —
+    bounded by shared-shingle postings, never all-pairs — LEFT-joined so
+    a hash-collision-induced false candidate surfaces with exact 0.0
+    (the worst-case row the diagnostic exists to expose) instead of
+    silently dropping. Both ratios are exact small-integer divisions, so
+    the rows replay bit-for-bit across engines."""
+    from kafka_streams_learning_spark.operators.materialize import materialized
+
+    sig = materialized(
+        minhash_signatures(df, n_perm, k, text_col, id_col), tag="x53-sig"
+    )
+    pairs = lsh_candidate_pairs(
+        df, n_perm, bands=n_perm, k=k, text_col=text_col, id_col=id_col, sig=sig
+    )
+    sa = sig.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_perm)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_perm)],
+    )
+    matches = None
+    for i in range(n_perm):
+        m = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", (matches / F.lit(float(n_perm))).alias("est_jaccard")
+        )
+    )
+    exact = ngram_jaccard_pairs(df, 0.0, k, text_col, id_col).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    ex = F.coalesce(F.col("exact_jaccard"), F.lit(0.0))
+    return est.join(exact, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        ex.alias("exact_jaccard"),
+        F.abs(F.col("est_jaccard") - ex).alias("abs_err"),
     )

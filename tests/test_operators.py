@@ -976,3 +976,30 @@ def test_jl_topk_effectiveness_vs_exact(spark):
     eff = [sum(approx[k]) / sum(exact[k]) for k in exact]
     assert sum(eff) / len(eff) >= 0.75, eff
     assert min(eff) >= 0.55, eff
+
+
+def test_sketch_calibration_semantics(spark):
+    from kafka_streams_learning_spark.operators import dedup
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a sleepy dog"),  # near dup
+        (4, "completely different text with no overlap here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.sketch_calibration(df, 4, k=3).collect()
+    }
+    # identical docs: every permutation minimum agrees, exact jaccard 1.0
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r.est_jaccard == 1.0 and r.exact_jaccard == 1.0 and r.abs_err == 0.0
+    # every row is internally consistent and bounded
+    for r in rows.values():
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 1e-15
+    # the disjoint doc never pairs with anything (no shared minima)
+    assert not any(4 in p for p in rows)
