@@ -50,17 +50,48 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # Full-name timings land in a committed artifact; the printed line must
+    # stay under the driver's ~2 KB stdout tail capture (BENCH_r05.json was
+    # recorded with parsed:null because the 84-query line outgrew it), so it
+    # carries every timing under the short unique prefix key (q01/s05/x53)
+    # with compact separators and 2-decimal rounding: ~1.1 KB at 90 queries.
+    full = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    short = {name.split("_")[0]: round(t, 2) for name, t in timings.items()}
+    assert len(short) == len(timings), "short bench keys collided"
+    line = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": short,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1800:  # last-resort guard: keep only the slowest rows
+        worst = dict(sorted(short.items(), key=lambda kv: -kv[1])[:40])
+        line = json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": worst,
+                "truncated_to_slowest": len(worst),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -469,15 +469,10 @@ _TAIL_STABLE = [
     "x23_pii_redaction",
     "x25_rollup_stats",
     # moved to the tail for x35+: driver-green r04, plumbing unchanged
+    # (x09/x13/x18/x20/x21/x22/x24 rotated back into the round-6 prefix —
+    # their float-math oracles are the most fixture-drift-prone)
     "x14_multimodal_decode",
-    "x20_balanced_sample",
-    "x21_tfidf_topk",
-    "x24_quantile_stats",
-    "x22_asof_join",
-    "x18_ann_lsh_topk",
-    "x13_ann_ivf_topk",
     "x16_clean_corpus",
-    "x09_ann_brute_topk",
     # moved to the tail for x43/x44: sketch rows whose oracle SQL is
     # generated from the same constants as the Spark expressions (cannot
     # drift), driver-green since r02, locally oracle-checked every round
@@ -501,12 +496,33 @@ _TAIL_STABLE = [
     "x28_neardup_groups",
 ]
 
-# NEW extension rows this round — hoisted to the front of the extension
-# head so they sit well inside the driver's ~50-entry prefix on their
-# first gated round.
-# newest-first: the never-driver-verified entries must land inside the
-# gate's ~50-entry prefix; the oldest head entries overflow first
+# Extension-prefix priority order. Three bands:
+#   1. never-driver-verified rows (this round: x30–x34, which the round-5
+#      newest-first reorder accidentally pushed to positions 51–55 — they
+#      have NO driver correctness row in any round; plus any new round-6
+#      entries, which must be prepended here when added);
+#   2. a rotation band of long-tail rows whose oracles are the most
+#      drift-prone (float-math ANN / quantile / sampling SQL) and whose
+#      last driver verification is oldest — re-gated this round;
+#   3. the round-5 rows (x35–x53), all driver-green in CORRECTNESS_r05 —
+#      they overflow the ~50-entry cap first and stay locally checked by
+#      tests/test_catalog_oracle.py + tools/oracle_check.py every round.
 _HEAD_FIRST = [
+    # band 1: never driver-verified
+    "x34_mixture_sample",
+    "x33_dedup_survivors",
+    "x32_gopher_quality",
+    "x31_decontamination",
+    "x30_repetition_stats",
+    # band 2: rotation — oldest driver verification, float-heavy oracles
+    "x13_ann_ivf_topk",
+    "x18_ann_lsh_topk",
+    "x09_ann_brute_topk",
+    "x21_tfidf_topk",
+    "x24_quantile_stats",
+    "x22_asof_join",
+    "x20_balanced_sample",
+    # band 3: driver-green in r05, overflow first
     "x53_sketch_calibration",
     "x52_ann_jl_topk",
     "x51_epoch_shuffle",
@@ -526,9 +542,6 @@ _HEAD_FIRST = [
     "x37_temporal_split",
     "x36_sequence_packing",
     "x35_kmeans_clusters",
-    "x34_mixture_sample",
-    "x33_dedup_survivors",
-    "x32_gopher_quality",
 ]
 
 

@@ -39,6 +39,9 @@ from kafka_streams_learning_spark.sources.batch import load_table
 MINHASH_PERMS = 4
 JACCARD_K = 3
 JACCARD_THRESHOLD = 0.3
+# x48's MOSS absolute df cap applied to x07: shingles in > this many docs
+# are boilerplate and dropped before pairing (bounds per-shingle fanout)
+JACCARD_MAX_DF = 64
 ANN_K = 5
 ANN_QUERY_MOD = 50  # query set = vec_id % 50 == 0
 EMB_DUP_THRESHOLD = 0.35
@@ -205,14 +208,24 @@ FROM u GROUP BY doc_id
 
 def _x07(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf, "documents"), JACCARD_THRESHOLD, JACCARD_K
+        load_table(spark, sf, "documents"),
+        JACCARD_THRESHOLD,
+        JACCARD_K,
+        max_df=JACCARD_MAX_DF,
     )
 
 
+# df-capped postings (shingle in ≤ JACCARD_MAX_DF docs) feed BOTH the
+# intersection and the sizes — Jaccard is exact over the non-boilerplate
+# shingle universe, mirroring ngram_jaccard_pairs(max_df=...)
 _X07_SQL = rf"""
 WITH t AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
 s AS (SELECT doc_id, {_SHINGLES} AS shingles FROM t),
-post AS (SELECT DISTINCT doc_id AS id, unnest(shingles) AS shingle FROM s),
+post0 AS (SELECT DISTINCT doc_id AS id, unnest(shingles) AS shingle FROM s),
+rare AS (
+  SELECT shingle FROM post0 GROUP BY 1 HAVING COUNT(*) <= {JACCARD_MAX_DF}
+),
+post AS (SELECT id, p.shingle FROM post0 p JOIN rare USING (shingle)),
 sizes AS (SELECT id, COUNT(*) AS n FROM post GROUP BY 1),
 inter AS (
   SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS ni
@@ -1821,11 +1834,18 @@ def _x49(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _x49_sql() -> str:
-    from kafka_streams_learning_spark.operators.textops import LOGPROB_SCALE
+    from kafka_streams_learning_spark.operators.textops import (
+        LOGPROB_SCALE,
+        bm25_query_terms,
+    )
 
-    q_rows = sorted({(qid, t) for qid, qtext in BM25_QUERIES for t in qtext.split()})
-    q_values = ", ".join(f"('{qid}', '{t}')" for qid, t in q_rows)
-    terms = ", ".join(f"'{t}'" for t in sorted({t for _, t in q_rows}))
+    # same normalization pipeline as bm25_topk (shared helper), and quote
+    # ids/terms SQL-safely — a term containing ' must not corrupt the
+    # generated oracle
+    q_rows = bm25_query_terms(BM25_QUERIES)
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    q_values = ", ".join(f"('{esc(qid)}', '{esc(t)}')" for qid, t in q_rows)
+    terms = ", ".join(f"'{esc(t)}'" for t in sorted({t for _, t in q_rows}))
     scale = f"{float(LOGPROB_SCALE)!r}"
     k1, b, k1p1 = f"{BM25_K1!r}", f"{BM25_B!r}", f"{BM25_K1 + 1.0!r}"
     return rf"""

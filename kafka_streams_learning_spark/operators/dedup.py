@@ -59,13 +59,36 @@ def ngram_jaccard_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Document pairs (a < b) with k-shingle Jaccard ≥ threshold, via an
     inverted shingle index — candidate pairs only ever materialize for
     docs that share ≥1 shingle. The postings table feeds three plan arms
     (both self-join sides + sizes); materializing it computes the
-    explode+distinct once instead of three times (~20% measured)."""
+    explode+distinct once instead of three times (~20% measured).
+
+    ``max_df`` is the SCALE bound (the x48/MOSS document-frequency cap,
+    Schleimer et al. 2003): shingles occurring in more than ``max_df``
+    documents are boilerplate — they are dropped from the postings BEFORE
+    both the intersection and the set sizes, so the Jaccard is exact over
+    the non-boilerplate shingle universe and per-shingle join fanout is
+    capped at max_df²/2 pairs, a constant. Without it one stop-shingle
+    shared by m documents makes an O(m²) join group — fine at sf0.1,
+    quadratic death at 100 TB. ``max_df=None`` keeps the uncapped exact
+    semantics; that arm is CALIBRATION-ONLY (x53's ground truth, the x10
+    precedent), never the production dedup path."""
     post = _materialized(_shingled(df, text_col, id_col, k), tag="x07-postings")
+    if max_df is not None:
+        rare = (
+            post.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_s"))
+            .filter(F.col("df_s") <= max_df)
+            .select("shingle")
+        )
+        # pruned postings feed both self-join sides AND sizes; without
+        # this materialization Catalyst replans the df-count arm per
+        # consumer (x48 precedent)
+        post = _materialized(post.join(rare, "shingle"), tag="x07-pruned")
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = post.alias("a")
     b = post.alias("b")

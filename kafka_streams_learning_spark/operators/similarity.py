@@ -505,6 +505,14 @@ def jl_topk(
     cousin of product-quantization search; x13/x18 remain the bucketed
     sub-linear arms).
 
+    Identity contract (same as brute_force_topk's family): `queries` is
+    assumed to share the corpus id space — rows where ``neighbor_id ==
+    query_id`` are self-matches and are excluded. If you pass a query
+    table with an INDEPENDENT id space, any accidental id collision
+    silently drops a legitimate corpus candidate; disjoint ids mean no
+    self-exclusion happens at all. Re-key one side first if your query
+    set is not a corpus subset.
+
     Plan shape: corpus scans once with the projection inline; queries
     (with their projections) broadcast; the candidate cap is a literal
     rank filter, so each task prunes to its local top-M per query

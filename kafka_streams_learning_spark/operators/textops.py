@@ -585,6 +585,17 @@ def bpe_pair_counts(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     return counts.orderBy(F.col("cnt").desc(), F.col("pair")).limit(k)
 
 
+def bm25_query_terms(queries: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """(qid, term) pairs with query text run through the SAME pipeline as
+    corpus tokens (normalized_text lowercases + collapses whitespace, so
+    the Python mirror is lower().split()). Shared by bm25_topk and the
+    x49 oracle-SQL generator so the two can never disagree on the term
+    set — a query like 'Stream Join' must match corpus 'stream join'."""
+    return sorted(
+        {(qid, t) for qid, qtext in queries for t in qtext.lower().split() if t}
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     queries: list[tuple[str, str]],
@@ -621,7 +632,7 @@ def bm25_topk(
     from kafka_streams_learning_spark.operators.materialize import materialized
 
     spark = df.sparkSession
-    q_rows = sorted({(qid, t) for qid, qtext in queries for t in qtext.split()})
+    q_rows = bm25_query_terms(queries)
     q_df = spark.createDataFrame(q_rows, ["qid", "term"])
     terms_lit = F.array(*[F.lit(t) for t in sorted({t for _, t in q_rows})])
 
