@@ -113,6 +113,12 @@ def upsert_snapshot(
         _BUCKET_COL, bucket_of
     )
     gen = f"gen-{manifest['version'] + 1}"
+    # one task per touched bucket (the documented scale shape): without
+    # this, every shuffle partition of the latest_per_key groupBy writes
+    # its own file into every bucket dir — up to partitions×buckets small
+    # files per generation, which the NEXT batch's read-back then pays for
+    # (measured 1.4× on s05's 2-batch changelog at sf0.1)
+    snap = snap.repartition(len(changed), F.col(_BUCKET_COL))
     snap.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(
         os.path.join(snapshot_dir, gen)
     )
