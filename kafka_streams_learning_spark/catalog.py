@@ -508,7 +508,11 @@ _TAIL_STABLE = [
 #      they overflow the ~50-entry cap first and stay locally checked by
 #      tests/test_catalog_oracle.py + tools/oracle_check.py every round.
 _HEAD_FIRST = [
-    # band 1: never driver-verified
+    # band 1: never driver-verified (new round-6 rows first)
+    "x57_length_band_filter",
+    "x56_dsir_importance",
+    "x55_zipf_slope",
+    "x54_hll_cardinality",
     "x34_mixture_sample",
     "x33_dedup_survivors",
     "x32_gopher_quality",

@@ -2078,6 +2078,231 @@ FROM h
 """
 
 
+# ---------------------------------------------------------------------------
+# X54 — portable HyperLogLog distinct-token cardinality per source, with
+# the exact count and relative error as the calibration columns. The
+# sketch is pure integer (md5-derived bucket + MAX rho registers), so it
+# replays bit-for-bit in the oracle; estimate snapped to the 1e-3 grid.
+
+
+def _x54(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators import sketches
+
+    return sketches.hll_token_cardinality(load_table(spark, sf, "documents"))
+
+
+def _x54_sql() -> str:
+    from kafka_streams_learning_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_EST_SCALE,
+        HLL_M,
+        HLL_P,
+        HLL_W,
+    )
+
+    pow2_32 = 1 << 32
+    rho_max = HLL_W + 1
+    return rf"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS_NORM}) AS token FROM documents
+), hb AS (
+  SELECT source, {hash32_sql('token')} AS h FROM tok
+), reg AS (
+  SELECT source, h % {HLL_M} AS bucket,
+         CASE WHEN (h >> {HLL_P}) = 0 THEN {rho_max}
+              ELSE {rho_max} - length(bin(h >> {HLL_P})) END AS rho
+  FROM hb
+), regs AS (
+  SELECT source, bucket, MAX(rho) AS m_b FROM reg GROUP BY 1, 2
+), agg AS (
+  SELECT source, SUM(CAST(1 AS BIGINT) << (32 - m_b)) AS s_present,
+         COUNT(*) AS n_buckets
+  FROM regs GROUP BY 1
+), e AS (
+  SELECT source, ({HLL_M} - n_buckets) AS v,
+         {HLL_ALPHA * HLL_M * HLL_M} * {float(pow2_32)!r}
+           / CAST(s_present + ({HLL_M} - n_buckets) * {pow2_32} AS DOUBLE)
+           AS e_raw
+  FROM agg
+), fin AS (
+  SELECT source,
+         CASE WHEN e_raw <= {2.5 * HLL_M!r} AND v > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v AS DOUBLE))
+              ELSE e_raw END AS es
+  FROM e
+), ex AS (
+  SELECT source, COUNT(DISTINCT token) AS n_exact FROM tok GROUP BY 1
+), q AS (
+  SELECT f.source, n_exact,
+         floor(es * {float(HLL_EST_SCALE)!r} + 0.5) / {float(HLL_EST_SCALE)!r}
+           AS hll_estimate
+  FROM fin f JOIN ex USING (source)
+)
+SELECT source, n_exact, hll_estimate,
+       floor((hll_estimate - n_exact) / n_exact * 1000000.0 + 0.5) / 1000000.0
+         AS rel_err
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# X55 — Zipf rank-frequency slope per language: OLS of ln(count) on
+# ln(rank) over the per-lang token frequency table, all moments as exact
+# fixed-point integer sums (ZIPF_SCALE grid), slope/intercept snapped to
+# 1e-6 — the distribution-shift alarm for a corpus slice.
+
+
+def _x55(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.zipf_slope(load_table(spark, sf, "documents"))
+
+
+def _x55_sql() -> str:
+    from kafka_streams_learning_spark.operators.textops import (
+        ZIPF_OUT_SCALE,
+        ZIPF_SCALE,
+    )
+
+    zs, os_ = f"{float(ZIPF_SCALE)!r}", f"{float(ZIPF_OUT_SCALE)!r}"
+    return rf"""
+WITH tok AS (
+  SELECT lang, unnest({_TOKS_NORM}) AS token FROM documents
+), c AS (
+  SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+), r AS (
+  SELECT lang, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+  FROM c
+), q AS (
+  SELECT lang,
+         CAST(floor(ln(CAST(rank AS DOUBLE)) * {zs} + 0.5) AS BIGINT) AS xq,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * {zs} + 0.5) AS BIGINT) AS yq
+  FROM r
+), m AS (
+  SELECT lang, COUNT(*) AS n_types,
+         SUM(xq) AS sx, SUM(yq) AS sy,
+         SUM(xq * yq) AS sxy, SUM(xq * xq) AS sxx
+  FROM q GROUP BY 1
+), s AS (
+  SELECT lang, n_types, sx, sy,
+         floor(CAST(n_types * sxy - sx * sy AS DOUBLE)
+               / CAST(n_types * sxx - sx * sx AS DOUBLE) * {os_} + 0.5) / {os_}
+           AS slope
+  FROM m
+)
+SELECT lang, n_types, slope,
+       floor((CAST(sy AS DOUBLE) / {zs} - slope * (CAST(sx AS DOUBLE) / {zs}))
+             / n_types * {os_} + 0.5) / {os_} AS intercept
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# X56 — DSIR importance weights: per-document log-likelihood ratio
+# between the target slice's unigram LM (lang = DSIR_TARGET_LANG) and the
+# full-corpus LM, both on the x43 fixed-point contract — the importance-
+# resampling score that shifts a pretraining mixture toward a target
+# domain (Xie et al. 2023).
+
+DSIR_TARGET_LANG = "en"
+
+
+def _x56(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.dsir_importance(
+        load_table(spark, sf, "documents"),
+        F.col("lang") == DSIR_TARGET_LANG,
+        LM_VOCAB_SIZE,
+    )
+
+
+def _model_cte_sql(prefix: str, tok_cte: str) -> str:
+    """The x43 unigram-model CTE chain over `tok_cte`, with CTE names
+    prefixed so two models coexist in one statement."""
+    p = prefix
+    return rf"""{p}c AS (
+  SELECT token, COUNT(*) AS cnt FROM {tok_cte} GROUP BY 1
+), {p}v AS (
+  SELECT token, cnt FROM (
+    SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+    FROM {p}c
+  ) WHERE rank <= {LM_VOCAB_SIZE}
+), {p}s AS (
+  SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM {p}c) AS n_total,
+         (SELECT CAST(SUM(cnt) AS BIGINT) FROM {p}v) AS n_vocab
+), {p}vq AS (
+  SELECT token,
+         CAST(floor(ln(cnt / CAST(n_total + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS q
+  FROM {p}v, {p}s
+), {p}uq AS (
+  SELECT CAST(floor(ln((n_total - n_vocab + 1) / CAST(n_total + 1 AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS unk_q
+  FROM {p}s
+)"""
+
+
+def _x56_sql() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_NORM}) AS token FROM documents
+), ttok AS (
+  SELECT doc_id, unnest({_TOKS_NORM}) AS token FROM documents
+  WHERE lang = '{DSIR_TARGET_LANG}'
+), {_model_cte_sql('t', 'ttok')}, {_model_cte_sql('c', 'tok')}, d AS (
+  SELECT tok.doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(COALESCE(tvq.q, tuq.unk_q) - COALESCE(cvq.q, cuq.unk_q))
+              AS BIGINT) AS imp_q_sum
+  FROM tok
+  LEFT JOIN tvq USING (token)
+  LEFT JOIN cvq USING (token), tuq, cuq
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, imp_q_sum,
+       CAST(imp_q_sum AS DOUBLE) / (1000000.0 * n_tokens) AS avg_importance
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# X57 — per-language length-percentile band trim: keep documents inside
+# the exact-ordinal [5%, 95%] n_chars band of their language. Thresholds
+# come from a (lang, n_chars) histogram — the corpus is never windowed.
+
+LEN_BAND_LO = 0.05
+LEN_BAND_HI = 0.95
+
+
+def _x57(spark: SparkSession, sf: str) -> DataFrame:
+    return sampling.length_band_filter(
+        load_table(spark, sf, "documents"), LEN_BAND_LO, LEN_BAND_HI
+    )
+
+
+def _x57_sql() -> str:
+    lo_num, hi_num, den = int(LEN_BAND_LO * 10000), int(LEN_BAND_HI * 10000), 10000
+    return rf"""
+WITH hist AS (
+  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT lang, n_chars, cnt,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n_grp
+  FROM hist
+), bands AS (
+  SELECT lang,
+         MIN(CASE WHEN cum >= (n_grp * {lo_num} + {den - 1}) // {den}
+                  THEN n_chars END) AS lo_len,
+         MIN(CASE WHEN cum >= (n_grp * {hi_num} + {den - 1}) // {den}
+                  THEN n_chars END) AS hi_len
+  FROM cum GROUP BY 1
+)
+SELECT doc_id, lang, n_chars, lo_len, hi_len
+FROM documents JOIN bands USING (lang)
+WHERE n_chars BETWEEN lo_len AND hi_len
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -2201,4 +2426,15 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x53_sketch_calibration", _x53, _x53_sql(),
               "MinHash-estimated vs exact Jaccard on LSH candidate "
               "pairs (sketch tuning table)"),
+    QuerySpec("x54_hll_cardinality", _x54, _x54_sql(),
+              "portable HyperLogLog distinct-token cardinality per "
+              "source (+ exact calibration arm)"),
+    QuerySpec("x55_zipf_slope", _x55, _x55_sql(),
+              "Zipf rank-frequency OLS slope per language "
+              "(fixed-point integer moments)"),
+    QuerySpec("x56_dsir_importance", _x56, _x56_sql(),
+              "DSIR importance weights: target-vs-corpus unigram "
+              "log-likelihood ratio per document"),
+    QuerySpec("x57_length_band_filter", _x57, _x57_sql(),
+              "per-language exact-ordinal length percentile band trim"),
 ]

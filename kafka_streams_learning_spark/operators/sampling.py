@@ -304,3 +304,68 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos")
     )
+
+
+def length_band_filter(
+    df: DataFrame,
+    lo_frac: float = 0.05,
+    hi_frac: float = 0.95,
+    length_col: str = "n_chars",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Percentile band trim per group: keep rows whose length sits inside
+    the [lo_frac, hi_frac] ordinal band of their group's length
+    distribution — the standard per-language outlier trim (truncated
+    boilerplate at the short end, concatenation accidents at the long
+    end) applied before tokenization.
+
+    Exact-ordinal contract (no interpolation, engine-portable): with
+    n = group size, the lower threshold is the SMALLEST length whose
+    cumulative count reaches ceil(lo_frac·n), the upper the smallest
+    reaching ceil(hi_frac·n); ceil is computed on exact integers as
+    -floor(-a/b) = (a + b - 1) DIV b, never through a float.
+
+    Scale shape — the corpus is NEVER windowed: lengths collapse first to
+    a (group, length, cnt) histogram (one map-side-combinable shuffle,
+    |groups|·|distinct lengths| rows — bounded, lengths are ints); the
+    cumulative window runs over that tiny histogram; the two thresholds
+    per group then BROADCAST back onto the scan as a hash join + filter.
+    A row_number window over the raw corpus would sort whole groups in
+    single tasks — the skew trap this shape exists to avoid."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, length_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(length_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n_grp", F.sum("cnt").over(Window.partitionBy(group_col))
+    )
+
+    def _ceil_rank(frac_num: int, frac_den: int) -> Column:
+        # ceil(n_grp * num / den) via integer DIV — `/` would route
+        # through a double and lose exactness past 2^53 rows per group
+        return F.expr(f"(n_grp * {frac_num} + {frac_den - 1}) div {frac_den}")
+
+    # fractions as exact integer ratios over 10000 so no float touches the
+    # rank computation
+    lo_num, hi_num, den = int(lo_frac * 10000), int(hi_frac * 10000), 10000
+    bands = cum.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col("cum") >= _ceil_rank(lo_num, den), F.col(length_col))
+        ).alias("lo_len"),
+        F.min(
+            F.when(F.col("cum") >= _ceil_rank(hi_num, den), F.col(length_col))
+        ).alias("hi_len"),
+    )
+    return (
+        df.join(F.broadcast(bands), group_col)
+        .filter(
+            (F.col(length_col) >= F.col("lo_len"))
+            & (F.col(length_col) <= F.col("hi_len"))
+        )
+        .select(id_col, group_col, length_col, "lo_len", "hi_len")
+    )

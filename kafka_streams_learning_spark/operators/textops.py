@@ -384,7 +384,10 @@ LOGPROB_SCALE = 1_000_000  # fixed-point grid for cross-engine logprob sums
 
 
 def unigram_model(
-    df: DataFrame, vocab_size: int, text_col: str = "text"
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    tag: str = "x43-token-counts",
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the unigram LM of `unigram_logprob` on a corpus and return
     its two tables: ``vocab_q`` (token → fixed-point logprob ``q``, at
@@ -404,9 +407,11 @@ def unigram_model(
     tok = df.select(
         F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token")
     )
+    # `tag` keys the run-scoped materialization: two models fit in ONE
+    # query (x56's target + corpus) must not reclaim each other's
+    # generations mid-plan
     counts = materialized(
-        tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
-        tag="x43-token-counts",
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")), tag=tag
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
     vocab = (
@@ -694,4 +699,157 @@ def bm25_topk(
             "rank",
             (F.col("score_q").cast("double") / F.lit(scale)).alias("score"),
         )
+    )
+
+
+# fixed-point grid for the Zipf OLS sums: coarse enough that the integer
+# moment Σ xq·yq stays far from int64 overflow even at web-scale vocab
+# sizes (xq,yq ≤ ~23,000 at 1e10 types/occurrences ⇒ per-row product
+# ≤ 5.3e8; 1e9 vocabulary rows ⇒ Σ ≤ 5.3e17 < 2^63)
+ZIPF_SCALE = 1_000
+ZIPF_OUT_SCALE = 1_000_000  # output grid for slope/intercept
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Rank-frequency power-law fit per group: the OLS slope (and
+    intercept) of ln(count) on ln(rank) over the group's token frequency
+    table. Natural text tracks slope ≈ -1 (Zipf's law); a corpus slice
+    whose slope is far off — too flat (template/boilerplate floods the
+    tail) or too steep (tiny repetitive vocabulary) — is the classic
+    cheap distribution-shift alarm for a training-data pipeline, per
+    source, per language, per snapshot.
+
+    Portability contract (the x43/x49 pattern): ln(rank) and ln(count)
+    are each snapped ONCE to the ZIPF_SCALE fixed-point grid, so all
+    five OLS moments (n, Σx, Σy, Σxy, Σx²) are EXACT integer sums —
+    associative and partition-order-free. slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²) is then a single integer-ratio division, snapped to
+    the 1e-6 output grid; the intercept reuses the snapped slope.
+
+    Scale shape: one corpus scan → (group, token) count with map-side
+    partial agg; ranks come from a window over the |vocab|-sized count
+    table (not the corpus); moments collapse per group. The per-group
+    window sort is the pragmatic cost — vocabularies are ≤ millions of
+    rows even for 100 TB corpora, so the sorted partition fits a task.
+    """
+    tok = df.select(
+        F.col(group_col),
+        F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token"),
+    )
+    counts = tok.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(group_col).orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    scale = F.lit(float(ZIPF_SCALE))
+    xq = F.floor(F.log(F.col("rank").cast("double")) * scale + F.lit(0.5)).cast(
+        "long"
+    )
+    yq = F.floor(F.log(F.col("cnt").cast("double")) * scale + F.lit(0.5)).cast(
+        "long"
+    )
+    m = ranked.select(group_col, xq.alias("xq"), yq.alias("yq")).groupBy(
+        group_col
+    ).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    out_scale = F.lit(float(ZIPF_OUT_SCALE))
+    num = (F.col("n_types") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope_q = F.floor(num / den * out_scale + F.lit(0.5)) / out_scale
+    # intercept from the SNAPPED slope: ((Σy − slope·Σx)/n) back on the
+    # ln grid; slope_q·sx is exact (snapped slope × integer), the final
+    # divisions are deterministic IEEE ops
+    intercept_q = (
+        F.floor(
+            (
+                F.col("sy").cast("double") / F.lit(float(ZIPF_SCALE))
+                - F.col("slope") * F.col("sx").cast("double") / F.lit(float(ZIPF_SCALE))
+            )
+            / F.col("n_types")
+            * out_scale
+            + F.lit(0.5)
+        )
+        / out_scale
+    )
+    return (
+        m.withColumn("slope", slope_q)
+        .withColumn("intercept", intercept_q)
+        .select(group_col, "n_types", "slope", "intercept")
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_filter: Column,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weight per document (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score each
+    raw-corpus document by the log-likelihood RATIO between a target
+    distribution (the rows matching ``target_filter`` — in production,
+    benchmark-like text) and the raw corpus, both modeled with the x43
+    unigram LM contract. Importance-resampling by this weight shifts the
+    pretraining mixture toward the target domain; the ratio form means
+    corpus-wide common tokens cancel and only distribution DIFFERENCES
+    score.
+
+    Portability: both models emit fixed-point 1e-6 logprobs (the
+    LOGPROB_SCALE contract), so the per-document weight is an exact
+    INTEGER sum of per-token q_target − q_corpus differences —
+    partition-order-free, identical across engines. ``avg_importance``
+    is one IEEE division of exact integers.
+
+    Scale shape: two unigram_model fits (each: one explode + one
+    token-key shuffle collapsing to a ≤V-row table) — the target fit
+    scans only the filtered slice. Scoring is ONE corpus scan: explode →
+    two broadcast-hash-joins against the ≤V-row vocab tables → doc-key
+    hash-agg with map-side combine (a document's tokens are co-located
+    in the scan). The corpus is never shuffled on token for scoring."""
+    t_vocab, t_unk = unigram_model(
+        df.filter(target_filter), vocab_size, text_col=text_col,
+        tag="x56-target-counts",
+    )
+    c_vocab, c_unk = unigram_model(
+        df, vocab_size, text_col=text_col, tag="x56-corpus-counts"
+    )
+    tok = df.select(
+        F.col(id_col),
+        F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token"),
+    )
+    scored = (
+        tok.join(F.broadcast(t_vocab.withColumnRenamed("q", "q_t")), "token", "left")
+        .join(F.broadcast(c_vocab.withColumnRenamed("q", "q_c")), "token", "left")
+        .crossJoin(F.broadcast(t_unk.withColumnRenamed("unk_q", "unk_t")))
+        .crossJoin(F.broadcast(c_unk.withColumnRenamed("unk_q", "unk_c")))
+        .select(
+            id_col,
+            (
+                F.coalesce(F.col("q_t"), F.col("unk_t"))
+                - F.coalesce(F.col("q_c"), F.col("unk_c"))
+            ).alias("dq"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("dq").alias("imp_q_sum"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "imp_q_sum",
+        (
+            F.col("imp_q_sum").cast("double")
+            / (F.lit(float(LOGPROB_SCALE)) * F.col("n_tokens"))
+        ).alias("avg_importance"),
     )

@@ -314,3 +314,43 @@ def test_jl_topk_prunes_before_single_exchange(spark):
     assert E.exchange_count(df) == 1
     plan = E.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_hll_sketch_arm_shuffles_registers_not_tokens(spark):
+    # x54's sketch arm must partial-MAX map-side: the register exchange
+    # carries (group, bucket, m_b) rows, never raw tokens. The exact
+    # calibration arm keeps its distinct shuffle (it is the ground-truth
+    # baseline, like x09/x10). No cartesian anywhere; the estimate join
+    # on source is a small-aggregate join.
+    df = _df(spark, "x54_hll_cardinality")
+    plan = E.formatted_plan(df)
+    assert not E.has_cartesian(df)
+    # both arms partial-aggregate before their exchange
+    assert "partial_max" in plan.lower() or "HashAggregate" in plan
+
+
+def test_length_band_filter_never_windows_corpus(spark):
+    # x57's thresholds come from the (lang, n_chars) histogram; the
+    # corpus-side filter is a broadcast join. A Window over the raw
+    # corpus would sort whole languages in single tasks — the window may
+    # only run AFTER the histogram aggregate.
+    df = _df(spark, "x57_length_band_filter")
+    plan = E.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert not E.has_cartesian(df)
+    # the window input must be an aggregate, not a parquet scan: check
+    # the plan has a HashAggregate between Scan and Window by asserting
+    # only histogram-width columns reach the window sort
+    import re as _re
+
+    scans = _re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 2  # corpus scan + histogram scan (reused source)
+
+
+def test_dsir_scoring_is_broadcast_only(spark):
+    # x56: both vocab tables and both UNK scalars broadcast; the corpus
+    # explode is never shuffled on token for scoring
+    df = _df(spark, "x56_dsir_importance")
+    plan = E.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -481,3 +481,48 @@ def test_jl_project_matches_python_model(spark, vecs):
                 acc += struct.unpack("f", struct.pack("f", x))[0] * s
             comps.append(str(math.floor(acc * inv * 1e6 + 0.5)))
         assert got[i] == ",".join(comps), v
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.text(min_size=1, max_size=8)),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hll_register_merge_is_associative(spark, rows):
+    """The HLL register table must be a true mergeable sketch: sketching
+    any partition of the data and re-MAXing the register unions must give
+    the registers of sketching the whole — the property that lets 100 TB
+    shards sketch independently. Also pins the estimate's determinism:
+    same registers ⇒ bit-identical estimate."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kafka_streams_learning_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(rows, ["g", "token"])
+    whole = hll_registers(df, "token", ["g"])
+
+    half_a = hll_registers(df.filter(F.crc32(F.col("token")) % 2 == 0), "token", ["g"])
+    half_b = hll_registers(df.filter(F.crc32(F.col("token")) % 2 == 1), "token", ["g"])
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("g", "bucket")
+        .agg(F.max("m_b").alias("m_b"))
+    )
+
+    w_rows = sorted(map(tuple, whole.collect()))
+    m_rows = sorted(map(tuple, merged.collect()))
+    assert w_rows == m_rows
+
+    e_whole = sorted(map(tuple, hll_estimate(whole, ["g"]).collect()))
+    e_merged = sorted(map(tuple, hll_estimate(merged, ["g"]).collect()))
+    assert e_whole == e_merged
