@@ -658,6 +658,41 @@ def _s16_sql() -> str:
     return _X43_SQL
 
 
+def _s17(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming HyperLogLog maintenance (x54's sketch arm as a live
+    stream): the register table is a streaming groupBy-MAX — the sketch
+    merge IS the aggregation, so each micro-batch folds its tokens into
+    the (source, bucket) registers with map-side partial MAX and the
+    state store holds exactly 64 integers per source forever, no matter
+    how many tokens stream through. The estimate is then read off the
+    FINAL register state (the IQ1 interactive-query precedent) with the
+    same batch collapse x54 uses, so the result hash-matches the batch
+    oracle's estimate column."""
+    from kafka_streams_learning_spark.functions import text as T
+    from kafka_streams_learning_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    stream = shared_replay_table(
+        spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"
+    )
+    tok = stream.select(
+        "source",
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("token"),
+    )
+    regs = hll_registers(tok, "token", ["source"])
+    name = _fresh_name("s17_out")
+    runner.run_to_memory(regs, name, "complete", state_partitions=STATE_SHARDS)
+    return hll_estimate(spark.table(name), ["source"])
+
+
+def _s17_sql() -> str:
+    from kafka_streams_learning_spark.catalog_ext import _x54_sql
+
+    return f"WITH x54 AS ({_x54_sql()})\nSELECT source, hll_estimate FROM x54"
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -697,4 +732,7 @@ STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s16_stream_quality_score", _s16, _s16_sql(),
               "stream-static join: document stream scored against the "
               "batch-trained unigram LM (x43 twin)"),
+    QuerySpec("s17_stream_hll_cardinality", _s17, _s17_sql(),
+              "streaming HyperLogLog register maintenance, estimate "
+              "read from final state (x54 twin)"),
 ]
