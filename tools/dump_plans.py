@@ -187,6 +187,30 @@ SHOWCASE: dict[str, str] = {
         "and the exact re-rank reuses the query-key partitioning — one "
         "exchange for both ranking stages."
     ),
+    "x54_hll_cardinality": (
+        "Portable HyperLogLog: the register arm partial-MAXes map-side "
+        "so its exchange carries at most 64 (source, bucket, m_b) rows "
+        "per group — sketch size, not data size; the exact-distinct arm "
+        "is the sanctioned expensive calibration baseline."
+    ),
+    "x55_zipf_slope": (
+        "Zipf OLS: token counts partial-aggregate map-side; the "
+        "rank window sorts the |vocab|-sized count table, never the "
+        "corpus; the five moment sums are exact integers, collapsing "
+        "per group."
+    ),
+    "x56_dsir_importance": (
+        "DSIR scoring: both <=V-row vocab tables and both UNK scalars "
+        "broadcast; the corpus explode feeds BroadcastHashJoins and a "
+        "doc-key hash-agg with map-side combine — the corpus is never "
+        "shuffled on token."
+    ),
+    "x57_length_band_filter": (
+        "Percentile band trim: the cumulative window runs over the "
+        "(lang, n_chars) HISTOGRAM aggregate, not the corpus; the "
+        "two thresholds per language broadcast back onto the scan as a "
+        "hash join + filter — no corpus-wide sort anywhere."
+    ),
 }
 
 
