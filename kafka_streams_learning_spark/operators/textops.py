@@ -413,6 +413,16 @@ def unigram_model(
     counts = materialized(
         tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")), tag=tag
     )
+    return model_from_counts(counts, vocab_size)
+
+
+def model_from_counts(
+    counts: DataFrame, vocab_size: int
+) -> tuple[DataFrame, DataFrame]:
+    """The unigram-model math given an already-aggregated (token, cnt)
+    table — split out so callers holding a shared count table (x56 fits
+    two models from ONE corpus scan) skip the tokenize pass entirely.
+    `counts` should be materialized (or tiny): it feeds three arms."""
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
     vocab = (
         counts.withColumn("rank", F.row_number().over(w))
@@ -810,18 +820,38 @@ def dsir_importance(
     partition-order-free, identical across engines. ``avg_importance``
     is one IEEE division of exact integers.
 
-    Scale shape: two unigram_model fits (each: one explode + one
-    token-key shuffle collapsing to a ≤V-row table) — the target fit
-    scans only the filtered slice. Scoring is ONE corpus scan: explode →
+    Scale shape: ONE corpus tokenize fits BOTH models — the shared
+    (token, cnt, cnt_t) table (one explode + one token-key shuffle with
+    map-side combine) yields the corpus model directly and the target
+    model as its cnt_t>0 projection. Scoring is ONE more corpus scan: explode →
     two broadcast-hash-joins against the ≤V-row vocab tables → doc-key
     hash-agg with map-side combine (a document's tokens are co-located
     in the scan). The corpus is never shuffled on token for scoring."""
-    t_vocab, t_unk = unigram_model(
-        df.filter(target_filter), vocab_size, text_col=text_col,
-        tag="x56-target-counts",
+    from kafka_streams_learning_spark.operators.materialize import materialized
+
+    # ONE corpus tokenize feeds BOTH models: per-token totals carry an
+    # in-target subcount, so the target model's count table is the
+    # cnt_t>0 projection — identical counts to tokenizing the filtered
+    # slice separately, at half the scan/shuffle cost (the tokenize pass
+    # dominates at corpus scale)
+    flagged = df.select(
+        target_filter.cast("long").alias("in_t"),
+        F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token"),
     )
-    c_vocab, c_unk = unigram_model(
-        df, vocab_size, text_col=text_col, tag="x56-corpus-counts"
+    counts2 = materialized(
+        flagged.groupBy("token").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("in_t").alias("cnt_t")
+        ),
+        tag="x56-counts",
+    )
+    t_vocab, t_unk = model_from_counts(
+        counts2.filter(F.col("cnt_t") > 0).select(
+            "token", F.col("cnt_t").alias("cnt")
+        ),
+        vocab_size,
+    )
+    c_vocab, c_unk = model_from_counts(
+        counts2.select("token", "cnt"), vocab_size
     )
     tok = df.select(
         F.col(id_col),
