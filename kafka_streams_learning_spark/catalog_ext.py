@@ -2184,9 +2184,10 @@ WITH tok AS (
   FROM q GROUP BY 1
 ), s AS (
   SELECT lang, n_types, sx, sy,
-         floor(CAST(n_types * sxy - sx * sy AS DOUBLE)
-               / CAST(n_types * sxx - sx * sx AS DOUBLE) * {os_} + 0.5) / {os_}
-           AS slope
+         CASE WHEN n_types * sxx - sx * sx != 0 THEN
+           floor(CAST(n_types * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_types * sxx - sx * sx AS DOUBLE) * {os_} + 0.5) / {os_}
+         END AS slope
   FROM m
 )
 SELECT lang, n_types, slope,

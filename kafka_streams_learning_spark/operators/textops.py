@@ -774,7 +774,12 @@ def zipf_slope(
     den = (F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
         "double"
     )
-    slope_q = F.floor(num / den * out_scale + F.lit(0.5)) / out_scale
+    # single-type groups (n·Σx² = (Σx)²) have no regression line: NULL,
+    # guarded identically in the oracle — floor(NaN) diverges between
+    # engines otherwise
+    slope_q = F.when(
+        den != 0, F.floor(num / den * out_scale + F.lit(0.5)) / out_scale
+    )
     # intercept from the SNAPPED slope: ((Σy − slope·Σx)/n) back on the
     # ln grid; slope_q·sx is exact (snapped slope × integer), the final
     # divisions are deterministic IEEE ops

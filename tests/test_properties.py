@@ -526,3 +526,98 @@ def test_hll_register_merge_is_associative(spark, rows):
     e_whole = sorted(map(tuple, hll_estimate(whole, ["g"]).collect()))
     e_merged = sorted(map(tuple, hll_estimate(merged, ["g"]).collect()))
     assert e_whole == e_merged
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.sampled_from(["en", "de"]), _DOC), min_size=1, max_size=8))
+def test_zipf_slope_matches_python_model(spark, rows):
+    import math
+    from collections import Counter
+
+    from kafka_streams_learning_spark.operators.textops import (
+        ZIPF_OUT_SCALE,
+        ZIPF_SCALE,
+        zipf_slope,
+    )
+
+    df = spark.createDataFrame(
+        [(i, lang, d) for i, (lang, d) in enumerate(rows)],
+        "doc_id long, lang string, text string",
+    )
+    got = {r.lang: r for r in zipf_slope(df).collect()}
+
+    by_lang: dict[str, Counter] = {}
+    for lang, d in rows:
+        toks = " ".join(d.lower().split()).split()
+        if toks:
+            by_lang.setdefault(lang, Counter()).update(toks)
+    for lang, cnts in by_lang.items():
+        ranked = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))
+        n = len(ranked)
+        assert got[lang].n_types == n
+        xs = [math.floor(math.log(r + 1) * ZIPF_SCALE + 0.5) for r in range(n)]
+        ys = [math.floor(math.log(c) * ZIPF_SCALE + 0.5) for _, c in ranked]
+        den = n * sum(x * x for x in xs) - sum(xs) ** 2
+        if den == 0:
+            assert got[lang].slope is None and got[lang].intercept is None
+            continue
+        num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        slope = math.floor(num / den * ZIPF_OUT_SCALE + 0.5) / ZIPF_OUT_SCALE
+        # the grid snap bounds any 1-ulp ln() divergence to one grid step
+        assert abs(got[lang].slope - slope) <= 1.0 / ZIPF_OUT_SCALE
+    for lang in got:
+        assert lang in by_lang  # no phantom groups from empty docs
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "de"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_length_band_filter_matches_python_model(spark, rows):
+    from kafka_streams_learning_spark.operators.sampling import length_band_filter
+
+    df = spark.createDataFrame(
+        [(i, lang, n) for i, (lang, n) in enumerate(rows)],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = {r.doc_id: r for r in length_band_filter(df, 0.05, 0.95).collect()}
+
+    by_lang: dict[str, list[int]] = {}
+    for lang, n in rows:
+        by_lang.setdefault(lang, []).append(n)
+    for lang, lens in by_lang.items():
+        ordered = sorted(lens)
+        ng = len(ordered)
+        # exact integer ceil, mirroring the operator's DIV arithmetic
+        lo = ordered[(ng * 500 + 9999) // 10000 - 1]
+        hi = ordered[(ng * 9500 + 9999) // 10000 - 1]
+        for i, (lg, n) in enumerate(rows):
+            if lg != lang:
+                continue
+            if lo <= n <= hi:
+                assert i in got and (got[i].lo_len, got[i].hi_len) == (lo, hi), (
+                    lang, n, lo, hi,
+                )
+            else:
+                assert i not in got, (lang, n, lo, hi)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_DOC, min_size=1, max_size=6))
+def test_dsir_importance_is_zero_when_target_is_corpus(spark, docs):
+    # target distribution == corpus distribution ⇒ the two models are
+    # identical and every log-ratio cancels EXACTLY (integer q values)
+    from kafka_streams_learning_spark.operators.textops import dsir_importance
+
+    rows = [(i, d) for i, d in enumerate(docs) if d.split()]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_importance(df, F.lit(True), vocab_size=3).collect()
+    assert {r.doc_id for r in out} == {i for i, _ in rows}
+    for r in out:
+        assert r.imp_q_sum == 0 and r.avg_importance == 0.0
