@@ -1003,3 +1003,28 @@ def test_sketch_calibration_semantics(spark):
         assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 1e-15
     # the disjoint doc never pairs with anything (no shared minima)
     assert not any(4 in p for p in rows)
+
+
+def test_bench_line_stays_under_driver_capture():
+    """The driver records only a ~2 KB stdout tail; round 5's bench line
+    outgrew it and the round lost its timings (BENCH_r05 parsed: null).
+    Pin the compact-line format: short keys stay unique and the worst-case
+    line (every timing at 9999.99s) stays under 1800 bytes."""
+    import json
+
+    from kafka_streams_learning_spark.catalog import all_queries
+
+    names = [q.name for q in all_queries()]
+    short = {n.split("_")[0]: 9999.99 for n in names}
+    assert len(short) == len(names), "short bench keys collided"
+    line = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": 999999.999,
+            "unit": "sec",
+            "queries": short,
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1800, len(line)
