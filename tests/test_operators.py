@@ -1028,3 +1028,31 @@ def test_bench_line_stays_under_driver_capture():
         separators=(",", ":"),
     )
     assert len(line) < 1800, len(line)
+
+
+def test_never_gated_queries_sit_inside_gate_prefix():
+    """The external driver verifies only a ~50-entry prefix of queries().
+    Round 5 proved ordering mistakes are silent: x30-x34 sat at positions
+    51-55 and never got a driver correctness row. Enforce the policy
+    mechanically: any query that has NEVER appeared in a committed
+    CORRECTNESS_r*.json must be ordered inside the first 50."""
+    import glob
+    import json
+    import os
+
+    from kafka_streams_learning_spark.catalog import all_queries
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            verified.update(json.load(fh).keys())
+    if not verified:  # fresh checkout without driver artifacts
+        return
+    names = [q.name for q in all_queries()]
+    never_gated = [n for n in names if n not in verified]
+    misplaced = [n for n in never_gated if names.index(n) >= 50]
+    assert not misplaced, (
+        f"never-driver-verified queries outside the ~50-entry gate "
+        f"prefix: {misplaced} — reorder _HEAD_FIRST in catalog.py"
+    )
