@@ -514,8 +514,10 @@ FROM documents
 
 # X15 — exact distinct-cardinality per key (two-stage distinct aggregate).
 # The approximate HLL variant (core.approx_distinct_count_by_key) rides the
-# same API but is estimator-specific, so only the exact form is oracle-
-# hashed; the test suite bounds the approx form against it.
+# same API but is estimator-specific (Spark-native sketch), so only the
+# exact form is oracle-hashed; the test suite bounds the approx form
+# against it. For a cross-engine-portable HLL whose estimate IS
+# oracle-hashed, see x54 (operators/sketches.py).
 
 
 def _x15(spark: SparkSession, sf: str) -> DataFrame:
