@@ -509,6 +509,8 @@ _TAIL_STABLE = [
 #      tests/test_catalog_oracle.py + tools/oracle_check.py every round.
 _HEAD_FIRST = [
     # band 1: never driver-verified (new round-6 rows first)
+    "x59_bloom_decontamination",
+    "x58_cms_frequencies",
     "x57_length_band_filter",
     "x56_dsir_importance",
     "x55_zipf_slope",

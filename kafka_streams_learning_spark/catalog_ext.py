@@ -2306,6 +2306,133 @@ WHERE n_chars BETWEEN lo_len AND hi_len
 """
 
 
+# ---------------------------------------------------------------------------
+# X58 — Count-Min frequency sketch calibration: the global top-k tokens
+# with exact count, CMS estimate, and the (provably ≥ 0) overestimate.
+# The sketch is d×w integer counters — SUM-mergeable, map-side
+# combinable — so it replays bit-for-bit in the oracle.
+
+CMS_TOPK = 20
+
+
+def _x58(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators import sketches
+
+    return sketches.cms_token_frequencies(
+        load_table(spark, sf, "documents"), CMS_TOPK
+    )
+
+
+def _x58_sql() -> str:
+    from kafka_streams_learning_spark.operators.sketches import CMS_D, CMS_W
+
+    build_arms = "\n    UNION ALL ".join(
+        f"SELECT {i} AS row_i, ({perm_hash_sql('h', i)}) % {CMS_W} AS bucket FROM hb"
+        for i in range(CMS_D)
+    )
+    probe_arms = "\n    UNION ALL ".join(
+        f"SELECT token, {i} AS row_i, ({perm_hash_sql('h', i)}) % {CMS_W} AS bucket "
+        f"FROM eh"
+        for i in range(CMS_D)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT unnest({_TOKS_NORM}) AS token FROM documents
+), hb AS (
+  SELECT {hash32_sql('token')} AS h FROM tok
+), counters AS (
+  SELECT row_i, bucket, COUNT(*) AS cnt FROM (
+    {build_arms}
+  ) GROUP BY 1, 2
+), exact AS (
+  SELECT token, COUNT(*) AS n_exact FROM tok GROUP BY 1
+  ORDER BY n_exact DESC, token LIMIT {CMS_TOPK}
+), eh AS (
+  SELECT token, {hash32_sql('token')} AS h FROM exact
+), est AS (
+  SELECT token, MIN(COALESCE(cnt, 0)) AS cms_estimate FROM (
+    {probe_arms}
+  ) p LEFT JOIN counters c USING (row_i, bucket) GROUP BY 1
+)
+SELECT token, n_exact, cms_estimate, cms_estimate - n_exact AS overestimate
+FROM exact JOIN est USING (token)
+"""
+
+
+# ---------------------------------------------------------------------------
+# X59 — Bloom-filter decontamination prefilter: x31's semantics with the
+# benchmark shingle set compiled into an m-bit Bloom filter probed as
+# pure per-row expressions on the corpus scan (no join, no shuffle on
+# the corpus side). Exact broadcast membership rides along as ground
+# truth; n_false_pos ≥ 0 is the sizing signal.
+
+
+def _x59(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators import sketches
+
+    return sketches.bloom_decontamination(
+        load_table(spark, sf, "documents"), BENCH_MOD, JACCARD_K
+    )
+
+
+def _x59_sql() -> str:
+    from kafka_streams_learning_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        BLOOM_WORD_BITS,
+    )
+
+    build_arms = "\n    UNION ALL ".join(
+        f"SELECT ({perm_hash_sql('h', j)}) % {BLOOM_BITS} AS pos FROM bh"
+        for j in range(BLOOM_K)
+    )
+    probe_joins = "\n".join(
+        f"LEFT JOIN words w{j} ON w{j}.word = "
+        f"(({perm_hash_sql('c.h', j)}) % {BLOOM_BITS}) // {BLOOM_WORD_BITS}"
+        for j in range(BLOOM_K)
+    )
+    hits = " AND ".join(
+        f"(COALESCE(w{j}.mask, 0) & (CAST(1 AS BIGINT) << "
+        f"CAST((({perm_hash_sql('c.h', j)}) % {BLOOM_BITS}) % {BLOOM_WORD_BITS}"
+        f" AS INT))) != 0"
+        for j in range(BLOOM_K)
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({_shingles_sql(JACCARD_K)}) AS shingles FROM t),
+post AS (
+  SELECT doc_id AS id, len(shingles) AS n_shingles,
+         unnest(shingles) AS shingle
+  FROM s
+),
+bench AS (SELECT DISTINCT shingle FROM post WHERE id % {BENCH_MOD} = 0),
+bh AS (SELECT {hash32_sql('shingle')} AS h FROM bench),
+words AS (
+  SELECT pos // {BLOOM_WORD_BITS} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS mask
+  FROM ({build_arms}) GROUP BY 1
+),
+corpus AS (
+  SELECT id, n_shingles, shingle, {hash32_sql('shingle')} AS h
+  FROM post WHERE id % {BENCH_MOD} != 0
+),
+marked AS (
+  SELECT c.id, c.n_shingles,
+         ({hits}) AS bloom_hit,
+         b.shingle IS NOT NULL AS exact_hit
+  FROM corpus c
+  {probe_joins}
+  LEFT JOIN bench b USING (shingle)
+)
+SELECT id AS doc_id, n_shingles,
+       CAST(SUM(CAST(bloom_hit AS BIGINT)) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(CAST(exact_hit AS BIGINT)) AS BIGINT) AS n_exact_hits,
+       CAST(SUM(CAST(bloom_hit AS BIGINT)) - SUM(CAST(exact_hit AS BIGINT))
+            AS BIGINT) AS n_false_pos
+FROM marked GROUP BY 1, 2
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -2440,4 +2567,10 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               "log-likelihood ratio per document"),
     QuerySpec("x57_length_band_filter", _x57, _x57_sql(),
               "per-language exact-ordinal length percentile band trim"),
+    QuerySpec("x58_cms_frequencies", _x58, _x58_sql(),
+              "Count-Min sketch frequency estimates for the global "
+              "top-k tokens (+ exact calibration arm)"),
+    QuerySpec("x59_bloom_decontamination", _x59, _x59_sql(),
+              "Bloom-prefiltered benchmark decontamination "
+              "(pure-expression probe, exact arm alongside)"),
 ]

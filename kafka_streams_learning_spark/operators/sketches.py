@@ -140,3 +140,231 @@ def hll_token_cardinality(
     return est.join(exact, group_col).select(
         group_col, "n_exact", "hll_estimate", rel_q.alias("rel_err")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch (Cormode & Muthukrishnan 2005): d counter
+# rows × w buckets, update = +1 at one bucket per row, merge = elementwise
+# SUM (associative, map-side combinable), point estimate = MIN over the d
+# counters — an OVERestimate, never under. Everything is integer, so the
+# sketch and its estimates replay bit-for-bit in the DuckDB oracle.
+
+CMS_D = 4
+CMS_W = 256
+
+
+def _cms_probe_array(h: Column) -> Column:
+    """array<struct<row_i,bucket>> of the CMS_D bucket probes for a
+    32-bit base hash — the seeded-permutation family MinHash uses."""
+    from kafka_streams_learning_spark.functions.hashing import perm_hash
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (perm_hash(h, i) % CMS_W).alias("bucket"),
+            )
+            for i in range(CMS_D)
+        ]
+    )
+
+
+def cms_counters(df: DataFrame, value_col: str) -> DataFrame:
+    """The (row_i, bucket, cnt) counter table of a Count-Min sketch over
+    `value_col` occurrences. At most CMS_D × CMS_W rows TOTAL regardless
+    of corpus size: the count aggregation partial-combines map-side, so
+    the exchange carries sketch-sized state — the same merge contract as
+    `hll_registers` (shards sketch independently, counters just add)."""
+    h = hash32(F.col(value_col))
+    return (
+        df.select(F.explode(_cms_probe_array(h)).alias("p"))
+        .select("p.row_i", "p.bucket")
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(counters: DataFrame, queries: DataFrame, value_col: str) -> DataFrame:
+    """Point-frequency estimates for `queries[value_col]`: MIN over the d
+    probed counters (absent bucket ⇒ 0). The counter table is broadcast —
+    it is at most CMS_D × CMS_W rows — so probing never shuffles the
+    query side."""
+    probes = queries.select(
+        F.col(value_col),
+        F.explode(_cms_probe_array(hash32(F.col(value_col)))).alias("p"),
+    ).select(value_col, "p.row_i", "p.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["row_i", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
+
+
+def cms_token_frequencies(
+    df: DataFrame, k: int, text_col: str = "text"
+) -> DataFrame:
+    """Calibration table for the Count-Min sketch: the k globally most
+    frequent tokens with their exact count, the CMS estimate, and the
+    overestimate delta (provably ≥ 0 — collisions only ADD). The exact
+    heavy-hitter arm is the baseline the sketch replaces at scale: its
+    token-key shuffle grows with the vocabulary, while the sketch's
+    state is CMS_D×CMS_W counters forever."""
+    tok = df.select(
+        F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token")
+    )
+    counters = cms_counters(tok, "token")
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("token"))
+        .limit(k)
+    )
+    est = cms_estimate(counters, exact.select("token"), "token")
+    return exact.join(est, "token").select(
+        "token",
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership prefilter (Bloom 1970): BLOOM_K bit probes into
+# an m-bit array packed 62 bits per BIGINT word (bit 63 overflows DuckDB's
+# checked shift; 62 keeps every mask positive and portable). Build =
+# bit_or aggregation (associative, mergeable); probe = pure bitwise
+# expressions against the driver-resident word array — the pushed-down
+# bloom-join pattern engines use to skip shuffles.
+
+BLOOM_BITS = 1 << 14
+BLOOM_WORD_BITS = 62
+BLOOM_K = 3
+
+
+def _bloom_probe_array(h: Column) -> Column:
+    """array<struct<word,bit>> of the BLOOM_K bit positions for a hash."""
+    from kafka_streams_learning_spark.functions.hashing import perm_hash
+
+    probes = []
+    for j in range(BLOOM_K):
+        pos = perm_hash(h, j) % BLOOM_BITS
+        probes.append(
+            F.struct(
+                (pos / F.lit(BLOOM_WORD_BITS)).cast("int").alias("word"),
+                (pos % BLOOM_WORD_BITS).alias("bit"),
+            )
+        )
+    return F.array(*probes)
+
+
+def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
+    """(word, mask) rows of the Bloom filter over `value_col` — at most
+    ceil(BLOOM_BITS/62) rows (~265). bit_or partial-aggregates map-side
+    and merges associatively, so shards build independent filters that
+    OR together — and the whole table collects to the driver in ~2 KB,
+    ready to push into a scan as literal expressions."""
+    probes = df.select(
+        F.explode(_bloom_probe_array(hash32(F.col(value_col)))).alias("p")
+    )
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), p.bit)")
+    return (
+        probes.select(F.col("p.word").alias("word"), mask.alias("m"))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+
+
+def bloom_contains(h: Column, words: list[int]) -> Column:
+    """Membership test as a PURE expression: `words` is the dense
+    driver-resident word array (index = word id, 0 = empty). All
+    BLOOM_K probed bits must be set. No join, no shuffle — the filter
+    rides inside whole-stage codegen on the scan, which is the entire
+    point of blooming a 100 TB probe side. The per-bit mask comes from a
+    62-entry power-of-two literal lookup (shiftleft's Python wrapper
+    needs a literal shift; pow() would detour through doubles)."""
+    from kafka_streams_learning_spark.functions.hashing import perm_hash
+
+    arr = F.array(*[F.lit(int(w)) for w in words])
+    powers = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(BLOOM_WORD_BITS)]
+    )
+    cond = None
+    for j in range(BLOOM_K):
+        pos = perm_hash(h, j) % BLOOM_BITS
+        word = (pos / F.lit(BLOOM_WORD_BITS)).cast("int")
+        bit = (pos % BLOOM_WORD_BITS).cast("int")
+        hit = (
+            F.element_at(arr, word + F.lit(1)).bitwiseAND(
+                F.element_at(powers, bit + F.lit(1))
+            )
+            != 0
+        )
+        cond = hit if cond is None else (cond & hit)
+    return cond
+
+
+def bloom_words_dense(bloom: DataFrame) -> list[int]:
+    """Collect a `bloom_build` table to the dense driver-side word array
+    `bloom_contains` expects (missing words → 0)."""
+    n_words = (BLOOM_BITS + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    dense = [0] * n_words
+    for r in bloom.collect():
+        dense[r["word"]] = r["mask"]
+    return dense
+
+
+def bloom_decontamination(
+    df: DataFrame,
+    bench_mod: int = 97,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """x31's decontamination semantics with the Bloom filter standing in
+    for the broadcast shingle SET: per non-benchmark document, the number
+    of distinct shingles the bloom flags as benchmark members next to the
+    exact count, plus the false-positive delta (bloom has no false
+    negatives, so n_bloom_hits ≥ n_exact_hits always — the calibration
+    row you consult before sizing BLOOM_BITS for a real eval suite).
+
+    Scale shape: the filter builds from the (KB-sized) benchmark shingle
+    set via a mergeable bit_or aggregation, collects to ~2 KB on the
+    driver, and probes as PURE per-row expressions inside the corpus
+    scan — zero joins and zero shuffles on the 100 TB side, strictly
+    cheaper than x31's broadcast-hash-join probe. The exact arm keeps
+    the broadcast join as ground truth."""
+    from kafka_streams_learning_spark.functions.text import word_shingles
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    posts = base.select(
+        "id", F.size("_sh").alias("n_shingles"), F.explode("_sh").alias("shingle")
+    )
+    bench = posts.filter((F.col("id") % bench_mod) == 0).select("shingle").distinct()
+    words = bloom_words_dense(bloom_build(bench, "shingle"))
+    corpus = posts.filter((F.col("id") % bench_mod) != 0)
+    marked = corpus.withColumn(
+        "bloom_hit", bloom_contains(hash32(F.col("shingle")), words)
+    ).join(
+        F.broadcast(bench.withColumn("exact_hit", F.lit(True))),
+        "shingle",
+        "left",
+    )
+    return (
+        marked.groupBy("id", "n_shingles")
+        .agg(
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("exact_hit"), F.lit(False)).cast("long")).alias(
+                "n_exact_hits"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_bloom_hits",
+            "n_exact_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
+        )
+    )

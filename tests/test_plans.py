@@ -354,3 +354,28 @@ def test_dsir_scoring_is_broadcast_only(spark):
     plan = E.formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_counter_exchange_is_sketch_sized(spark):
+    # x58's build arm groupBys (row_i, bucket) — ≤ d×w groups, partial-
+    # counted map-side; probing joins the broadcast counter table
+    df = _df(spark, "x58_cms_frequencies")
+    plan = E.formatted_plan(df)
+    assert not E.has_cartesian(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_is_pure_expression(spark):
+    # x59's bloom probe must be per-row literals — the ONLY join in the
+    # plan is the exact ground-truth arm's broadcast semi-join; if the
+    # bloom probe ever becomes a join there will be more than one
+    import re as _re
+
+    df = _df(spark, "x59_bloom_decontamination")
+    plan = E.formatted_plan(df)
+    assert not E.has_cartesian(df)
+    # count detail-section nodes only (the tree section repeats names)
+    joins_ = _re.findall(
+        r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
+    )
+    assert len(joins_) == 1, joins_

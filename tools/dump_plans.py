@@ -205,6 +205,17 @@ SHOWCASE: dict[str, str] = {
         "doc-key hash-agg with map-side combine — the corpus is never "
         "shuffled on token."
     ),
+    "x58_cms_frequencies": (
+        "Count-Min: the counter build groupBys (row_i, bucket) — at most "
+        "d×w groups with map-side partial counts; the probe side joins "
+        "the BROADCAST counter table and MINs over d rows per token."
+    ),
+    "x59_bloom_decontamination": (
+        "Bloom prefilter: the benchmark filter compiles to driver "
+        "literals and probes as pure per-row bitwise expressions in the "
+        "corpus scan; the single join in the plan is the exact "
+        "ground-truth arm's broadcast membership check."
+    ),
     "x57_length_band_filter": (
         "Percentile band trim: the cumulative window runs over the "
         "(lang, n_chars) HISTOGRAM aggregate, not the corpus; the "
