@@ -621,3 +621,66 @@ def test_dsir_importance_is_zero_when_target_is_corpus(spark, docs):
     assert {r.doc_id for r in out} == {i for i, _ in rows}
     for r in out:
         assert r.imp_q_sum == 0 and r.avg_importance == 0.0
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=60))
+def test_cms_never_underestimates_and_merges(spark, values):
+    """Count-Min guarantees estimate ≥ true count for EVERY value
+    (collisions only add), and counter tables from disjoint shards must
+    SUM-merge into the whole's counters."""
+    from collections import Counter
+
+    from kafka_streams_learning_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    counters = cms_counters(df, "v")
+    truth = Counter(values)
+    qdf = spark.createDataFrame([(v,) for v in truth], "v string")
+    est = {r.v: r.cms_estimate for r in cms_estimate(counters, qdf, "v").collect()}
+    for v, n in truth.items():
+        assert est[v] >= n, (v, n, est[v])
+
+    half_a = cms_counters(df.filter(F.crc32(F.col("v")) % 2 == 0), "v")
+    half_b = cms_counters(df.filter(F.crc32(F.col("v")) % 2 == 1), "v")
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, counters.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=30),
+    st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=30),
+)
+def test_bloom_has_no_false_negatives(spark, members, probes):
+    """Every inserted value must test positive — Bloom filters only ever
+    err toward false POSITIVES."""
+    from kafka_streams_learning_spark.functions.hashing import hash32
+    from kafka_streams_learning_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_words_dense,
+    )
+
+    mdf = spark.createDataFrame([(v,) for v in set(members)], "v string")
+    words = bloom_words_dense(bloom_build(mdf, "v"))
+    pdf = spark.createDataFrame(
+        [(v,) for v in set(members) | set(probes)], "v string"
+    )
+    got = {
+        r.v: r.hit
+        for r in pdf.select(
+            "v", bloom_contains(hash32(F.col("v")), words).alias("hit")
+        ).collect()
+    }
+    for v in set(members):
+        assert got[v], v
