@@ -334,13 +334,21 @@ def bloom_decontamination(
     cheaper than x31's broadcast-hash-join probe. The exact arm keeps
     the broadcast join as ground truth."""
     from kafka_streams_learning_spark.functions.text import word_shingles
+    from kafka_streams_learning_spark.operators.materialize import materialized
 
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("_sh"),
     )
-    posts = base.select(
-        "id", F.size("_sh").alias("n_shingles"), F.explode("_sh").alias("shingle")
+    # the postings feed THREE consumers (bloom build — collected eagerly —
+    # the exact-arm bench set, and the corpus probe side); materializing
+    # runs the tokenize+shingle pass once instead of three times (the
+    # x07/x48 precedent)
+    posts = materialized(
+        base.select(
+            "id", F.size("_sh").alias("n_shingles"), F.explode("_sh").alias("shingle")
+        ),
+        tag="x59-posts",
     )
     bench = posts.filter((F.col("id") % bench_mod) == 0).select("shingle").distinct()
     words = bloom_words_dense(bloom_build(bench, "shingle"))
