@@ -693,6 +693,63 @@ def _s17_sql() -> str:
     return f"WITH x54 AS ({_x54_sql()})\nSELECT source, hll_estimate FROM x54"
 
 
+def _s18(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming Count-Min maintenance (x58's sketch arm live): the
+    counter table is a streaming groupBy-COUNT over (row_i, bucket) —
+    the SUM-merge IS the aggregation, so state is ≤ d×w integers no
+    matter how many tokens stream through. Estimates for the exact
+    top-k tokens then read off the FINAL counter state with x58's batch
+    collapse, hash-matching the batch oracle."""
+    from kafka_streams_learning_spark.catalog_ext import CMS_TOPK
+    from kafka_streams_learning_spark.functions import text as T
+    from kafka_streams_learning_spark.operators.sketches import (
+        _cms_probe_array,
+        cms_estimate,
+    )
+    from kafka_streams_learning_spark.functions.hashing import hash32
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    stream = shared_replay_table(
+        spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"
+    )
+    tok = stream.select(
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("token")
+    )
+    counters = (
+        tok.select(F.explode(_cms_probe_array(hash32(F.col("token")))).alias("p"))
+        .select("p.row_i", "p.bucket")
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = _fresh_name("s18_out")
+    runner.run_to_memory(counters, name, "complete", state_partitions=STATE_SHARDS)
+
+    # the query set (exact top-k with counts) comes from the BATCH table —
+    # the x58 calibration contract; estimates probe the final stream state
+    btok = load_table(spark, sf, "documents").select(
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("token")
+    )
+    exact = (
+        btok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("token"))
+        .limit(CMS_TOPK)
+    )
+    est = cms_estimate(spark.table(name), exact.select("token"), "token")
+    return exact.join(est, "token").select(
+        "token",
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+    )
+
+
+def _s18_sql() -> str:
+    from kafka_streams_learning_spark.catalog_ext import _x58_sql
+
+    return _x58_sql()
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -735,4 +792,7 @@ STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s17_stream_hll_cardinality", _s17, _s17_sql(),
               "streaming HyperLogLog register maintenance, estimate "
               "read from final state (x54 twin)"),
+    QuerySpec("s18_stream_cms_frequencies", _s18, _s18_sql(),
+              "streaming Count-Min counter maintenance, estimates "
+              "probed from final state (x58 twin)"),
 ]
