@@ -2282,7 +2282,7 @@ def _x57(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _x57_sql() -> str:
-    lo_num, hi_num, den = int(LEN_BAND_LO * 10000), int(LEN_BAND_HI * 10000), 10000
+    lo_num, hi_num, den = round(LEN_BAND_LO * 10000), round(LEN_BAND_HI * 10000), 10000
     return rf"""
 WITH hist AS (
   SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2

@@ -351,8 +351,9 @@ def length_band_filter(
         return F.expr(f"(n_grp * {frac_num} + {frac_den - 1}) div {frac_den}")
 
     # fractions as exact integer ratios over 10000 so no float touches the
-    # rank computation
-    lo_num, hi_num, den = int(lo_frac * 10000), int(hi_frac * 10000), 10000
+    # rank computation (round, not int: int(0.3*10000) is 2999 — IEEE 0.3
+    # times 1e4 lands just under 3000)
+    lo_num, hi_num, den = round(lo_frac * 10000), round(hi_frac * 10000), 10000
     bands = cum.groupBy(group_col).agg(
         F.min(
             F.when(F.col("cum") >= _ceil_rank(lo_num, den), F.col(length_col))
