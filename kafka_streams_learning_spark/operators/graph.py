@@ -12,10 +12,11 @@ Scale design: min-label propagation with pointer jumping. Each round is
 (a) one keyed shuffle propagating the current label across edges plus a
 min-aggregate, and (b) one self-join hop (`label <- label(label)`) that
 doubles compression depth — so rounds grow O(log(component diameter)),
-not O(diameter). Per-round results are eagerly local-checkpointed to
+not O(diameter). Per-round results are eagerly checkpointed to
 truncate lineage (iterative DataFrame loops otherwise re-execute the
-whole prefix every round); on a cluster the same loop checkpoints to
-reliable storage. This is the DataFrame rendering of the classic
+whole prefix every round): RELIABLY when the session has a checkpoint
+dir configured (`sc.setCheckpointDir` — the cluster deployment), else
+locally on executors (single-JVM dev/test), via `_truncate`. This is the DataFrame rendering of the classic
 large-star/small-star MapReduce formulation (Kiveris et al., "Connected
 Components in MapReduce and Beyond") — each round is a bounded number of
 shuffles on (node, label) pairs, never materializing anything larger
@@ -39,6 +40,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _truncate(df: DataFrame) -> DataFrame:
+    """Eagerly cut the lineage of an iterative intermediate. When the
+    session has a reliable checkpoint directory configured
+    (`sc.setCheckpointDir` — HDFS/S3 on a cluster), use a RELIABLE
+    checkpoint: executor loss cannot force recomputing a lineage that no
+    longer exists. Without one (local dev/test), `localCheckpoint` keeps
+    the blocks on executors — faster, and loss-tolerance is moot in a
+    single JVM."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str,
@@ -57,13 +72,12 @@ def connected_components(
     e = (
         half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    e = _truncate(e)
+    labels = _truncate(
         e.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for it in range(max_iter):
@@ -81,10 +95,9 @@ def connected_components(
         jump = new.select(
             F.col("node").alias("label"), F.col("label").alias("jlabel")
         )
-        new = (
+        new = _truncate(
             new.join(jump, "label", "left")
             .select("node", F.coalesce("jlabel", "label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         # probe every 2nd round (and on the last) — each probe is a job
         if it % 2 == 1 or it == max_iter - 1:

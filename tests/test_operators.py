@@ -1056,3 +1056,37 @@ def test_never_gated_queries_sit_inside_gate_prefix():
         f"never-driver-verified queries outside the ~50-entry gate "
         f"prefix: {misplaced} — reorder _HEAD_FIRST in catalog.py"
     )
+
+
+def test_connected_components_uses_reliable_checkpoint_when_configured(spark):
+    """With `sc.setCheckpointDir` configured (the cluster deployment),
+    the CC loop must truncate lineage via RELIABLE checkpoints — files
+    under the checkpoint dir — so executor loss cannot force replaying a
+    discarded lineage. Results must be identical either way."""
+    import os
+    import tempfile
+
+    from kafka_streams_learning_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    before = {
+        (r.node_id, r.group_id, r.is_canonical)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+
+    ckpt = tempfile.mkdtemp(prefix="ksl-ckpt-")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    after = {
+        (r.node_id, r.group_id, r.is_canonical)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert after == before
+    assert before == {
+        (1, 1, True), (2, 1, False), (3, 1, False),
+        (10, 10, True), (11, 10, False), (20, 20, True),
+    }
+    # reliable checkpoint data actually landed under the configured dir
+    found = any(files for _, _, files in os.walk(ckpt))
+    assert found, "no checkpoint files written under the checkpoint dir"
