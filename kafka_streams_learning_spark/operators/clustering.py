@@ -121,11 +121,23 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 6,
+    train_filter=None,
 ) -> dict[int, list[float]]:
     """Train centroids: deterministic seeding (the k rows with the lowest
     ids) + ``n_iter`` Lloyd rounds. Returns {cluster_id: centroid} with
     empty clusters absent — driver-resident, ready to feed
-    :func:`assign_clusters` or `similarity.semantic_near_dup_pairs`."""
+    :func:`assign_clusters` or `similarity.semantic_near_dup_pairs`.
+
+    ``train_filter`` (a boolean Column) is the 100 TB lever: Lloyd scans
+    the TRAINING set once per iteration, so at corpus scale you train on
+    a deterministic sample (e.g. ``pmod(hash, 100) == 0`` — NEVER
+    `rand()`, which breaks replay) and assign the full corpus against
+    the sampled centroids — assignment stays a zero-shuffle expression
+    over everything. k-means centroids converge on a representative
+    sample; the fixture-scale catalog entries train on the full corpus
+    because there the cost is per-iteration job overhead, not data."""
+    if train_filter is not None:
+        df = df.filter(train_filter)
     # Python floats ARE IEEE doubles, so the driver-side snap is the same
     # computation snap6() runs in-engine (float32→double conversion is
     # exact; multiply/add/floor/divide replay bit-for-bit).

@@ -134,3 +134,31 @@ def test_semantic_pairs_plan_is_equi_join_not_cartesian(spark):
     df = similarity.semantic_near_dup_pairs(emb, cents, 0.3)
     plan = E.formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_kmeans_sampled_training_assigns_full_corpus(spark):
+    """The 100 TB path: train Lloyd's on a deterministic sample, assign
+    everything. Centroids must come from sample rows only (seeding =
+    lowest ids WITHIN the sample) and the final assignment must cover
+    every corpus row with a valid trained cluster id."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_learning_spark.operators.clustering import (
+        assign_labeled,
+        kmeans_centroids,
+    )
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(
+        df, k=3, n_iter=2, dim=2, train_filter=F.col("vec_id") % 4 == 0
+    )
+    assert 1 <= len(cents) <= 3
+    out = assign_labeled(df, cents).collect()
+    assert len(out) == 60
+    assert {r.cluster for r in out} <= set(cents)
+    # deterministic: same sample, same centroids
+    again = kmeans_centroids(
+        df, k=3, n_iter=2, dim=2, train_filter=F.col("vec_id") % 4 == 0
+    )
+    assert again == cents
