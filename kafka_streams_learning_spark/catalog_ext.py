@@ -2249,7 +2249,7 @@ WITH tok AS (
   SELECT doc_id, unnest({_TOKS_NORM}) AS token FROM documents
 ), ttok AS (
   SELECT doc_id, unnest({_TOKS_NORM}) AS token FROM documents
-  WHERE lang = '{DSIR_TARGET_LANG}'
+  WHERE lang = '{DSIR_TARGET_LANG.replace("'", "''")}'
 ), {_model_cte_sql('t', 'ttok')}, {_model_cte_sql('c', 'tok')}, d AS (
   SELECT tok.doc_id,
          COUNT(*) AS n_tokens,
