@@ -376,3 +376,40 @@ def bloom_decontamination(
             (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
         )
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "semi",
+) -> DataFrame:
+    """Bloom-accelerated join: compile the small side's key set into a
+    Bloom filter, prefilter the big side with pure per-row expressions
+    INSIDE its scan, then run the real join on the survivors — the
+    runtime-filter pattern (Spark's own `spark.sql.optimizer.
+    runtimeFilter.bloomFilter.enabled` does this inside Catalyst for
+    shuffle joins; this explicit form works on any plan and any join
+    the optimizer won't touch, and its filter is engine-portable).
+
+    Semantics are EXACTLY the plain join's (the bloom admits false
+    positives, never false negatives, and the real join re-checks
+    every survivor); the win is that non-matching big-side rows die in
+    the scan instead of riding the exchange. ``how``: "semi", "inner",
+    or "left_semi"-style membership via the same key column name on
+    both sides.
+
+    At 100 TB: the filter costs one broadcast-sized collect (~2 KB) and
+    three bitwise expressions per row; every filtered row saves its
+    shuffle/broadcast-probe cost. Worth it whenever the small side's
+    selectivity on the big side is < ~50%."""
+    # the md5-based hash family is string-typed; hash the key's string
+    # form (internal to the prefilter only — the real join re-checks on
+    # the native type, so the cast cannot change semantics)
+    keys = small.select(key).distinct()
+    kb = keys.select(F.col(key).cast("string").alias(key))
+    words = bloom_words_dense(bloom_build(kb, key))
+    pre = big.filter(bloom_contains(hash32(F.col(key).cast("string")), words))
+    if how == "semi":
+        return pre.join(F.broadcast(keys), key, "semi")
+    return pre.join(F.broadcast(small), key, how)

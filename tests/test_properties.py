@@ -684,3 +684,21 @@ def test_bloom_has_no_false_negatives(spark, members, probes):
     }
     for v in set(members):
         assert got[v], v
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    st.lists(st.integers(0, 50), min_size=1, max_size=10),
+)
+def test_bloom_semi_join_equals_plain_semi_join(spark, big_keys, small_keys):
+    """The bloom prefilter must be semantics-free: bloom_semi_join equals
+    the plain semi join for ANY input (false positives are re-checked by
+    the real join; false negatives cannot exist)."""
+    from kafka_streams_learning_spark.operators.sketches import bloom_semi_join
+
+    big = spark.createDataFrame([(k, k * 10) for k in big_keys], "k long, v long")
+    small = spark.createDataFrame([(k,) for k in set(small_keys)], "k long")
+    got = sorted(map(tuple, bloom_semi_join(big, small, "k").collect()))
+    want = sorted(map(tuple, big.join(small, "k", "semi").collect()))
+    assert got == want
