@@ -509,6 +509,7 @@ _TAIL_STABLE = [
 #      tests/test_catalog_oracle.py + tools/oracle_check.py every round.
 _HEAD_FIRST = [
     # band 1: never driver-verified (new round-6 rows first)
+    "x60_histogram_quantiles",
     "x59_bloom_decontamination",
     "x58_cms_frequencies",
     "x57_length_band_filter",

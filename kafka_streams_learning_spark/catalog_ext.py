@@ -2433,6 +2433,78 @@ FROM marked GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# X60 — fixed-grid histogram quantile sketch calibration: per event type,
+# the grid-bucket quantile estimate next to x24's exact interpolated
+# percentile and the absolute error. Completes the portable-sketch suite
+# (x54 cardinality, x58 frequency, x59 membership, x60 quantiles):
+# mergeable integer counts, IEEE bucket/edge math, the estimate ITSELF
+# goes through the oracle — unlike GK (x24's approx arm), whose internals
+# are engine-specific.
+
+HISTQ_QS = [(5000, 0.5), (9500, 0.95), (9900, 0.99)]
+
+
+def _x60(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators import sketches
+
+    return sketches.histogram_quantiles(
+        load_table(spark, sf, "events"), "value", "event_type", HISTQ_QS
+    )
+
+
+def _x60_sql() -> str:
+    from kafka_streams_learning_spark.operators.sketches import HISTQ_BUCKETS
+
+    nb = HISTQ_BUCKETS
+    q_values = ", ".join(f"({num}, {disp!r})" for num, disp in HISTQ_QS)
+    e_cols = ",\n         ".join(
+        f"quantile_cont(value, {disp!r}) AS e_{num}" for num, disp in HISTQ_QS
+    )
+    # CASE folded in the same first-match order as the Spark expression
+    case = "CASE "
+    for num, disp in HISTQ_QS[:-1]:
+        case += f"WHEN q.qd = {disp!r} THEN e_{num} "
+    case += f"ELSE e_{HISTQ_QS[-1][0]} END"
+    return rf"""
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
+  FROM events GROUP BY 1
+), b AS (
+  SELECT e.event_type,
+         CASE WHEN s.vmax = s.vmin THEN 0
+              ELSE LEAST(CAST(floor((CAST(e.value AS DOUBLE) - s.vmin)
+                                    / (s.vmax - s.vmin) * {float(nb)!r}) AS BIGINT),
+                         {nb - 1}) END AS bucket
+  FROM events e JOIN s USING (event_type)
+), h AS (
+  SELECT event_type, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bucket,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h
+), q0(qnum, qd0) AS (VALUES {q_values}),
+q AS (SELECT qnum, CAST(qd0 AS DOUBLE) AS qd FROM q0),
+r AS (
+  SELECT c.event_type, q.qd AS q, MIN(c.bucket) AS qb
+  FROM c JOIN s USING (event_type), q
+  WHERE c.cum >= (s.n * q.qnum + 9999) // 10000
+  GROUP BY 1, 2
+), ex AS (
+  SELECT event_type,
+         {e_cols}
+  FROM events GROUP BY 1
+)
+SELECT r.event_type, r.q,
+       s.vmin + (r.qb + 1) * (s.vmax - s.vmin) / {float(nb)!r} AS hist_estimate,
+       {case.replace('q.qd', 'r.q')} AS exact_value,
+       abs(s.vmin + (r.qb + 1) * (s.vmax - s.vmin) / {float(nb)!r}
+           - ({case.replace('q.qd', 'r.q')})) AS abs_err
+FROM r JOIN s USING (event_type) JOIN ex USING (event_type)
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -2573,4 +2645,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x59_bloom_decontamination", _x59, _x59_sql(),
               "Bloom-prefiltered benchmark decontamination "
               "(pure-expression probe, exact arm alongside)"),
+    QuerySpec("x60_histogram_quantiles", _x60, _x60_sql(),
+              "fixed-grid histogram quantile sketch vs exact "
+              "percentile (mergeable, oracle-hashed estimate)"),
 ]

@@ -413,3 +413,110 @@ def bloom_semi_join(
     if how == "semi":
         return pre.join(F.broadcast(keys), key, "semi")
     return pre.join(F.broadcast(small), key, how)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram quantile sketch: bucket counts over a uniform grid
+# between the group's min and max. Counts are SUM-mergeable integers (the
+# CMS contract); a quantile reads the first bucket whose cumulative count
+# reaches the exact ordinal rank and answers with the bucket's upper
+# edge — error bounded by one grid step, (vmax-vmin)/HISTQ_BUCKETS.
+# Unlike Greenwald-Khanna (x24's approx arm, estimator-internal and NOT
+# oracle-hashable), every step here is portable: integer counts, one IEEE
+# bucket expression, one IEEE edge expression — the estimate itself goes
+# through the DuckDB gate.
+
+HISTQ_BUCKETS = 1024
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: list[tuple[int, float]],
+) -> DataFrame:
+    """Per-group quantile estimates from the fixed-grid histogram, with
+    the exact interpolated percentile (x24's portable contract) and the
+    absolute error alongside — the calibration table for sizing
+    HISTQ_BUCKETS. ``qs`` are (numerator-over-10000, display) pairs so
+    rank arithmetic stays integer-exact (the x57 contract).
+
+    Scale shape: one tiny per-group stats aggregate broadcasts back onto
+    the scan; the histogram is ≤ groups × HISTQ_BUCKETS integer rows
+    with map-side partial counts (mergeable across shards by SUM); the
+    cumulative window and the rank probes run over the histogram, never
+    the corpus. The exact arm (`percentile`) buffers each group's values
+    — it is the documented expensive ground truth, like x54/x58's."""
+    from pyspark.sql import Window
+
+    nb = HISTQ_BUCKETS
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+    v = F.col(value_col).cast("double")
+    bucket = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (v - F.col("vmin")) / (F.col("vmax") - F.col("vmin")) * F.lit(float(nb))
+            ),
+            F.lit(nb - 1),
+        )
+    )
+    hist = (
+        df.join(F.broadcast(stats), group_col)
+        .select(group_col, bucket.alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    qarr = F.array(
+        *[
+            F.struct(F.lit(num).alias("qnum"), F.lit(disp).alias("q"))
+            for num, disp in qs
+        ]
+    )
+    probes = (
+        cum.join(F.broadcast(stats), group_col)
+        .select(group_col, "bucket", "cum", "n", F.explode(qarr).alias("p"))
+        .select(group_col, "bucket", "cum", "n", "p.qnum", "p.q")
+        .filter(F.col("cum") >= F.expr("(n * qnum + 9999) div 10000"))
+        .groupBy(group_col, "q")
+        .agg(F.min("bucket").alias("qb"))
+    )
+    exact = df.groupBy(group_col).agg(
+        *[
+            F.percentile(value_col, disp).alias(f"e_{num}")
+            for num, disp in qs
+        ]
+    )
+    est = F.col("vmin") + (F.col("qb") + F.lit(1)) * (
+        F.col("vmax") - F.col("vmin")
+    ) / F.lit(float(nb))
+    # fold the per-q exact columns into one CASE keyed on the display
+    # value; built in reverse so the first q claims the first branch
+    exact_val = None
+    for num, disp in reversed(qs):
+        branch = F.col(f"e_{num}")
+        exact_val = (
+            branch
+            if exact_val is None
+            else F.when(F.col("q") == F.lit(disp), branch).otherwise(exact_val)
+        )
+    return (
+        probes.join(F.broadcast(stats), group_col)
+        .join(F.broadcast(exact), group_col)
+        .select(
+            group_col,
+            "q",
+            est.alias("hist_estimate"),
+            exact_val.alias("exact_value"),
+            F.abs(est - exact_val).alias("abs_err"),
+        )
+    )
