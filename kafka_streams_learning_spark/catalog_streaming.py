@@ -750,6 +750,68 @@ def _s18_sql() -> str:
     return _x58_sql()
 
 
+def _s19(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming histogram-quantile maintenance (x60's sketch arm live):
+    the per-group min/max GRID is fit in batch (the s16 batch-fit /
+    stream-score precedent — a production pipeline freezes the grid when
+    the sketch is deployed), the (group, bucket) counts are a streaming
+    groupBy-COUNT in complete mode (state ≤ groups × HISTQ_BUCKETS
+    integers forever), and the quantile estimates + exact calibration
+    read off the final state with x60's batch collapse — hash-matching
+    the batch oracle."""
+    from kafka_streams_learning_spark.catalog_ext import HISTQ_QS
+    from kafka_streams_learning_spark.operators.sketches import HISTQ_BUCKETS
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    nb = HISTQ_BUCKETS
+    batch = load_table(spark, sf, "events")
+    stats = batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+    stream = shared_replay_table(spark, sf, "events", REPLAY_CHUNKS).select(
+        "event_type", "value"
+    )
+    v = F.col("value").cast("double")
+    bucket = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (v - F.col("vmin")) / (F.col("vmax") - F.col("vmin"))
+                * F.lit(float(nb))
+            ),
+            F.lit(nb - 1),
+        )
+    )
+    hist = (
+        stream.join(F.broadcast(stats), "event_type")
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = _fresh_name("s19_out")
+    runner.run_to_memory(hist, name, "complete", state_partitions=STATE_SHARDS)
+
+    # collapse the FINAL counter state exactly as x60 does (shared code)
+    from kafka_streams_learning_spark.operators.sketches import (
+        histogram_quantile_collapse,
+    )
+
+    exact = batch.groupBy("event_type").agg(
+        *[F.percentile("value", disp).alias(f"e_{num}") for num, disp in HISTQ_QS]
+    )
+    return histogram_quantile_collapse(
+        spark.table(name), stats, exact, HISTQ_QS, "event_type"
+    )
+
+
+def _s19_sql() -> str:
+    from kafka_streams_learning_spark.catalog_ext import _x60_sql
+
+    return _x60_sql()
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -795,4 +857,7 @@ STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s18_stream_cms_frequencies", _s18, _s18_sql(),
               "streaming Count-Min counter maintenance, estimates "
               "probed from final state (x58 twin)"),
+    QuerySpec("s19_stream_histogram_quantiles", _s19, _s19_sql(),
+              "streaming histogram-quantile maintenance on a "
+              "batch-frozen grid (x60 twin)"),
 ]

@@ -447,8 +447,6 @@ def histogram_quantiles(
     cumulative window and the rank probes run over the histogram, never
     the corpus. The exact arm (`percentile`) buffers each group's values
     — it is the documented expensive ground truth, like x54/x58's."""
-    from pyspark.sql import Window
-
     nb = HISTQ_BUCKETS
     stats = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
@@ -470,6 +468,30 @@ def histogram_quantiles(
         .groupBy(group_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    exact = df.groupBy(group_col).agg(
+        *[
+            F.percentile(value_col, disp).alias(f"e_{num}")
+            for num, disp in qs
+        ]
+    )
+    return histogram_quantile_collapse(hist, stats, exact, qs, group_col)
+
+
+def histogram_quantile_collapse(
+    hist: DataFrame,
+    stats: DataFrame,
+    exact: DataFrame,
+    qs: list[tuple[int, float]],
+    group_col: str,
+) -> DataFrame:
+    """Collapse a (group, bucket, cnt) histogram to the quantile table —
+    shared by the batch builder above and the streaming twin (s19),
+    which maintains `hist` as live state and collapses the final
+    snapshot. `stats` carries (group, n, vmin, vmax); `exact` the
+    per-q e_{num} percentile columns."""
+    from pyspark.sql import Window
+
+    nb = HISTQ_BUCKETS
     w = (
         Window.partitionBy(group_col)
         .orderBy("bucket")
@@ -489,12 +511,6 @@ def histogram_quantiles(
         .filter(F.col("cum") >= F.expr("(n * qnum + 9999) div 10000"))
         .groupBy(group_col, "q")
         .agg(F.min("bucket").alias("qb"))
-    )
-    exact = df.groupBy(group_col).agg(
-        *[
-            F.percentile(value_col, disp).alias(f"e_{num}")
-            for num, disp in qs
-        ]
     )
     est = F.col("vmin") + (F.col("qb") + F.lit(1)) * (
         F.col("vmax") - F.col("vmin")
