@@ -205,6 +205,13 @@ SHOWCASE: dict[str, str] = {
         "doc-key hash-agg with map-side combine — the corpus is never "
         "shuffled on token."
     ),
+    "x60_histogram_quantiles": (
+        "Histogram quantiles: per-group stats broadcast onto the scan; "
+        "the bucket aggregate partial-counts map-side into at most "
+        "groups×1024 rows; the cumulative window and rank probes run "
+        "over that histogram, never the corpus; the exact-percentile "
+        "calibration arm is the documented expensive baseline."
+    ),
     "x58_cms_frequencies": (
         "Count-Min: the counter build groupBys (row_i, bucket) — at most "
         "d×w groups with map-side partial counts; the probe side joins "
