@@ -2467,16 +2467,18 @@ def _x60_sql() -> str:
         case += f"WHEN q.qd = {disp!r} THEN e_{num} "
     case += f"ELSE e_{HISTQ_QS[-1][0]} END"
     return rf"""
-WITH s AS (
+WITH ev AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), s AS (
   SELECT event_type, COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
-  FROM events GROUP BY 1
+  FROM ev GROUP BY 1
 ), b AS (
   SELECT e.event_type,
          CASE WHEN s.vmax = s.vmin THEN 0
               ELSE LEAST(CAST(floor((CAST(e.value AS DOUBLE) - s.vmin)
                                     / (s.vmax - s.vmin) * {float(nb)!r}) AS BIGINT),
                          {nb - 1}) END AS bucket
-  FROM events e JOIN s USING (event_type)
+  FROM ev e JOIN s USING (event_type)
 ), h AS (
   SELECT event_type, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2
 ), c AS (
@@ -2494,7 +2496,7 @@ r AS (
 ), ex AS (
   SELECT event_type,
          {e_cols}
-  FROM events GROUP BY 1
+  FROM ev GROUP BY 1
 )
 SELECT r.event_type, r.q,
        s.vmin + (r.qb + 1) * (s.vmax - s.vmin) / {float(nb)!r} AS hist_estimate,

@@ -764,15 +764,18 @@ def _s19(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_learning_spark.sources.batch import load_table
 
     nb = HISTQ_BUCKETS
-    batch = load_table(spark, sf, "events")
+    # same NULL exclusion as histogram_quantiles (engine-portable arms)
+    batch = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
     stats = batch.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
 
-    stream = shared_replay_table(spark, sf, "events", REPLAY_CHUNKS).select(
-        "event_type", "value"
+    stream = (
+        shared_replay_table(spark, sf, "events", REPLAY_CHUNKS)
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
     )
     v = F.col("value").cast("double")
     bucket = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(

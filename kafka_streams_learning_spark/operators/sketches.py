@@ -447,6 +447,11 @@ def histogram_quantiles(
     cumulative window and the rank probes run over the histogram, never
     the corpus. The exact arm (`percentile`) buffers each group's values
     — it is the documented expensive ground truth, like x54/x58's."""
+    # NULL measurements are excluded up front: engines disagree on NULL
+    # ordering inside the cumulative window (Spark first, DuckDB last)
+    # and `percentile` skips NULLs while COUNT(*) would not — dropping
+    # them keeps both arms consistent and portable
+    df = df.filter(F.col(value_col).isNotNull())
     nb = HISTQ_BUCKETS
     stats = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
