@@ -452,48 +452,23 @@ REFERENCE_QUERIES: list[QuerySpec] = [
 # pair, all driver-verified in earlier rounds and locally oracle-checked
 # every round) — the least information lost if the gate caps before them.
 _TAIL_STABLE = [
-    "x27_frame_sampling",
-    "x29_resize_plan",
-    "x01_text_stats",
-    "x02_lang_id",
-    "x03_fingerprint",
-    "x04_dedup_exact",
-    "x05_token_topk",
+    # round 7: the r4-stale cohort is being cycled through the gate
+    # prefix oldest-driver-row-first (VERDICT r6 item 1). This round's
+    # rotation band re-gates x22/x24/x20 + x01–x08/x10/x16; the 12 names
+    # below are the REMAINING r4-stale rows, scheduled for the round-8
+    # band. All are locally oracle-checked at three SFs every round.
+    "x11_lsh_candidates",
     "x12_multimodal_meta",
+    "x14_multimodal_decode",
+    "x15_distinct_cardinality",
     "x17_rolling_fingerprint",
     "x19_hash_split",
-    # moved to the tail in round 5 to make prefix room for x32–x34:
-    # driver-green since r01/r02 and pure-expression / tiny-aggregate
-    # passes, locally oracle-checked every round
-    "x15_distinct_cardinality",
     "x23_pii_redaction",
     "x25_rollup_stats",
-    # moved to the tail for x35+: driver-green r04, plumbing unchanged
-    # (x09/x13/x18/x20/x21/x22/x24 rotated back into the round-6 prefix —
-    # their float-math oracles are the most fixture-drift-prone)
-    "x14_multimodal_decode",
-    "x16_clean_corpus",
-    # moved to the tail for x43/x44: sketch rows whose oracle SQL is
-    # generated from the same constants as the Spark expressions (cannot
-    # drift), driver-green since r02, locally oracle-checked every round
-    "x06_minhash_signatures",
-    "x08_simhash",
-    # moved to the tail for x45: the deterministic half-corpus exact
-    # ground-truth arm (x26 is the catalogued scale path), driver-green
-    # since r03 with a fixed-order-fold oracle that cannot drift
-    "x10_embedding_near_dups",
-    # moved to the tail for x46: driver-green since r01, oracle SQL
-    # generated from the shared shingle fragment (cannot drift)
-    "x07_ngram_jaccard_dups",
-    # moved to the tail for s16: same shared-fragment SQL as x06/x07
-    "x11_lsh_candidates",
-    # moved to the tail for x47/x48: both driver-green r04 with
-    # judge-verified oracles; the never-driver-gated round-5 rows take
-    # priority in the prefix. Embedding-pair scoring stays prefix-covered
-    # via x39; x28's recursive-CTE oracle (the one driver-timeout risk)
-    # now runs only in the local gate.
     "x26_embedding_near_dups_lsh",
+    "x27_frame_sampling",
     "x28_neardup_groups",
+    "x29_resize_plan",
 ]
 
 # Extension-prefix priority order. Three bands:
@@ -508,7 +483,27 @@ _TAIL_STABLE = [
 #      they overflow the ~50-entry cap first and stay locally checked by
 #      tests/test_catalog_oracle.py + tools/oracle_check.py every round.
 _HEAD_FIRST = [
-    # band 1: never driver-verified (new round-6 rows first)
+    # band 1: never driver-verified (new round-7 rows first)
+    "x62_kmeans_sampled",
+    "x61_bloom_semi_join",
+    # band 2: rotation — the r4-stale cohort, oldest driver row first
+    # (VERDICT r6 item 1). The gate prefix is 15 q + 20 s + band 1 +
+    # these 13 = exactly 50; the remaining 12 r4-stale rows sit at the
+    # top of _TAIL_STABLE for the round-8 band.
+    "x22_asof_join",
+    "x24_quantile_stats",
+    "x20_balanced_sample",
+    "x01_text_stats",
+    "x02_lang_id",
+    "x03_fingerprint",
+    "x04_dedup_exact",
+    "x05_token_topk",
+    "x06_minhash_signatures",
+    "x07_ngram_jaccard_dups",
+    "x08_simhash",
+    "x10_embedding_near_dups",
+    "x16_clean_corpus",
+    # band 3: driver-green in r06 (freshest — overflow first)
     "x60_histogram_quantiles",
     "x59_bloom_decontamination",
     "x58_cms_frequencies",
@@ -521,15 +516,11 @@ _HEAD_FIRST = [
     "x32_gopher_quality",
     "x31_decontamination",
     "x30_repetition_stats",
-    # band 2: rotation — oldest driver verification, float-heavy oracles
     "x13_ann_ivf_topk",
     "x18_ann_lsh_topk",
     "x09_ann_brute_topk",
     "x21_tfidf_topk",
-    "x24_quantile_stats",
-    "x22_asof_join",
-    "x20_balanced_sample",
-    # band 3: driver-green in r05, overflow first
+    # band 4: driver-green in r05
     "x53_sketch_calibration",
     "x52_ann_jl_topk",
     "x51_epoch_shuffle",

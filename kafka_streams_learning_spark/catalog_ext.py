@@ -2193,7 +2193,7 @@ WITH tok AS (
   FROM m
 )
 SELECT lang, n_types, slope,
-       floor((CAST(sy AS DOUBLE) / {zs} - slope * (CAST(sx AS DOUBLE) / {zs}))
+       floor((CAST(sy AS DOUBLE) / {zs} - (slope * CAST(sx AS DOUBLE)) / {zs})
              / n_types * {os_} + 0.5) / {os_} AS intercept
 FROM s
 """
@@ -2507,6 +2507,140 @@ FROM r JOIN s USING (event_type) JOIN ex USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# X61 — Bloom-prefiltered semi join: a real probe through
+# `sketches.bloom_semi_join` (orders ⋈ a selective customer slice on
+# custkey), oracle-checked IDENTICAL to the plain semi join. The bloom
+# filter admits false positives, never false negatives, and the real
+# join re-checks every survivor — so the output is exactly the plain
+# join's; what the bloom buys is that non-matching big-side rows die as
+# pure bitwise expressions inside the scan instead of riding the
+# exchange. At 100 TB: ~2 KB driver-side filter, three md5-derived bit
+# probes per row, every killed row saves its shuffle/broadcast-probe
+# cost. The oracle is deliberately the PLAIN semi join (no bloom replay):
+# the contract under test is output equivalence, not the filter bits
+# (x59 already gates the bit-level bloom construction).
+
+BLOOM_JOIN_SEGMENT = "BUILDING"
+BLOOM_JOIN_MAX_NATION = 10
+
+
+def _x61(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators import sketches
+
+    orders = load_table(spark, sf, "orders")
+    cust = (
+        load_table(spark, sf, "customer")
+        .filter(
+            (F.col("c_mktsegment") == BLOOM_JOIN_SEGMENT)
+            & (F.col("c_nationkey") < BLOOM_JOIN_MAX_NATION)
+        )
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return sketches.bloom_semi_join(orders, cust, "o_custkey", how="semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+_X61_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = '{BLOOM_JOIN_SEGMENT}'
+    AND c_nationkey < {BLOOM_JOIN_MAX_NATION}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# X62 — hash-sampled k-means training (the 100 TB Lloyd path proven
+# end-to-end): train centroids on the deterministic portable-hash sample
+# `hash32(vec_id) % KMEANS_SAMPLE_MOD == 0` via the `train_filter` lever
+# (operators/clustering.py:116), then assign the FULL corpus against the
+# sampled centroids. At corpus scale this is the difference between
+# Lloyd scanning 100 TB per iteration and scanning 100 TB / MOD — while
+# assignment stays a zero-shuffle literal-centroid expression over
+# everything. The DuckDB oracle replays the SAME sampled training (the
+# sample predicate uses the md5-derived portable hash, identical in both
+# engines), so the sampled path gets the same bit-level gate as x35 —
+# NEVER rand()-sampled, which would break replay.
+
+KMEANS_SAMPLE_MOD = 4
+
+_SAMPLED_CENTROID_CACHE: dict[str, dict[int, list[float]]] = {}
+
+
+def _kmeans_sample_filter():
+    from kafka_streams_learning_spark.functions.hashing import hash32
+
+    return hash32(F.col("vec_id").cast("string")) % KMEANS_SAMPLE_MOD == 0
+
+
+def _kmeans_sample_pred_sql() -> str:
+    return f"{hash32_sql('CAST(vec_id AS VARCHAR)')} % {KMEANS_SAMPLE_MOD} = 0"
+
+
+def _x62(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    if sf not in _SAMPLED_CENTROID_CACHE:
+        _SAMPLED_CENTROID_CACHE[sf] = clustering.kmeans_centroids(
+            emb,
+            k=KMEANS_K,
+            n_iter=KMEANS_ITER,
+            dim=EMB_DIM,
+            train_filter=_kmeans_sample_filter(),
+        )
+    return clustering.assign_labeled(emb, _SAMPLED_CENTROID_CACHE[sf])
+
+
+def _kmeans_ctes_sampled() -> str:
+    """The x35 Lloyd CTE chain with training reading the hash-sampled
+    slice `tr` instead of the full table (final assignment still reads
+    `embeddings` — built by the caller)."""
+    snap_seed = clustering.snap6_sql("CAST(x AS DOUBLE)")
+    parts = [
+        f"tr AS (SELECT * FROM embeddings WHERE {_kmeans_sample_pred_sql()})",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         list_transform(embedding, x -> {snap_seed}) AS cv
+  FROM (SELECT * FROM tr ORDER BY vec_id LIMIT {KMEANS_K})
+)""",
+    ]
+    for t in range(KMEANS_ITER):
+        dist = _kmeans_dist_sql("e.embedding", "c.cv")
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cluster, {dist} AS dist
+    FROM tr e CROSS JOIN c{t} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+)"""
+        )
+        cm = clustering.snap6_sql("avg(CAST(a.embedding[t.i] AS DOUBLE))")
+        parts.append(
+            f"""c{t + 1} AS (
+  SELECT cid, list(cm ORDER BY i) AS cv FROM (
+    SELECT a.cluster AS cid, t.i, {cm} AS cm
+    FROM a{t} a CROSS JOIN range(1, {EMB_DIM + 1}) t(i)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _x62_sql() -> str:
+    dist = _kmeans_dist_sql("e.embedding", "c.cv")
+    return f"""
+WITH {_kmeans_ctes_sampled()}
+SELECT vec_id, cluster, dist FROM (
+  SELECT e.vec_id, c.cid AS cluster, {dist} AS dist
+  FROM embeddings e CROSS JOIN c{KMEANS_ITER} c
+) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -2650,4 +2784,10 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x60_histogram_quantiles", _x60, _x60_sql(),
               "fixed-grid histogram quantile sketch vs exact "
               "percentile (mergeable, oracle-hashed estimate)"),
+    QuerySpec("x61_bloom_semi_join", _x61, _X61_SQL,
+              "Bloom-prefiltered semi join, output identical to the "
+              "plain join (runtime-filter pattern as a library op)"),
+    QuerySpec("x62_kmeans_sampled", _x62, _x62_sql(),
+              "hash-sampled Lloyd training + full-corpus assignment "
+              "(the 100 TB k-means path, oracle-replayed end-to-end)"),
 ]

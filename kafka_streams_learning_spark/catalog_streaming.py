@@ -815,6 +815,65 @@ def _s19_sql() -> str:
     return _x60_sql()
 
 
+# s20 — s06's sliding count under REAL disorder (the r5/r6 carry-item):
+# the events fixture arrives shuffled (each row's replay position
+# displaced by a deterministic ±6 h hash jitter of its event time, the
+# s12 recipe), and the watermark-driven reorder buffer
+# (`stateful.ordered_sliding_count_stream`) must restore per-key
+# (ts, event_id) order before the identical sliding core runs — emissions
+# still hash-match q05's batch range-self-join oracle exactly. This
+# closes the ordered-arrival caveat on the keyed-state sliding count: a
+# Kafka-partition-ordered source is NOT assumed; a 13 h watermark bounds
+# the disorder, state is O(pending + window) per key.
+
+
+def _s20(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime
+
+    from kafka_streams_learning_spark.sources.batch import load_table
+    from kafka_streams_learning_spark.sources.replay import (
+        replay_stream,
+        stage_replay_chunks,
+        staged_column_max,
+    )
+    from kafka_streams_learning_spark.streaming.stateful import (
+        ordered_sliding_count_stream,
+    )
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts")
+    # deterministic bounded shuffle: displace each row's ARRIVAL position
+    # by a ±6 h jitter keyed on event_id; event time `ts` is untouched
+    jittered = ev.withColumn(
+        "_arrival",
+        F.expr(
+            "timestampadd(SECOND, "
+            "CAST(crc32(cast(event_id AS string)) % 43200 - 21600 AS INT), ts)"
+        ),
+    )
+    # one flush sentinel at the tail of the LAST replay chunk (s12's
+    # recipe): its event time pushes the watermark past every real row so
+    # the event-time timeouts drain the reorder buffers in-run
+    max_ts = staged_column_max(f"{sf}/events.parquet", "ts")
+    sent = spark.createDataFrame(
+        [(-1, -1, max_ts + datetime.timedelta(hours=14),
+          max_ts + datetime.timedelta(hours=7))],
+        jittered.schema,
+    )
+    staging = run_staging_dir("replay")
+    stage_replay_chunks(
+        jittered.unionByName(sent), staging, REPLAY_CHUNKS, order_by="_arrival"
+    )
+    stream = replay_stream(spark, staging, jittered.schema).select(
+        "user_id", "event_id", "ts"
+    )
+    counted = ordered_sliding_count_stream(
+        stream, SLIDE_LOOKBACK_MICROS, disorder="13 hours"
+    )
+    name = _fresh_name("s20_out")
+    runner.run_to_memory(counted, name, "append", state_partitions=STATE_SHARDS)
+    return spark.table(name)
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -863,4 +922,7 @@ STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s19_stream_histogram_quantiles", _s19, _s19_sql(),
               "streaming histogram-quantile maintenance on a "
               "batch-frozen grid (x60 twin)"),
+    QuerySpec("s20_stream_sliding_unordered", _s20, _S06_SQL,
+              "sliding count under shuffled arrival via the watermark "
+              "reorder buffer (s06 without the ordered-arrival caveat)"),
 ]
