@@ -454,9 +454,11 @@ REFERENCE_QUERIES: list[QuerySpec] = [
 _TAIL_STABLE = [
     # round 7: the r4-stale cohort is being cycled through the gate
     # prefix oldest-driver-row-first (VERDICT r6 item 1). This round's
-    # rotation band re-gates x22/x24/x20 + x01–x08/x10/x16; the 12 names
-    # below are the REMAINING r4-stale rows, scheduled for the round-8
-    # band. All are locally oracle-checked at three SFs every round.
+    # rotation band re-gates x22/x24/x20 + x01–x08; the 14 names below
+    # are the REMAINING r4-stale rows, scheduled for the round-8 band.
+    # All are locally oracle-checked at three SFs every round.
+    "x10_embedding_near_dups",
+    "x16_clean_corpus",
     "x11_lsh_candidates",
     "x12_multimodal_meta",
     "x14_multimodal_decode",
@@ -484,12 +486,15 @@ _TAIL_STABLE = [
 #      tests/test_catalog_oracle.py + tools/oracle_check.py every round.
 _HEAD_FIRST = [
     # band 1: never driver-verified (new round-7 rows first)
+    "x64_cms_production",
+    "x63_hll_production",
     "x62_kmeans_sampled",
     "x61_bloom_semi_join",
     # band 2: rotation — the r4-stale cohort, oldest driver row first
     # (VERDICT r6 item 1). The gate prefix is 15 q + 20 s + band 1 +
-    # these 13 = exactly 50; the remaining 12 r4-stale rows sit at the
-    # top of _TAIL_STABLE for the round-8 band.
+    # these 11 = exactly 50; the remaining 14 r4-stale rows (x10/x16
+    # displaced by x63/x64) sit at the top of _TAIL_STABLE for the
+    # round-8 band.
     "x22_asof_join",
     "x24_quantile_stats",
     "x20_balanced_sample",
@@ -501,8 +506,6 @@ _HEAD_FIRST = [
     "x06_minhash_signatures",
     "x07_ngram_jaccard_dups",
     "x08_simhash",
-    "x10_embedding_near_dups",
-    "x16_clean_corpus",
     # band 3: driver-green in r06 (freshest — overflow first)
     "x60_histogram_quantiles",
     "x59_bloom_decontamination",

@@ -2093,26 +2093,26 @@ def _x54(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.hll_token_cardinality(load_table(spark, sf, "documents"))
 
 
-def _x54_sql() -> str:
+def _hll_sql(p: int) -> str:
+    """The x54 HLL-calibration oracle at precision p (m = 2^p registers),
+    generated from the same constants/alpha the Spark expressions use."""
     from kafka_streams_learning_spark.operators.sketches import (
-        HLL_ALPHA,
         HLL_EST_SCALE,
-        HLL_M,
-        HLL_P,
-        HLL_W,
+        hll_alpha,
     )
 
+    m = 1 << p
     pow2_32 = 1 << 32
-    rho_max = HLL_W + 1
+    rho_max = 32 - p + 1
     return rf"""
 WITH tok AS (
   SELECT source, unnest({_TOKS_NORM}) AS token FROM documents
 ), hb AS (
   SELECT source, {hash32_sql('token')} AS h FROM tok
 ), reg AS (
-  SELECT source, h % {HLL_M} AS bucket,
-         CASE WHEN (h >> {HLL_P}) = 0 THEN {rho_max}
-              ELSE {rho_max} - length(bin(h >> {HLL_P})) END AS rho
+  SELECT source, h % {m} AS bucket,
+         CASE WHEN (h >> {p}) = 0 THEN {rho_max}
+              ELSE {rho_max} - length(bin(h >> {p})) END AS rho
   FROM hb
 ), regs AS (
   SELECT source, bucket, MAX(rho) AS m_b FROM reg GROUP BY 1, 2
@@ -2121,15 +2121,15 @@ WITH tok AS (
          COUNT(*) AS n_buckets
   FROM regs GROUP BY 1
 ), e AS (
-  SELECT source, ({HLL_M} - n_buckets) AS v,
-         {HLL_ALPHA * HLL_M * HLL_M} * {float(pow2_32)!r}
-           / CAST(s_present + ({HLL_M} - n_buckets) * {pow2_32} AS DOUBLE)
+  SELECT source, ({m} - n_buckets) AS v,
+         CAST({hll_alpha(m) * m * m!r} AS DOUBLE) * CAST({float(pow2_32)!r} AS DOUBLE)
+           / CAST(s_present + ({m} - n_buckets) * CAST({pow2_32} AS BIGINT) AS DOUBLE)
            AS e_raw
   FROM agg
 ), fin AS (
   SELECT source,
-         CASE WHEN e_raw <= {2.5 * HLL_M!r} AND v > 0
-              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v AS DOUBLE))
+         CASE WHEN e_raw <= {2.5 * m!r} AND v > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
               ELSE e_raw END AS es
   FROM e
 ), ex AS (
@@ -2145,6 +2145,12 @@ SELECT source, n_exact, hll_estimate,
          AS rel_err
 FROM q
 """
+
+
+def _x54_sql() -> str:
+    from kafka_streams_learning_spark.operators.sketches import HLL_P
+
+    return _hll_sql(HLL_P)
 
 
 # ---------------------------------------------------------------------------
@@ -2323,17 +2329,17 @@ def _x58(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _x58_sql() -> str:
-    from kafka_streams_learning_spark.operators.sketches import CMS_D, CMS_W
-
+def _cms_sql(d: int, w: int) -> str:
+    """The x58 CMS-calibration oracle at d rows x w buckets, generated
+    from the same probe family the Spark expressions use."""
     build_arms = "\n    UNION ALL ".join(
-        f"SELECT {i} AS row_i, ({perm_hash_sql('h', i)}) % {CMS_W} AS bucket FROM hb"
-        for i in range(CMS_D)
+        f"SELECT {i} AS row_i, ({perm_hash_sql('h', i)}) % {w} AS bucket FROM hb"
+        for i in range(d)
     )
     probe_arms = "\n    UNION ALL ".join(
-        f"SELECT token, {i} AS row_i, ({perm_hash_sql('h', i)}) % {CMS_W} AS bucket "
+        f"SELECT token, {i} AS row_i, ({perm_hash_sql('h', i)}) % {w} AS bucket "
         f"FROM eh"
-        for i in range(CMS_D)
+        for i in range(d)
     )
     return rf"""
 WITH tok AS (
@@ -2357,6 +2363,12 @@ WITH tok AS (
 SELECT token, n_exact, cms_estimate, cms_estimate - n_exact AS overestimate
 FROM exact JOIN est USING (token)
 """
+
+
+def _x58_sql() -> str:
+    from kafka_streams_learning_spark.operators.sketches import CMS_D, CMS_W
+
+    return _cms_sql(CMS_D, CMS_W)
 
 
 # ---------------------------------------------------------------------------
@@ -2505,6 +2517,49 @@ SELECT r.event_type, r.q,
            - ({case.replace('q.qd', 'r.q')})) AS abs_err
 FROM r JOIN s USING (event_type) JOIN ex USING (event_type)
 """
+
+
+# ---------------------------------------------------------------------------
+# X63/X64 — the x54/x58 sketches at PRODUCTION-ish parameters (r6 stretch
+# item): p=6 / w=256 keep register tables legible in test output, but the
+# error contract a 100 TB deployment relies on is only demonstrated at
+# realistic sketch sizes. x63 runs the HLL calibration at p=12 (4096
+# registers, theoretical sigma = 1.04/sqrt(4096) ~ 1.6% relative error);
+# x64 runs the CMS calibration at w=4096 (overestimate bound e/w ~ 0.07%
+# of the stream mass per Cormode-Muthukrishnan). Same mergeable-exchange
+# shapes as x54/x58 — the state is still sketch-sized (4096 ints per
+# group / 4x4096 counters total) — and the estimates themselves go
+# through the DuckDB gate; tests/test_properties.py asserts the error
+# bounds hold on the fixtures.
+
+HLL_PROD_P = 12
+CMS_PROD_W = 4096
+
+
+def _x63(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators import sketches
+
+    return sketches.hll_token_cardinality(
+        load_table(spark, sf, "documents"), p=HLL_PROD_P
+    )
+
+
+def _x63_sql() -> str:
+    return _hll_sql(HLL_PROD_P)
+
+
+def _x64(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators import sketches
+
+    return sketches.cms_token_frequencies(
+        load_table(spark, sf, "documents"), CMS_TOPK, w=CMS_PROD_W
+    )
+
+
+def _x64_sql() -> str:
+    from kafka_streams_learning_spark.operators.sketches import CMS_D
+
+    return _cms_sql(CMS_D, CMS_PROD_W)
 
 
 # ---------------------------------------------------------------------------
@@ -2790,4 +2845,10 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x62_kmeans_sampled", _x62, _x62_sql(),
               "hash-sampled Lloyd training + full-corpus assignment "
               "(the 100 TB k-means path, oracle-replayed end-to-end)"),
+    QuerySpec("x63_hll_production", _x63, _x63_sql(),
+              "HLL calibration at production precision p=12 "
+              "(~1.6% sigma error contract demonstrated)"),
+    QuerySpec("x64_cms_production", _x64, _x64_sql(),
+              "Count-Min calibration at production width w=4096 "
+              "(overestimate bound e/w of stream mass)"),
 ]

@@ -43,37 +43,53 @@ HLL_ALPHA = 0.709
 HLL_EST_SCALE = 1_000
 
 
-def _rho(w: Column) -> Column:
-    """Position of the highest set bit from the MSB of the HLL_W-bit
-    window + 1: rho = HLL_W + 1 - bit_length(w), with w=0 → HLL_W + 1.
+def hll_alpha(m: int) -> float:
+    """Flajolet's bias-correction constant alpha_m, frozen to the same
+    Python float literal on both the Spark and oracle sides. Small-m
+    values are the paper's table; m >= 128 uses the closed form. The
+    p=6 default stays pinned to the historical 0.709 literal (x54's
+    gate contract since round 6)."""
+    return {16: 0.673, 32: 0.697, 64: HLL_ALPHA}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
+
+
+def _rho(w: Column, hll_w: int = HLL_W) -> Column:
+    """Position of the highest set bit from the MSB of the hll_w-bit
+    window + 1: rho = hll_w + 1 - bit_length(w), with w=0 → hll_w + 1.
     bit_length is length(bin(w)) — pure-integer, no float log2 edge."""
-    return F.when(w == 0, F.lit(HLL_W + 1)).otherwise(
-        F.lit(HLL_W + 1) - F.length(F.bin(w))
+    return F.when(w == 0, F.lit(hll_w + 1)).otherwise(
+        F.lit(hll_w + 1) - F.length(F.bin(w))
     )
 
 
 def hll_registers(
-    df: DataFrame, value_col: str, group_cols: list[str]
+    df: DataFrame, value_col: str, group_cols: list[str], p: int = HLL_P
 ) -> DataFrame:
     """The per-group HLL register table: (group…, bucket, m_b) with
     m_b = max rho over values hashing into the bucket. MAX is the sketch
     merge — associative, commutative, map-side combinable — so registers
     from any partitioning (or any pre-sketched shard of a 100 TB corpus)
-    union + re-MAX into the same table."""
+    union + re-MAX into the same table. `p` is the precision: 2^p
+    registers, the fixture default legibility-sized at 6, production
+    12-14 (x63 gates the p=12 error contract)."""
+    m = 1 << p
     h = hash32(F.col(value_col))
     return (
         df.select(*group_cols, h.alias("h"))
         .select(
             *group_cols,
-            (F.col("h") % HLL_M).alias("bucket"),
-            _rho(F.shiftright("h", HLL_P)).alias("rho"),
+            (F.col("h") % m).alias("bucket"),
+            _rho(F.shiftright("h", p), 32 - p).alias("rho"),
         )
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("m_b"))
     )
 
 
-def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+def hll_estimate(
+    regs: DataFrame, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
     """Collapse a register table to the HLL cardinality estimate.
 
     Pure-integer core: S = Σ 2^(32-m_b) over present registers plus
@@ -83,6 +99,7 @@ def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     the small-range correction E = m·ln(m/V) (when E_raw ≤ 2.5m and
     V = zero registers > 0) is ln of an exact rational. The result is
     snapped to the 1e-3 grid (HLL_EST_SCALE) on output."""
+    m = 1 << p
     pow2_32 = 1 << 32
     # the Python shiftleft wrapper takes a literal shift; the SQL form
     # accepts a column shift
@@ -90,16 +107,16 @@ def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 32 - m_b)")).alias("s_present"),
         F.count(F.lit(1)).alias("n_buckets"),
     )
-    v = F.lit(HLL_M) - F.col("n_buckets")
+    v = F.lit(m) - F.col("n_buckets")
     s = F.col("s_present") + v * F.lit(pow2_32)
     e_raw = (
-        F.lit(HLL_ALPHA * HLL_M * HLL_M)
+        F.lit(hll_alpha(m) * m * m)
         * F.lit(float(pow2_32))
         / s.cast("double")
     )
     est = F.when(
-        (e_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(e_raw)
     est_q = (
         F.floor(est * F.lit(float(HLL_EST_SCALE)) + F.lit(0.5))
@@ -112,6 +129,7 @@ def hll_token_cardinality(
     df: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
+    p: int = HLL_P,
 ) -> DataFrame:
     """Distinct-token cardinality per group: the HLL estimate side by
     side with the exact count and the signed relative error — the
@@ -128,7 +146,7 @@ def hll_token_cardinality(
         F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token"),
     )
     est = hll_estimate(
-        hll_registers(tok, "token", [group_col]), [group_col]
+        hll_registers(tok, "token", [group_col], p), [group_col], p
     )
     exact = tok.groupBy(group_col).agg(
         F.count_distinct(F.col("token")).alias("n_exact")
@@ -153,8 +171,8 @@ CMS_D = 4
 CMS_W = 256
 
 
-def _cms_probe_array(h: Column) -> Column:
-    """array<struct<row_i,bucket>> of the CMS_D bucket probes for a
+def _cms_probe_array(h: Column, d: int = CMS_D, w: int = CMS_W) -> Column:
+    """array<struct<row_i,bucket>> of the d bucket probes for a
     32-bit base hash — the seeded-permutation family MinHash uses."""
     from kafka_streams_learning_spark.functions.hashing import perm_hash
 
@@ -162,14 +180,16 @@ def _cms_probe_array(h: Column) -> Column:
         *[
             F.struct(
                 F.lit(i).alias("row_i"),
-                (perm_hash(h, i) % CMS_W).alias("bucket"),
+                (perm_hash(h, i) % w).alias("bucket"),
             )
-            for i in range(CMS_D)
+            for i in range(d)
         ]
     )
 
 
-def cms_counters(df: DataFrame, value_col: str) -> DataFrame:
+def cms_counters(
+    df: DataFrame, value_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
     """The (row_i, bucket, cnt) counter table of a Count-Min sketch over
     `value_col` occurrences. At most CMS_D × CMS_W rows TOTAL regardless
     of corpus size: the count aggregation partial-combines map-side, so
@@ -177,21 +197,27 @@ def cms_counters(df: DataFrame, value_col: str) -> DataFrame:
     `hll_registers` (shards sketch independently, counters just add)."""
     h = hash32(F.col(value_col))
     return (
-        df.select(F.explode(_cms_probe_array(h)).alias("p"))
+        df.select(F.explode(_cms_probe_array(h, d, w)).alias("p"))
         .select("p.row_i", "p.bucket")
         .groupBy("row_i", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
-def cms_estimate(counters: DataFrame, queries: DataFrame, value_col: str) -> DataFrame:
+def cms_estimate(
+    counters: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
     """Point-frequency estimates for `queries[value_col]`: MIN over the d
     probed counters (absent bucket ⇒ 0). The counter table is broadcast —
     it is at most CMS_D × CMS_W rows — so probing never shuffles the
     query side."""
     probes = queries.select(
         F.col(value_col),
-        F.explode(_cms_probe_array(hash32(F.col(value_col)))).alias("p"),
+        F.explode(_cms_probe_array(hash32(F.col(value_col)), d, w)).alias("p"),
     ).select(value_col, "p.row_i", "p.bucket")
     return (
         probes.join(F.broadcast(counters), ["row_i", "bucket"], "left")
@@ -201,7 +227,11 @@ def cms_estimate(counters: DataFrame, queries: DataFrame, value_col: str) -> Dat
 
 
 def cms_token_frequencies(
-    df: DataFrame, k: int, text_col: str = "text"
+    df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    d: int = CMS_D,
+    w: int = CMS_W,
 ) -> DataFrame:
     """Calibration table for the Count-Min sketch: the k globally most
     frequent tokens with their exact count, the CMS estimate, and the
@@ -212,14 +242,14 @@ def cms_token_frequencies(
     tok = df.select(
         F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token")
     )
-    counters = cms_counters(tok, "token")
+    counters = cms_counters(tok, "token", d, w)
     exact = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_exact"))
         .orderBy(F.col("n_exact").desc(), F.col("token"))
         .limit(k)
     )
-    est = cms_estimate(counters, exact.select("token"), "token")
+    est = cms_estimate(counters, exact.select("token"), "token", d, w)
     return exact.join(est, "token").select(
         "token",
         "n_exact",

@@ -702,3 +702,49 @@ def test_bloom_semi_join_equals_plain_semi_join(spark, big_keys, small_keys):
     got = sorted(map(tuple, bloom_semi_join(big, small, "k").collect()))
     want = sorted(map(tuple, big.join(small, "k", "semi").collect()))
     assert got == want
+
+
+def test_production_sketch_error_bounds_on_fixture(spark):
+    """The x63/x64 contract (r6 stretch item): at production-ish
+    parameters the sketch errors must sit inside the published
+    theoretical bounds on the fixture corpus.
+
+    - HLL p=12: sigma = 1.04/sqrt(4096) ~ 1.63% relative error; assert
+      every per-source |rel_err| < 3 sigma (~4.9%).
+    - CMS d=4, w=4096: overestimate <= ceil(e/w * N) with probability
+      1 - e^-d per query; over 20 heavy hitters, assert every
+      overestimate is within the epsilon*N bound (and >= 0 always).
+    """
+    import math
+
+    from kafka_streams_learning_spark.catalog_ext import (
+        CMS_PROD_W,
+        CMS_TOPK,
+        HLL_PROD_P,
+    )
+    from kafka_streams_learning_spark.operators import sketches
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+
+    hll = sketches.hll_token_cardinality(docs, p=HLL_PROD_P).collect()
+    assert hll, "no sources in fixture"
+    sigma = 1.04 / math.sqrt(1 << HLL_PROD_P)
+    for r in hll:
+        assert abs(r.rel_err) < 3 * sigma, (r.source, r.rel_err, 3 * sigma)
+
+    cms = sketches.cms_token_frequencies(
+        docs, CMS_TOPK, w=CMS_PROD_W
+    ).collect()
+    assert len(cms) == CMS_TOPK
+    from kafka_streams_learning_spark.functions import text as T
+
+    n_stream = (
+        docs.select(
+            F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("t")
+        ).count()
+    )
+    eps_n = math.e / CMS_PROD_W * n_stream
+    for r in cms:
+        assert 0 <= r.overestimate <= eps_n, (r.token, r.overestimate, eps_n)
