@@ -379,3 +379,35 @@ def test_bloom_probe_is_pure_expression(spark):
         r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
     )
     assert len(joins_) == 1, joins_
+
+
+def test_bloom_semi_join_filters_in_scan_then_broadcasts(spark):
+    # x61: the bloom prefilter must be pure per-row expressions on the
+    # big (orders) side — the plan's only join is the broadcast re-check
+    # semi join, and the orders side never shuffles (zero Exchanges).
+    import re as _re
+
+    df = _df(spark, "x61_bloom_semi_join")
+    plan = E.formatted_plan(df)
+    assert not E.has_cartesian(df)
+    joins_ = _re.findall(
+        r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
+    )
+    assert len(joins_) == 1 and "BroadcastHashJoin" in joins_[0], joins_
+    # the ONE shuffle Exchange belongs to the (tiny) customer-key
+    # distinct on the build side; the orders side reads scan → Filter →
+    # join probe with no Exchange of its own
+    assert E.exchange_count(df) <= 1
+    # the bloom probe rides the scan-side Filter as md5-derived bitwise
+    # expressions, BEFORE the join
+    assert plan.count("md5") >= 1 and "element_at" in plan
+
+
+def test_sampled_kmeans_assignment_is_zero_shuffle(spark):
+    # x62: full-corpus assignment against sampled-trained centroids is a
+    # pure literal-centroid expression — no join node, no Exchange.
+    df = _df(spark, "x62_kmeans_sampled")
+    plan = E.formatted_plan(df)
+    assert not E.has_cartesian(df)
+    assert "Join" not in plan
+    assert E.exchange_count(df) == 0

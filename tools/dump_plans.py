@@ -229,6 +229,21 @@ SHOWCASE: dict[str, str] = {
         "two thresholds per language broadcast back onto the scan as a "
         "hash join + filter — no corpus-wide sort anywhere."
     ),
+    "x61_bloom_semi_join": (
+        "Runtime-filter join: the small side's key set compiles to a "
+        "~2 KB driver-side Bloom filter probed as md5-derived bitwise "
+        "expressions inside the big side's scan Filter — non-matching "
+        "rows die BEFORE the (single, broadcast) re-check semi join; "
+        "the big side never shuffles. Output is provably identical to "
+        "the plain semi join (no false negatives, survivors re-checked)."
+    ),
+    "x62_kmeans_sampled": (
+        "Hash-sampled Lloyd training: each training iteration scans only "
+        "the hash32(vec_id)%4 slice (the 100 TB lever — training cost "
+        "divides by the sample rate), while the final full-corpus "
+        "assignment stays a zero-shuffle literal-centroid expression — "
+        "no join node, no Exchange in the assignment plan."
+    ),
 }
 
 
