@@ -135,7 +135,10 @@ def kmeans_centroids(
     the sampled centroids — assignment stays a zero-shuffle expression
     over everything. k-means centroids converge on a representative
     sample; the fixture-scale catalog entries train on the full corpus
-    because there the cost is per-iteration job overhead, not data."""
+    because there the cost is per-iteration job overhead, not data.
+    Catalog row x62 proves the sampled path end-to-end: training on
+    hash32(vec_id) % 4 with the DuckDB oracle replaying the same
+    sampled training bit-for-bit."""
     if train_filter is not None:
         df = df.filter(train_filter)
     # Python floats ARE IEEE doubles, so the driver-side snap is the same

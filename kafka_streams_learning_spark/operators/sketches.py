@@ -432,7 +432,11 @@ def bloom_semi_join(
     At 100 TB: the filter costs one broadcast-sized collect (~2 KB) and
     three bitwise expressions per row; every filtered row saves its
     shuffle/broadcast-probe cost. Worth it whenever the small side's
-    selectivity on the big side is < ~50%."""
+    selectivity on the big side is < ~50%. Catalog row x61 drives a
+    real probe (orders vs a customer slice) and oracle-checks the
+    output identical to the plain semi join; the plan shape (probe in
+    the scan Filter, single broadcast re-check join) is pinned by
+    tests/test_plans.py."""
     # the md5-based hash family is string-typed; hash the key's string
     # form (internal to the prefilter only — the real join re-checks on
     # the native type, so the cast cannot change semantics)

@@ -174,7 +174,9 @@ def sliding_count_stream(df: DataFrame, lookback_micros: int) -> DataFrame:
     events-in-window per key, evicted as event time advances), trading the
     self-join's shuffle for O(window) keyed state — the low-latency path.
     Requires per-key event-time-ordered arrival (the replay source's
-    contract; in production, a watermark-sorted repartition precedes it).
+    contract; for genuinely out-of-order sources use
+    `ordered_sliding_count_stream`, the watermark-reordering variant —
+    catalog row s20 drives it under shuffled arrival).
     Equal-timestamp events are counted symmetrically (each sees the whole
     tie group, matching the batch oracle) when they arrive in the same
     micro-batch; a tie split across micro-batches counts asymmetrically —
@@ -394,7 +396,9 @@ def ordered_sliding_count_stream(
 
     Emissions are delayed by up to `disorder` + one micro-batch versus the
     ordered-arrival operator, but are bit-identical to it (and to the
-    batch oracle) for any arrival order within the bound.
+    batch oracle) for any arrival order within the bound. Catalog row
+    s20 drives this operator end-to-end on a ±6 h hash-jittered replay
+    of the events fixture against q05's batch oracle.
 
     Input columns: (user_id, event_id, ts)."""
     return (
