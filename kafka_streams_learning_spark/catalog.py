@@ -486,6 +486,7 @@ _TAIL_STABLE = [
 #      tests/test_catalog_oracle.py + tools/oracle_check.py every round.
 _HEAD_FIRST = [
     # band 1: never driver-verified (new round-7 rows first)
+    "x65_span_dedup",
     "x64_cms_production",
     "x63_hll_production",
     "x62_kmeans_sampled",
@@ -505,8 +506,11 @@ _HEAD_FIRST = [
     "x05_token_topk",
     "x06_minhash_signatures",
     "x07_ngram_jaccard_dups",
+    # band 3: driver-green in r06 (freshest — overflow first).
+    # x08_simhash was displaced from band 2 by x65 (never-gated rows
+    # front the prefix); it joins the round-8 rotation with the
+    # _TAIL_STABLE r4 cohort.
     "x08_simhash",
-    # band 3: driver-green in r06 (freshest — overflow first)
     "x60_histogram_quantiles",
     "x59_bloom_decontamination",
     "x58_cms_frequencies",

@@ -2696,6 +2696,54 @@ SELECT vec_id, cluster, dist FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# X65 — C4-style duplicated-span removal (Raffel et al. 2020 §2.2): the
+# corpus REWRITE counterpart of x44's duplication analysis. Documents are
+# partitioned into disjoint 8-token chunks; every chunk occurring more
+# than once corpus-wide is removed except its canonical first occurrence
+# (min (doc_id, chunk_idx)); documents are rebuilt from surviving chunks
+# in order. The oracle replays the keeper choice with a row_number window
+# (equivalent to the operator's min(struct) because (doc_id, chunk_idx)
+# is unique), and coalesces the fully-removed document to '' to match
+# Spark's concat_ws over an empty array.
+
+SPAN_CHUNK_TOKENS = 8
+
+
+def _x65(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.remove_duplicate_spans(
+        load_table(spark, sf, "documents"), chunk_tokens=SPAN_CHUNK_TOKENS
+    )
+
+
+_X65_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), chunks AS (
+  SELECT doc_id, i AS ci,
+         array_to_string(
+           ts[(i*{SPAN_CHUNK_TOKENS}+1):(i*{SPAN_CHUNK_TOKENS}+{SPAN_CHUNK_TOKENS})],
+           ' ') AS chunk
+  FROM toks,
+       UNNEST(generate_series(
+         0, CAST(ceil(len(ts)/{SPAN_CHUNK_TOKENS}.0) AS INT) - 1)) AS g(i)
+), flagged AS (
+  SELECT doc_id, ci, chunk,
+         count(*) OVER (PARTITION BY chunk) AS occ,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       coalesce(
+         string_agg(chunk, ' ' ORDER BY ci) FILTER (WHERE occ = 1 OR rn = 1),
+         '') AS clean_text,
+       count(*) AS n_chunks,
+       count(*) FILTER (WHERE NOT (occ = 1 OR rn = 1)) AS n_removed
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -2851,4 +2899,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x64_cms_production", _x64, _x64_sql(),
               "Count-Min calibration at production width w=4096 "
               "(overestimate bound e/w of stream mass)"),
+    QuerySpec("x65_span_dedup", _x65, _X65_SQL,
+              "C4-style duplicated-span removal: corpus rewritten with "
+              "one canonical occurrence per duplicated chunk"),
 ]

@@ -554,3 +554,87 @@ def sketch_calibration(
         ex.alias("exact_jaccard"),
         F.abs(F.col("est_jaccard") - ex).alias("abs_err"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    chunk_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style duplicated-span REMOVAL (Raffel et al. 2020, §2.2:
+    "we discarded all but one of any three-sentence span occurring more
+    than once in the data set") at fixed token-chunk granularity: each
+    document is partitioned into disjoint `chunk_tokens`-token chunks,
+    every chunk that occurs more than once corpus-wide is removed
+    EXCEPT its canonical first occurrence (lexicographic min of
+    (doc_id, chunk_idx)), and each document is rebuilt from its
+    surviving chunks in original order.
+
+    This is the rewrite counterpart of `dup_span_stats` (x44): x44
+    *scores* cross-document duplication; this operator *edits* the
+    corpus, the actual C4 cleanup step. Returns
+    (doc_id, clean_text, n_chunks, n_removed) — one row per input
+    document (a fully-duplicated document survives as clean_text = ''
+    so the removal is auditable downstream).
+
+    Scale shape: one map-side-combinable chunk-key aggregate
+    (count + min(struct(doc_id, idx)) — both partial-aggregable, so a
+    boilerplate chunk occurring in a billion documents collapses to one
+    row per map task before the exchange; no window/sort over the hot
+    key), then the corpus LEFT-joins only the *duplicated* subset of
+    the chunk table (occ > 1) — typically a small fraction, so AQE
+    broadcasts it and the probe side never shuffles; at larger dup
+    sets the join degrades to a shuffle that AQE skew-splits. Final
+    per-document rebuild is one doc-key aggregate. At 100 TB, hash
+    each chunk to 128 bits before the aggregate to keep exchange rows
+    narrow (the string form is kept here so the DuckDB oracle joins on
+    exact text), and prefilter the probe side with a Bloom sketch of
+    the duplicated set (`sketches.bloom_semi_join`) when it exceeds
+    the broadcast threshold.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    chunk_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+    )
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.transform(F.sequence(F.lit(0), n - 1), chunk_at)).alias(
+            "ci", "chunk"
+        ),
+    )
+    dups = (
+        chunks.groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct(F.col("id"), F.col("ci"))).alias("keeper"),
+        )
+        .filter(F.col("occ") > 1)
+        .select("chunk", "keeper")
+    )
+    keep = F.col("keeper").isNull() | (
+        (F.col("id") == F.col("keeper.id")) & (F.col("ci") == F.col("keeper.ci"))
+    )
+    flagged = chunks.join(dups, "chunk", "left").select(
+        "id", "ci", "chunk", keep.alias("keep")
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("ci", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+        )
+        .select(F.col("id").alias(id_col), "clean_text", "n_chunks", "n_removed")
+    )

@@ -1090,3 +1090,61 @@ def test_connected_components_uses_reliable_checkpoint_when_configured(spark):
     # reliable checkpoint data actually landed under the configured dir
     found = any(files for _, _, files in os.walk(ckpt))
     assert found, "no checkpoint files written under the checkpoint dir"
+
+
+def test_remove_duplicate_spans_keeps_canonical_occurrence(spark):
+    # C4 semantics: every duplicated chunk survives EXACTLY once, at its
+    # lexicographically-first (doc_id, chunk_idx) occurrence; unique
+    # chunks (including trailing partial chunks) are untouched; a fully
+    # duplicated document survives as clean_text = ''.
+    from kafka_streams_learning_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d"),    # "a b" keeper, "c d" unique
+        (2, "a b x y"),    # "a b" removed here
+        (3, "a b"),        # fully removed -> ''
+        (4, "p q r"),      # trailing partial chunk "r" stays
+        (5, "m n m n"),    # within-doc dup: second occurrence removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in dedup.remove_duplicate_spans(df, chunk_tokens=2).collect()
+    }
+    assert len(got) == 5
+    assert (got[1].clean_text, got[1].n_chunks, got[1].n_removed) == ("a b c d", 2, 0)
+    assert (got[2].clean_text, got[2].n_chunks, got[2].n_removed) == ("x y", 2, 1)
+    assert (got[3].clean_text, got[3].n_chunks, got[3].n_removed) == ("", 1, 1)
+    assert (got[4].clean_text, got[4].n_chunks, got[4].n_removed) == ("p q r", 2, 0)
+    assert (got[5].clean_text, got[5].n_chunks, got[5].n_removed) == ("m n", 2, 1)
+
+
+def test_remove_duplicate_spans_total_mass_conserved(spark):
+    # every distinct duplicated chunk survives exactly once corpus-wide:
+    # sum(n_chunks) - sum(n_removed) == distinct chunk count + extra
+    # occurrences of nothing — i.e. kept == distinct chunks
+    from pyspark.sql import functions as F
+
+    from kafka_streams_learning_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup.remove_duplicate_spans(docs, chunk_tokens=8)
+    agg = out.agg(
+        F.sum("n_chunks").alias("total"), F.sum("n_removed").alias("removed")
+    ).collect()[0]
+    toks = F.split(F.col("text"), " ")
+    n = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    distinct_chunks = (
+        docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+                )
+            ).alias("chunk")
+        )
+        .distinct()
+        .count()
+    )
+    assert agg.total - agg.removed == distinct_chunks
+    assert agg.removed > 0  # the fixture plants real duplication

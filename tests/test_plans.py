@@ -411,3 +411,17 @@ def test_sampled_kmeans_assignment_is_zero_shuffle(spark):
     assert not E.has_cartesian(df)
     assert "Join" not in plan
     assert E.exchange_count(df) == 0
+
+
+def test_span_dedup_broadcasts_dup_set_and_combines_map_side(spark):
+    # x65: the duplicated-chunk set (occ > 1) is filtered BEFORE the
+    # join and broadcast — the corpus probe side never shuffles. The
+    # chunk-key aggregate partial-aggregates map-side (a boilerplate
+    # chunk collapses per map task, no window/sort over the hot key).
+    # Exactly two Exchanges: chunk-key agg + doc-key rebuild.
+    df = _df(spark, "x65_span_dedup")
+    plan = E.formatted_plan(df)
+    assert not E.has_cartesian(df)
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "partial_min" in plan and "partial_count" in plan
+    assert E.exchange_count(df) == 2
