@@ -454,8 +454,9 @@ REFERENCE_QUERIES: list[QuerySpec] = [
 _TAIL_STABLE = [
     # round 7: the r4-stale cohort is being cycled through the gate
     # prefix oldest-driver-row-first (VERDICT r6 item 1). This round's
-    # rotation band re-gates x22/x24/x20 + x01–x08; the 14 names below
-    # are the REMAINING r4-stale rows, scheduled for the round-8 band.
+    # rotation band re-gates x22/x24/x20 + x01–x06 (x07/x08 displaced
+    # to the round-8 band by the new never-gated rows x65/s21); the 14
+    # names below are the REMAINING r4-stale rows, also round-8.
     # All are locally oracle-checked at three SFs every round.
     "x10_embedding_near_dups",
     "x16_clean_corpus",
@@ -505,11 +506,11 @@ _HEAD_FIRST = [
     "x04_dedup_exact",
     "x05_token_topk",
     "x06_minhash_signatures",
-    "x07_ngram_jaccard_dups",
     # band 3: driver-green in r06 (freshest — overflow first).
-    # x08_simhash was displaced from band 2 by x65 (never-gated rows
-    # front the prefix); it joins the round-8 rotation with the
+    # x07/x08 were displaced from band 2 by x65/s21 (never-gated rows
+    # front the prefix); they join the round-8 rotation with the
     # _TAIL_STABLE r4 cohort.
+    "x07_ngram_jaccard_dups",
     "x08_simhash",
     "x60_histogram_quantiles",
     "x59_bloom_decontamination",

@@ -874,6 +874,87 @@ def _s20(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+# s21 — streaming decontamination (x59's semantics live): the Bloom
+# filter over the benchmark shingle set is built in BATCH and frozen
+# (the production shape — an eval suite changes rarely; its ~2 KB word
+# array ships to executors as literals), then the corpus arrives as a
+# stream and every micro-batch probes the bloom as pure per-row
+# expressions — zero joins and zero shuffles on the streamed side for
+# the sketch arm. The exact arm rides along as a stream-static
+# broadcast join (ground truth for the false-positive delta). Per-doc
+# counters aggregate in complete mode; exact integer sums make the
+# final state hash-equal to x59's batch oracle regardless of
+# micro-batch boundaries. This is the "screen a live ingestion feed
+# against a frozen eval suite" pattern — the ingest-side twin of x59.
+
+
+def _s21(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.catalog_ext import BENCH_MOD, JACCARD_K
+    from kafka_streams_learning_spark.functions.hashing import hash32
+    from kafka_streams_learning_spark.functions.text import word_shingles
+    from kafka_streams_learning_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_words_dense,
+    )
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    batch = load_table(spark, sf, "documents")
+    bench = (
+        batch.filter((F.col("doc_id") % BENCH_MOD) == 0)
+        .select(
+            F.explode(
+                F.array_distinct(word_shingles(F.col("text"), JACCARD_K))
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    words = bloom_words_dense(bloom_build(bench, "shingle"))
+
+    stream = shared_replay_table(
+        spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"
+    )
+    posts = (
+        stream.filter((F.col("doc_id") % BENCH_MOD) != 0)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(word_shingles(F.col("text"), JACCARD_K)).alias("_sh"),
+        )
+        .select(
+            "id",
+            F.size("_sh").alias("n_shingles"),
+            F.explode("_sh").alias("shingle"),
+        )
+    )
+    marked = posts.withColumn(
+        "bloom_hit", bloom_contains(hash32(F.col("shingle")), words)
+    ).join(
+        F.broadcast(bench.withColumn("exact_hit", F.lit(True))), "shingle", "left"
+    )
+    agg = marked.groupBy("id", "n_shingles").agg(
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+        F.sum(F.coalesce(F.col("exact_hit"), F.lit(False)).cast("long")).alias(
+            "n_exact_hits"
+        ),
+    )
+    out = agg.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        "n_bloom_hits",
+        "n_exact_hits",
+        (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
+    )
+    name = _fresh_name("s21_out")
+    runner.run_to_memory(out, name, "complete", state_partitions=STATE_SHARDS)
+    return spark.table(name)
+
+
+def _s21_sql() -> str:
+    from kafka_streams_learning_spark.catalog_ext import _x59_sql
+
+    return _x59_sql()
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -925,4 +1006,7 @@ STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s20_stream_sliding_unordered", _s20, _S06_SQL,
               "sliding count under shuffled arrival via the watermark "
               "reorder buffer (s06 without the ordered-arrival caveat)"),
+    QuerySpec("s21_stream_decontamination", _s21, _s21_sql(),
+              "streaming decontamination: batch-frozen Bloom probed as "
+              "pure expressions on the document stream (x59 twin)"),
 ]
