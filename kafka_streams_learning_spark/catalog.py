@@ -454,8 +454,8 @@ REFERENCE_QUERIES: list[QuerySpec] = [
 _TAIL_STABLE = [
     # round 7: the r4-stale cohort is being cycled through the gate
     # prefix oldest-driver-row-first (VERDICT r6 item 1). This round's
-    # rotation band re-gates x22/x24/x20 + x01–x06 (x07/x08 displaced
-    # to the round-8 band by the new never-gated rows x65/s21); the 14
+    # rotation band re-gates x22/x24/x20 + x01–x05 (x06/x07/x08 displaced
+    # to the round-8 band by the new never-gated rows x65/x66/s21); the 14
     # names below are the REMAINING r4-stale rows, also round-8.
     # All are locally oracle-checked at three SFs every round.
     "x10_embedding_near_dups",
@@ -487,6 +487,7 @@ _TAIL_STABLE = [
 #      tests/test_catalog_oracle.py + tools/oracle_check.py every round.
 _HEAD_FIRST = [
     # band 1: never driver-verified (new round-7 rows first)
+    "x66_salted_join",
     "x65_span_dedup",
     "x64_cms_production",
     "x63_hll_production",
@@ -505,11 +506,11 @@ _HEAD_FIRST = [
     "x03_fingerprint",
     "x04_dedup_exact",
     "x05_token_topk",
-    "x06_minhash_signatures",
     # band 3: driver-green in r06 (freshest — overflow first).
-    # x07/x08 were displaced from band 2 by x65/s21 (never-gated rows
-    # front the prefix); they join the round-8 rotation with the
+    # x06/x07/x08 were displaced from band 2 by x65/x66/s21 (never-gated
+    # rows front the prefix); they join the round-8 rotation with the
     # _TAIL_STABLE r4 cohort.
+    "x06_minhash_signatures",
     "x07_ngram_jaccard_dups",
     "x08_simhash",
     "x60_histogram_quantiles",

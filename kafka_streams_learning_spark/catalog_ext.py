@@ -2697,6 +2697,44 @@ SELECT vec_id, cluster, dist FROM (
 
 
 # ---------------------------------------------------------------------------
+# X66 — salted skew join: events carry exactly 5 event_type values
+# (~N/5 rows each — the low-cardinality power-law shape that serializes
+# a hash join's hot key onto one reducer), so the type-level enrichment
+# join runs through `joins.salted_join`: facts scattered over 8
+# sub-keys by a whole-row hash, dim replicated 8×, output IDENTICAL to
+# the plain join (the oracle is deliberately the unsalted SQL — the
+# contract under test is salt-invariance, x61's equivalence pattern).
+# The dim attributes are exact (count / max), so the row hash is
+# float-order-free.
+
+SALT_FANOUT = 8
+
+
+def _x66(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.operators import joins
+
+    ev = load_table(spark, sf, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_count"),
+        F.max("value").alias("type_max"),
+    )
+    facts = ev.select("event_id", "event_type", "value")
+    return joins.salted_join(facts, dim, on="event_type", salt=SALT_FANOUT).select(
+        "event_id", "event_type", "value", "type_count", "type_max"
+    )
+
+
+_X66_SQL = """
+WITH dim AS (
+  SELECT event_type, count(*) AS type_count, max(value) AS type_max
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type, value, type_count, type_max
+FROM events e JOIN dim USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
 # X65 — C4-style duplicated-span removal (Raffel et al. 2020 §2.2): the
 # corpus REWRITE counterpart of x44's duplication analysis. Documents are
 # partitioned into disjoint 8-token chunks; every chunk occurring more
@@ -2902,4 +2940,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x65_span_dedup", _x65, _X65_SQL,
               "C4-style duplicated-span removal: corpus rewritten with "
               "one canonical occurrence per duplicated chunk"),
+    QuerySpec("x66_salted_join", _x66, _X66_SQL,
+              "salted skew join over the 5-hot-key event_type enrichment "
+              "(output identical to the plain join)"),
 ]

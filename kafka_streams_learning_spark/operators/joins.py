@@ -165,3 +165,55 @@ def interval_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
     return left.alias("l").join(right.alias("r"), cond, how)
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    salt: int = 16,
+    how: str = "inner",
+    salt_by: Column | None = None,
+) -> DataFrame:
+    """Skew-mitigated equi-join: scatter the fact side across `salt`
+    sub-keys and replicate the dimension once per sub-key, so a hot join
+    key's rows land on `salt` reducers instead of one. Output is
+    EXACTLY the plain join's — every fact row still meets every dim row
+    of its key exactly once (in the single replica carrying its salt).
+
+    This is the classic remedy for low-cardinality / power-law keys
+    where hash partitioning serializes the hot key on one task. Spark's
+    AQE skew-join (`spark.sql.adaptive.skewJoin.enabled`) splits skewed
+    SHUFFLE-join partitions at runtime and is the first tool to reach
+    for; the explicit salt is for the plans AQE won't touch — broadcast
+    re-used dims, joins feeding a co-partitioned downstream stage, or
+    engines/configs without AQE — and for making the fan-out factor an
+    auditable query parameter instead of a runtime heuristic.
+
+    `how` must be "inner", "left", or "semi": for these, per-fact-row
+    semantics are salt-invariant (an unmatched left row null-extends in
+    its own replica). Right/full outer would emit one row per REPLICA
+    of an unmatched dim row — refused.
+
+    `salt_by` picks the scatter column (default: portable hash of the
+    whole fact row — NOT the join key, which would re-serialize the hot
+    key). Cost: dim is replicated `salt`× (keep `salt` × |dim| well
+    under the fact side; the dim exchange grows `salt`×), and the fact
+    exchange row grows by one int.
+    """
+    if how not in ("inner", "left", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi, not {how!r}: outer-"
+            "replicating the dim side would duplicate unmatched dim rows"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    sid = (
+        salt_by
+        if salt_by is not None
+        else F.xxhash64(F.struct(*[F.col(c) for c in facts.columns]))
+    )
+    f = facts.withColumn("_salt", F.pmod(sid, F.lit(salt)).cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return f.join(d, keys + ["_salt"], how).drop("_salt")

@@ -1148,3 +1148,38 @@ def test_remove_duplicate_spans_total_mass_conserved(spark):
     )
     assert agg.total - agg.removed == distinct_chunks
     assert agg.removed > 0  # the fixture plants real duplication
+
+
+def test_salted_join_matches_plain_join_all_hows(spark):
+    # salt-invariance: inner/left/semi outputs are row-identical to the
+    # unsalted join at several fan-outs, including unmatched left rows
+    # (null-extended once, not per replica) and duplicate fact rows
+    from collections import Counter
+
+    from kafka_streams_learning_spark.operators.joins import salted_join
+
+    facts = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "zz"), (4, "zz"), (5, None)],
+        "fid long, k string",
+    )
+    dim = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 30)], "k string, attr long"
+    )
+    for how in ("inner", "left", "semi"):
+        plain = facts.join(dim, ["k"], how)
+        for salt in (1, 3, 16):
+            got = salted_join(facts, dim, "k", salt=salt, how=how)
+            assert sorted(got.columns) == sorted(plain.columns), how
+            a = Counter(tuple(r) for r in got.collect())
+            b = Counter(tuple(r) for r in plain.collect())
+            assert a == b, (how, salt)
+
+
+def test_salted_join_refuses_outer(spark):
+    import pytest as _pytest
+
+    from kafka_streams_learning_spark.operators.joins import salted_join
+
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="outer"):
+        salted_join(df, df, "k", how="full")

@@ -425,3 +425,20 @@ def test_span_dedup_broadcasts_dup_set_and_combines_map_side(spark):
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "partial_min" in plan and "partial_count" in plan
     assert E.exchange_count(df) == 2
+
+
+def test_salted_join_scatters_fact_and_replicates_dim(spark):
+    # x66: the join must key on (event_type, _salt) — the hot key is
+    # sharded across `salt` reducers — and the dim side carries the
+    # replicating explode(sequence(...)). No cartesian product.
+    import re as _re
+
+    df = _df(spark, "x66_salted_join")
+    plan = E.formatted_plan(df)
+    assert not E.has_cartesian(df)
+    # join keys are (event_type, _salt) on BOTH sides
+    assert _re.search(r"Left keys \[2\]: \[event_type#\d+, _salt#\d+\]", plan)
+    assert _re.search(r"Right keys \[2\]: \[event_type#\d+, _salt#\d+\]", plan)
+    # dim side replicates via explode (sequence constant-folds to an
+    # array literal); fact side scatters via the whole-row hash
+    assert "explode(" in plan and "pmod(xxhash64(struct(" in plan
