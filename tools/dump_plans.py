@@ -244,6 +244,23 @@ SHOWCASE: dict[str, str] = {
         "assignment stays a zero-shuffle literal-centroid expression — "
         "no join node, no Exchange in the assignment plan."
     ),
+    "x65_span_dedup": (
+        "C4-style span removal: the chunk-key aggregate partial-"
+        "aggregates map-side (partial_count + partial_min below the "
+        "Exchange — a boilerplate chunk occurring in a billion documents "
+        "collapses to one row per map task; no window/sort on the hot "
+        "key), and only the duplicated subset (occ > 1) joins back — it "
+        "broadcasts, so the corpus probe side reaches its doc-key "
+        "rebuild with exactly two Exchanges end-to-end."
+    ),
+    "x66_salted_join": (
+        "Salted skew join: the join keys are (event_type, _salt) on both "
+        "sides — the 5-hot-key fact table scatters across 8 sub-keys by "
+        "a whole-row hash while the dim side replicates 8× via explode, "
+        "so a hot key occupies 8 reducers instead of serializing on one. "
+        "Output is provably identical to the plain join (oracle is the "
+        "unsalted SQL)."
+    ),
 }
 
 
