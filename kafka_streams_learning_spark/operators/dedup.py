@@ -586,23 +586,29 @@ def remove_duplicate_spans(
     the chunk table (occ > 1) — typically a small fraction, so AQE
     broadcasts it and the probe side never shuffles; at larger dup
     sets the join degrades to a shuffle that AQE skew-splits. Final
-    per-document rebuild is one doc-key aggregate. At 100 TB, hash
-    each chunk to 128 bits before the aggregate to keep exchange rows
-    narrow (the string form is kept here so the DuckDB oracle joins on
-    exact text), and prefilter the probe side with a Bloom sketch of
-    the duplicated set (`sketches.bloom_semi_join`) when it exceeds
-    the broadcast threshold.
+    per-document rebuild is one doc-key aggregate. The chunk table
+    feeds BOTH arms (dup-stats build and probe), so it is MATERIALIZED
+    once — one tokenize+chunk pass over the corpus, not two (the
+    x07/x48/x59 shared-postings precedent). At 100 TB, hash each chunk
+    to 128 bits before the aggregate to keep exchange rows narrow (the
+    string form is kept here so the DuckDB oracle joins on exact
+    text), and prefilter the probe side with a Bloom sketch of the
+    duplicated set (`sketches.bloom_semi_join`) when it exceeds the
+    broadcast threshold.
     """
     toks = F.split(F.col(text_col), " ")
     n = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
     chunk_at = lambda i: F.concat_ws(  # noqa: E731
         " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
     )
-    chunks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.transform(F.sequence(F.lit(0), n - 1), chunk_at)).alias(
-            "ci", "chunk"
+    chunks = _materialized(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.transform(F.sequence(F.lit(0), n - 1), chunk_at)).alias(
+                "ci", "chunk"
+            ),
         ),
+        tag="x65-chunks",
     )
     dups = (
         chunks.groupBy("chunk")
