@@ -561,6 +561,7 @@ def remove_duplicate_spans(
     chunk_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """C4-style duplicated-span REMOVAL (Raffel et al. 2020, §2.2:
     "we discarded all but one of any three-sentence span occurring more
@@ -592,9 +593,15 @@ def remove_duplicate_spans(
     x07/x48/x59 shared-postings precedent). At 100 TB, hash each chunk
     to 128 bits before the aggregate to keep exchange rows narrow (the
     string form is kept here so the DuckDB oracle joins on exact
-    text), and prefilter the probe side with a Bloom sketch of the
-    duplicated set (`sketches.bloom_semi_join`) when it exceeds the
-    broadcast threshold.
+    text), and set `bloom_prefilter=True` when the duplicated set
+    exceeds the broadcast threshold: the dup-chunk set compiles to a
+    ~2 KB Bloom filter probed as pure expressions on the chunk scan, so
+    only bloom-positive chunks (true dups + a bounded false-positive
+    trickle) enter the join at all — rows the bloom clears are kept
+    outright, which is exact because the bloom admits no false
+    negatives and every survivor is re-checked by the join (the
+    x59/x61 contract). Output is bit-identical either way
+    (property-tested).
     """
     toks = F.split(F.col(text_col), " ")
     n = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
@@ -622,9 +629,25 @@ def remove_duplicate_spans(
     keep = F.col("keeper").isNull() | (
         (F.col("id") == F.col("keeper.id")) & (F.col("ci") == F.col("keeper.ci"))
     )
-    flagged = chunks.join(dups, "chunk", "left").select(
+    probe = chunks
+    if bloom_prefilter:
+        from kafka_streams_learning_spark.functions.hashing import hash32
+        from kafka_streams_learning_spark.operators.sketches import (
+            bloom_build,
+            bloom_contains,
+            bloom_words_dense,
+        )
+
+        words = bloom_words_dense(bloom_build(dups.select("chunk"), "chunk"))
+        probe = chunks.filter(bloom_contains(hash32(F.col("chunk")), words))
+        cleared = chunks.filter(
+            ~bloom_contains(hash32(F.col("chunk")), words)
+        ).select("id", "ci", "chunk", F.lit(True).alias("keep"))
+    flagged = probe.join(dups, "chunk", "left").select(
         "id", "ci", "chunk", keep.alias("keep")
     )
+    if bloom_prefilter:
+        flagged = flagged.unionByName(cleared)
     return (
         flagged.groupBy("id")
         .agg(

@@ -1183,3 +1183,23 @@ def test_salted_join_refuses_outer(spark):
     df = spark.range(1).withColumnRenamed("id", "k")
     with _pytest.raises(ValueError, match="outer"):
         salted_join(df, df, "k", how="full")
+
+
+def test_remove_duplicate_spans_bloom_prefilter_is_exact(spark):
+    # the 100 TB probe path: bloom-cleared chunks skip the join outright;
+    # output must be bit-identical to the default path (no false
+    # negatives + join re-check), on the fixture corpus with real dups
+    from kafka_streams_learning_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        tuple(r)
+        for r in dedup.remove_duplicate_spans(docs, chunk_tokens=8).collect()
+    }
+    bloomed = {
+        tuple(r)
+        for r in dedup.remove_duplicate_spans(
+            docs, chunk_tokens=8, bloom_prefilter=True
+        ).collect()
+    }
+    assert base == bloomed and len(base) == docs.count()
