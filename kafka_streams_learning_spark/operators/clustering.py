@@ -138,9 +138,20 @@ def kmeans_centroids(
     because there the cost is per-iteration job overhead, not data.
     Catalog row x62 proves the sampled path end-to-end: training on
     hash32(vec_id) % 4 with the DuckDB oracle replaying the same
-    sampled training bit-for-bit."""
+    sampled training bit-for-bit.
+
+    The (filtered, two-column) training set is MATERIALIZED once before
+    the loop: a hash-expression `train_filter` can't push down to the
+    parquet reader, so without it every Lloyd iteration would re-scan
+    the full corpus just to reapply the filter — materialization makes
+    each iteration scan only the sample (the x07/x48/x65
+    shared-postings precedent). Bit-identical results: parquet
+    round-trips vectors exactly."""
+    from kafka_streams_learning_spark.operators.materialize import materialized
+
     if train_filter is not None:
         df = df.filter(train_filter)
+    df = materialized(df.select(id_col, vec_col), tag="kmeans-train")
     # Python floats ARE IEEE doubles, so the driver-side snap is the same
     # computation snap6() runs in-engine (float32→double conversion is
     # exact; multiply/add/floor/divide replay bit-for-bit).
