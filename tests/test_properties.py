@@ -748,3 +748,48 @@ def test_production_sketch_error_bounds_on_fixture(spark):
     eps_n = math.e / CMS_PROD_W * n_stream
     for r in cms:
         assert 0 <= r.overestimate <= eps_n, (r.token, r.overestimate, eps_n)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_DOC, min_size=1, max_size=8))
+def test_remove_duplicate_spans_matches_python_model(spark, docs):
+    # C4 span removal vs a direct Python model, on adversarial corpora
+    # (empty docs, consecutive spaces -> empty tokens, heavy collisions).
+    # The splitter is RAW split-on-space (not normalized tokens): the
+    # model must mirror that exactly, including '' -> [''].
+    import math
+
+    from kafka_streams_learning_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    k = 2
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r for r in remove_duplicate_spans(df, chunk_tokens=k).collect()
+    }
+
+    chunks: dict[int, list[str]] = {}
+    occ: dict[str, int] = {}
+    first: dict[str, tuple[int, int]] = {}
+    for i, d in rows:
+        toks = d.split(" ")
+        cs = [
+            " ".join(toks[ci * k : ci * k + k])
+            for ci in range(math.ceil(len(toks) / k))
+        ]
+        chunks[i] = cs
+        for ci, ch in enumerate(cs):
+            occ[ch] = occ.get(ch, 0) + 1
+            if ch not in first or (i, ci) < first[ch]:
+                first[ch] = (i, ci)
+    for i, _ in rows:
+        kept = [
+            ch
+            for ci, ch in enumerate(chunks[i])
+            if occ[ch] == 1 or first[ch] == (i, ci)
+        ]
+        assert got[i].clean_text == " ".join(kept), docs
+        assert got[i].n_chunks == len(chunks[i]), docs
+        assert got[i].n_removed == len(chunks[i]) - len(kept), docs
