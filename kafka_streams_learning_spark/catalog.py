@@ -494,10 +494,11 @@ _HEAD_FIRST = [
     "x62_kmeans_sampled",
     "x61_bloom_semi_join",
     # band 2: rotation — the r4-stale cohort, oldest driver row first
-    # (VERDICT r6 item 1). The gate prefix is 15 q + 20 s + band 1 +
-    # these 11 = exactly 50; the remaining 14 r4-stale rows (x10/x16
-    # displaced by x63/x64) sit at the top of _TAIL_STABLE for the
-    # round-8 band.
+    # (VERDICT r6 item 1). Final round-7 arithmetic: 15 q + 21 s +
+    # band 1 (6 never-gated) + these 8 = exactly 50. The round-8
+    # rotation queue is 17 r4-stale rows: x06/x07/x08 (displaced into
+    # band 3 below) + the 14 at the top of _TAIL_STABLE. GATE_PREFIX.md
+    # (generated by bench.py) is the authoritative listing.
     "x22_asof_join",
     "x24_quantile_stats",
     "x20_balanced_sample",

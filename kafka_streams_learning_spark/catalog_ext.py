@@ -2756,7 +2756,7 @@ def _x65(spark: SparkSession, sf: str) -> DataFrame:
 
 _X65_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts FROM documents
 ), chunks AS (
   SELECT doc_id, i AS ci,
          array_to_string(

@@ -890,24 +890,29 @@ def _s20(spark: SparkSession, sf: str) -> DataFrame:
 
 def _s21(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_learning_spark.catalog_ext import BENCH_MOD, JACCARD_K
-    from kafka_streams_learning_spark.functions.hashing import hash32
     from kafka_streams_learning_spark.functions.text import word_shingles
+    from kafka_streams_learning_spark.operators.materialize import materialized
     from kafka_streams_learning_spark.operators.sketches import (
         bloom_build,
-        bloom_contains,
+        bloom_probe_score,
         bloom_words_dense,
     )
     from kafka_streams_learning_spark.sources.batch import load_table
 
     batch = load_table(spark, sf, "documents")
-    bench = (
+    # materialize the benchmark shingle set: it feeds the bloom build
+    # (driver collect) AND the exact-arm broadcast join, and a
+    # stream-static join's static side is re-planned EVERY micro-batch
+    # — without this the tokenize+shingle pass would rerun per trigger
+    bench = materialized(
         batch.filter((F.col("doc_id") % BENCH_MOD) == 0)
         .select(
             F.explode(
                 F.array_distinct(word_shingles(F.col("text"), JACCARD_K))
             ).alias("shingle")
         )
-        .distinct()
+        .distinct(),
+        tag="s21-bench",
     )
     words = bloom_words_dense(bloom_build(bench, "shingle"))
 
@@ -926,24 +931,10 @@ def _s21(spark: SparkSession, sf: str) -> DataFrame:
             F.explode("_sh").alias("shingle"),
         )
     )
-    marked = posts.withColumn(
-        "bloom_hit", bloom_contains(hash32(F.col("shingle")), words)
-    ).join(
-        F.broadcast(bench.withColumn("exact_hit", F.lit(True))), "shingle", "left"
-    )
-    agg = marked.groupBy("id", "n_shingles").agg(
-        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
-        F.sum(F.coalesce(F.col("exact_hit"), F.lit(False)).cast("long")).alias(
-            "n_exact_hits"
-        ),
-    )
-    out = agg.select(
-        F.col("id").alias("doc_id"),
-        "n_shingles",
-        "n_bloom_hits",
-        "n_exact_hits",
-        (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
-    )
+    # the probe + per-doc rollup is bloom_probe_score — the SAME code
+    # x59 runs in batch, which is what keeps both rows pinned to the
+    # shared _x59_sql oracle
+    out = bloom_probe_score(posts, bench, words, id_col="doc_id")
     name = _fresh_name("s21_out")
     runner.run_to_memory(out, name, "complete", state_partitions=STATE_SHARDS)
     return spark.table(name)

@@ -140,18 +140,22 @@ def kmeans_centroids(
     hash32(vec_id) % 4 with the DuckDB oracle replaying the same
     sampled training bit-for-bit.
 
-    The (filtered, two-column) training set is MATERIALIZED once before
-    the loop: a hash-expression `train_filter` can't push down to the
-    parquet reader, so without it every Lloyd iteration would re-scan
-    the full corpus just to reapply the filter — materialization makes
-    each iteration scan only the sample (the x07/x48/x65
-    shared-postings precedent). Bit-identical results: parquet
+    When `train_filter` is set, the (filtered, two-column) training set
+    is MATERIALIZED once before the loop: a hash-expression filter
+    can't push down to the parquet reader, so every Lloyd iteration
+    would otherwise re-scan the full corpus just to reapply it —
+    materialization makes each iteration scan only the sample (the
+    x07/x48/x65 shared-postings precedent). Unfiltered training skips
+    the copy: each iteration is already a column-pruned scan of exactly
+    the two columns, so a materialized copy would be the same read plus
+    an extra write. Bit-identical results either way: parquet
     round-trips vectors exactly."""
-    from kafka_streams_learning_spark.operators.materialize import materialized
-
     if train_filter is not None:
-        df = df.filter(train_filter)
-    df = materialized(df.select(id_col, vec_col), tag="kmeans-train")
+        from kafka_streams_learning_spark.operators.materialize import materialized
+
+        df = materialized(
+            df.filter(train_filter).select(id_col, vec_col), tag="kmeans-train"
+        )
     # Python floats ARE IEEE doubles, so the driver-side snap is the same
     # computation snap6() runs in-engine (float32→double conversion is
     # exact; multiply/add/floor/divide replay bit-for-bit).

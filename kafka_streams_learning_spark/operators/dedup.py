@@ -602,8 +602,13 @@ def remove_duplicate_spans(
     negatives and every survivor is re-checked by the join (the
     x59/x61 contract). Output is bit-identical either way
     (property-tested).
+
+    NULL text coalesces to '' (one empty chunk) so the document still
+    emits its output row — "one row per input document" is the audit
+    contract; silently dropping NULL-text docs would make the rewrite
+    unaccountable (the oracle coalesces identically).
     """
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
     chunk_at = lambda i: F.concat_ws(  # noqa: E731
         " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)

@@ -197,14 +197,22 @@ def salted_join(
 
     `salt_by` picks the scatter column (default: portable hash of the
     whole fact row — NOT the join key, which would re-serialize the hot
-    key). Cost: dim is replicated `salt`× (keep `salt` × |dim| well
-    under the fact side; the dim exchange grows `salt`×), and the fact
-    exchange row grows by one int.
+    key). A NULL `salt_by` value scatters to sub-key 0 rather than
+    silently failing the equi-match (which would drop/null-extend rows
+    whose key DOES match — the contract violation, not a tolerable
+    degradation). Cost: dim is replicated `salt`× (keep `salt` × |dim|
+    well under the fact side; the dim exchange grows `salt`×), and the
+    fact exchange row grows by one int.
     """
     if how not in ("inner", "left", "semi", "left_semi", "leftsemi"):
         raise ValueError(
             f"salted_join supports inner/left/semi, not {how!r}: outer-"
             "replicating the dim side would duplicate unmatched dim rows"
+        )
+    if "_salt" in facts.columns or "_salt" in dim.columns:
+        raise ValueError(
+            "salted_join reserves the column name '_salt'; rename the "
+            "input column (it would be silently clobbered then dropped)"
         )
     keys = [on] if isinstance(on, str) else list(on)
     sid = (
@@ -212,7 +220,8 @@ def salted_join(
         if salt_by is not None
         else F.xxhash64(F.struct(*[F.col(c) for c in facts.columns]))
     )
-    f = facts.withColumn("_salt", F.pmod(sid, F.lit(salt)).cast("int"))
+    scatter = F.coalesce(F.pmod(sid, F.lit(salt)), F.lit(0)).cast("int")
+    f = facts.withColumn("_salt", scatter)
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

@@ -383,7 +383,22 @@ def bloom_decontamination(
     bench = posts.filter((F.col("id") % bench_mod) == 0).select("shingle").distinct()
     words = bloom_words_dense(bloom_build(bench, "shingle"))
     corpus = posts.filter((F.col("id") % bench_mod) != 0)
-    marked = corpus.withColumn(
+    return bloom_probe_score(corpus, bench, words, id_col=id_col)
+
+
+def bloom_probe_score(
+    posts: DataFrame,
+    bench: DataFrame,
+    words: list[int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The shared decontamination probe + per-doc rollup: bloom probe as
+    pure expressions, exact arm as a broadcast left join, integer hit
+    counters per (id, n_shingles). Both x59 (batch) and s21 (streaming)
+    run THIS code against the same oracle SQL, so their scoring cannot
+    drift apart. `posts` may be batch or streaming: (id, n_shingles,
+    shingle)."""
+    marked = posts.withColumn(
         "bloom_hit", bloom_contains(hash32(F.col("shingle")), words)
     ).join(
         F.broadcast(bench.withColumn("exact_hit", F.lit(True))),

@@ -1203,3 +1203,46 @@ def test_remove_duplicate_spans_bloom_prefilter_is_exact(spark):
         ).collect()
     }
     assert base == bloomed and len(base) == docs.count()
+
+
+def test_salted_join_null_salt_by_and_reserved_name(spark):
+    # a NULL salt_by value must scatter to sub-key 0, not fail the
+    # equi-match (which would drop a MATCHING fact row); a pre-existing
+    # _salt column is refused instead of silently clobbered
+    import pytest as _pytest
+
+    from kafka_streams_learning_spark.operators.joins import salted_join
+
+    facts = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5)], "fid long, k string, sb int"
+    )
+    dim = spark.createDataFrame([("a", 10)], "k string, attr long")
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.fid, r.attr)
+            for r in salted_join(
+                facts, dim, "k", salt=4, how=how, salt_by=F.col("sb")
+            ).collect()
+        )
+        assert got == [(1, 10), (2, 10)], how
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(facts.withColumnRenamed("sb", "_salt"), dim, "k")
+
+
+def test_remove_duplicate_spans_null_text_keeps_row(spark):
+    # NULL text coalesces to '' — the document still emits its audit row
+    from kafka_streams_learning_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup.remove_duplicate_spans(df, chunk_tokens=2).collect()
+    }
+    assert len(got) == 3
+    # the two NULL docs collapse to the same '' chunk: doc 2 keeps the
+    # canonical occurrence, doc 3's is removed
+    assert (got[2].clean_text, got[2].n_chunks, got[2].n_removed) == ("", 1, 0)
+    assert (got[3].clean_text, got[3].n_chunks, got[3].n_removed) == ("", 1, 1)
+    assert (got[1].clean_text, got[1].n_removed) == ("a b c d", 0)
