@@ -350,11 +350,30 @@ SELECT vec_a, vec_b, score FROM scored WHERE score >= {EMB_DUP_THRESHOLD}
 
 # X11 — MinHash-LSH candidate pairs (rows checked; set is deterministic)
 
+# Shared intermediate of the MinHash dedup family: x11 reports the pair
+# table, x33 closes it into keep/drop verdicts. Same contract as
+# _EMB_PAIRS_CACHE below — one materialized generation per sf per
+# process, first consumer pays (BENCH_NOTES.md "Standing cost structure").
+_MH_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _mh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    if sf not in _MH_PAIRS_CACHE:
+        from kafka_streams_learning_spark.operators.materialize import materialized
+
+        pairs = dedup.lsh_candidate_pairs(
+            load_table(spark, sf, "documents"),
+            n_perm=MINHASH_PERMS,
+            bands=MINHASH_PERMS,
+        )
+        _MH_PAIRS_CACHE[sf] = materialized(
+            pairs, tag=f"mh-pairs-{sf.replace('/', '_')}"
+        )
+    return _MH_PAIRS_CACHE[sf]
+
 
 def _x11(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(
-        load_table(spark, sf, "documents"), n_perm=MINHASH_PERMS, bands=MINHASH_PERMS
-    )
+    return _mh_pairs(spark, sf)
 
 
 def _lsh_sql() -> str:
@@ -929,15 +948,38 @@ FROM f
 NEARDUP_BANDS = 8
 NEARDUP_PPB = 2
 
+# The LSH near-dup PAIR TABLE is the shared intermediate of the embedding
+# dedup family: x26 reports it, x28 closes it into groups. A production
+# pipeline materializes it once and feeds every downstream report from the
+# materialized table (at 100 TB the pair table is the cheap artifact; the
+# banded self-join that produces it is the expensive one) — so the catalog
+# does the same: one generation per sf dir per process, the first consumer
+# in catalog order pays generation (the _CENTROID_CACHE / CCNet-bucket
+# attribution contract, BENCH_NOTES.md "Standing cost structure").
+_EMB_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _emb_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    if sf not in _EMB_PAIRS_CACHE:
+        from kafka_streams_learning_spark.operators.materialize import materialized
+
+        pairs = similarity.embedding_near_dup_pairs_lsh(
+            load_table(spark, sf, "embeddings"),
+            EMB_DUP_THRESHOLD,
+            bands=NEARDUP_BANDS,
+            planes_per_band=NEARDUP_PPB,
+            dim=EMB_DIM,
+        )
+        # per-sf tag: generations for different sf dirs must not reclaim
+        # each other (the oracle suite runs three SFs in one process)
+        _EMB_PAIRS_CACHE[sf] = materialized(
+            pairs, tag=f"emb-pairs-{sf.replace('/', '_')}"
+        )
+    return _EMB_PAIRS_CACHE[sf]
+
 
 def _x26(spark: SparkSession, sf: str) -> DataFrame:
-    return similarity.embedding_near_dup_pairs_lsh(
-        load_table(spark, sf, "embeddings"),
-        EMB_DUP_THRESHOLD,
-        bands=NEARDUP_BANDS,
-        planes_per_band=NEARDUP_PPB,
-        dim=EMB_DIM,
-    )
+    return _emb_pairs(spark, sf)
 
 
 def _x26_sql() -> str:
@@ -1048,10 +1090,11 @@ FROM fit
 def _x28(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_learning_spark.operators import graph
 
-    pairs = similarity.embedding_near_dup_pairs_lsh(
-        load_table(spark, sf, "embeddings"), EMB_DUP_THRESHOLD
-    )
-    return graph.connected_components(pairs, "vec_a", "vec_b")
+    # consumes the family's shared materialized pair table (see _emb_pairs):
+    # group closure starts from the SAME pair set x26 reports, by
+    # construction — and CC's iterations re-scan a parquet table instead of
+    # re-running the banded self-join per lineage truncation
+    return graph.connected_components(_emb_pairs(spark, sf), "vec_a", "vec_b")
 
 
 def _x28_sql() -> str:
@@ -1198,8 +1241,13 @@ FROM ratios
 
 
 def _x33(spark: SparkSession, sf: str) -> DataFrame:
+    # consumes x11's shared materialized pair table (_mh_pairs): the pair
+    # report and the survivor verdict derive from ONE banded self-join
     return dedup.dedup_survivors(
-        load_table(spark, sf, "documents"), n_perm=MINHASH_PERMS, bands=MINHASH_PERMS
+        load_table(spark, sf, "documents"),
+        n_perm=MINHASH_PERMS,
+        bands=MINHASH_PERMS,
+        pairs=_mh_pairs(spark, sf),
     )
 
 
@@ -1552,8 +1600,12 @@ FROM r WHERE rank <= {VOCAB_SIZE}
 
 
 def _x42(spark: SparkSession, sf: str) -> DataFrame:
+    # consumes x11's shared materialized pair table (_mh_pairs)
     return dedup.cross_source_dup_matrix(
-        load_table(spark, sf, "documents"), n_perm=MINHASH_PERMS, bands=MINHASH_PERMS
+        load_table(spark, sf, "documents"),
+        n_perm=MINHASH_PERMS,
+        bands=MINHASH_PERMS,
+        pairs=_mh_pairs(spark, sf),
     )
 
 

@@ -277,6 +277,7 @@ def dedup_survivors(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The full near-dup dedup pipeline, corpus-in → verdict-out: MinHash
     signatures → banded-LSH candidate pairs → connected components →
@@ -296,10 +297,17 @@ def dedup_survivors(
     final verdict is one left join of the corpus against the component
     labels — at 100 TB the labels side is bounded by documents that
     collided at all, typically orders of magnitude smaller than the
-    corpus."""
+    corpus.
+
+    Pass `pairs` (a `lsh_candidate_pairs` output, ideally materialized)
+    when the caller also consumes the pair table itself — the pair
+    report and the survivor verdict then share ONE generation instead of
+    running the shingle→minhash→band self-join twice (the `sig=`
+    contract on `lsh_candidate_pairs`, one level up)."""
     from kafka_streams_learning_spark.operators import graph
 
-    pairs = lsh_candidate_pairs(df, n_perm, bands, k, text_col, id_col)
+    if pairs is None:
+        pairs = lsh_candidate_pairs(df, n_perm, bands, k, text_col, id_col)
     cc = graph.connected_components(pairs, "doc_a", "doc_b")
     labels = cc.select(F.col("node_id"), F.col("group_id").alias("_gid"))
     group = F.coalesce(F.col("_gid"), F.col(id_col))
@@ -322,6 +330,7 @@ def cross_source_dup_matrix(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Provenance analysis over the near-dup pair graph: how much does
     each pair of sources duplicate each other? (Cross-source overlap is
@@ -332,8 +341,11 @@ def cross_source_dup_matrix(
     equi-joins against the (id → source) projection — the pair table is
     the fact side, the projection is column-pruned to two columns — then
     an order-normalized pair key and a tiny |sources|² aggregate, so the
-    output is driver-sized no matter the corpus."""
-    pairs = lsh_candidate_pairs(df, n_perm, bands, k, text_col, id_col)
+    output is driver-sized no matter the corpus. `pairs` accepts a
+    precomputed (ideally materialized) `lsh_candidate_pairs` output —
+    same sharing contract as `dedup_survivors`."""
+    if pairs is None:
+        pairs = lsh_candidate_pairs(df, n_perm, bands, k, text_col, id_col)
     src = df.select(F.col(id_col), F.col(source_col))
     j = (
         pairs.join(src.withColumnRenamed(id_col, "doc_a")

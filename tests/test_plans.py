@@ -43,24 +43,53 @@ def test_enrich_join_broadcasts_dimension(spark):
 def test_no_cartesian_products(spark):
     # every join in the catalog must be key-based (hash/broadcast), never
     # a cartesian product — x09's broadcast nested loop over the tiny
-    # query set is the one sanctioned exception
+    # query set is the one sanctioned exception. x11's catalog row now
+    # reads the family's shared materialized pair table, so its
+    # GENERATION plan is pinned separately below.
     for name in [
         "q05_sliding_count",
         "q06_interval_join",
         "q07_enrich_join",
         "x07_ngram_jaccard_dups",
-        "x11_lsh_candidates",
         "x13_ann_ivf_topk",
     ]:
         assert not E.has_cartesian(_df(spark, name)), name
+
+
+def test_minhash_pair_generation_not_cartesian(spark):
+    # x11/x33's shared pair table is built by the banded bucket self-join;
+    # the catalog rows read its materialized output, so the generation
+    # plan is pinned on the raw operator (the shape that runs at 100 TB)
+    from kafka_streams_learning_spark import catalog_ext as X
+    from kafka_streams_learning_spark.operators import dedup
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    df = dedup.lsh_candidate_pairs(
+        load_table(spark, SF_DIR, "documents"),
+        n_perm=X.MINHASH_PERMS,
+        bands=X.MINHASH_PERMS,
+    )
+    assert not E.has_cartesian(df)
 
 
 def test_lsh_near_dup_plan_is_bucket_bounded(spark):
     # x26 is the catalogued scale path for x10's semantics: candidate
     # generation must be the banded bucket equi-join — no CartesianProduct
     # and no BroadcastNestedLoopJoin anywhere in the plan (x10's exact
-    # cross join is the small-N oracle, not the scale path)
-    df = _df(spark, "x26_embedding_near_dups_lsh")
+    # cross join is the small-N oracle, not the scale path). The catalog
+    # row reads the shared materialized pair table (catalog_ext._emb_pairs),
+    # so the generation shape is pinned on the raw operator here.
+    from kafka_streams_learning_spark import catalog_ext as X
+    from kafka_streams_learning_spark.operators import similarity
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    df = similarity.embedding_near_dup_pairs_lsh(
+        load_table(spark, SF_DIR, "embeddings"),
+        X.EMB_DUP_THRESHOLD,
+        bands=X.NEARDUP_BANDS,
+        planes_per_band=X.NEARDUP_PPB,
+        dim=X.EMB_DIM,
+    )
     plan = E.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
