@@ -74,11 +74,15 @@ SHOWCASE: dict[str, str] = {
         "explosion of a band join never exists."
     ),
     "x26_embedding_near_dups_lsh": (
-        "The scale-safe near-dup path: candidate pairs come from hash "
-        "joins on (band, bucket) over the materialized banded bucket "
-        "table — no CartesianProduct / BroadcastNestedLoopJoin anywhere "
-        "(asserted), unlike x10's exact all-pairs oracle. Re-scoring "
-        "joins are id-keyed hash joins over the candidate set only."
+        "The scale-safe near-dup path. Shown: the pair-table GENERATION "
+        "plan (the raw operator) — candidate pairs come from hash joins "
+        "on (band, bucket) over the materialized banded bucket table, no "
+        "CartesianProduct / BroadcastNestedLoopJoin anywhere (asserted), "
+        "unlike x10's exact all-pairs oracle; re-scoring joins are "
+        "id-keyed hash joins over the candidate set only. The catalog "
+        "row itself reads the family's ONE materialized generation "
+        "(catalog_ext._emb_pairs — x28's group closure consumes the same "
+        "table), so its own plan is a bare parquet scan."
     ),
     "x30_repetition_stats": (
         "Zero Exchanges: the repetition quality gate is pure per-row "
@@ -264,6 +268,28 @@ SHOWCASE: dict[str, str] = {
 }
 
 
+# Queries whose catalog row reads a shared materialized intermediate:
+# showcase the GENERATION plan (the shape that runs at 100 TB) instead of
+# the bare read-back scan.
+def _x26_generation(spark):
+    from kafka_streams_learning_spark import catalog_ext as X
+    from kafka_streams_learning_spark.operators import similarity
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    return similarity.embedding_near_dup_pairs_lsh(
+        load_table(spark, SF_DIR, "embeddings"),
+        X.EMB_DUP_THRESHOLD,
+        bands=X.NEARDUP_BANDS,
+        planes_per_band=X.NEARDUP_PPB,
+        dim=X.EMB_DIM,
+    )
+
+
+GENERATION_PLAN = {
+    "x26_embedding_near_dups_lsh": _x26_generation,
+}
+
+
 def main() -> None:
     spark = get_spark("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
@@ -275,7 +301,10 @@ def main() -> None:
         "silently regress.\n",
     ]
     for name, note in SHOWCASE.items():
-        df = by_name[name].spark(spark, SF_DIR)
+        if name in GENERATION_PLAN:
+            df = GENERATION_PLAN[name](spark)
+        else:
+            df = by_name[name].spark(spark, SF_DIR)
         out.append(f"## {name}\n")
         out.append(note + "\n")
         out.append("```")
