@@ -487,6 +487,7 @@ _TAIL_STABLE = [
 #      tests/test_catalog_oracle.py + tools/oracle_check.py every round.
 _HEAD_FIRST = [
     # band 1: never driver-verified (new round-7 rows first)
+    "x67_nb_classifier",
     "x66_salted_join",
     "x65_span_dedup",
     "x64_cms_production",
@@ -494,23 +495,25 @@ _HEAD_FIRST = [
     "x62_kmeans_sampled",
     "x61_bloom_semi_join",
     # band 2: rotation — the r4-stale cohort, oldest driver row first
-    # (VERDICT r6 item 1). Final round-7 arithmetic: 15 q + 21 s +
-    # band 1 (6 never-gated) + these 8 = exactly 50. The round-8
-    # rotation queue is 17 r4-stale rows: x06/x07/x08 (displaced into
-    # band 3 below) + the 14 at the top of _TAIL_STABLE. GATE_PREFIX.md
-    # (generated by bench.py) is the authoritative listing.
+    # (VERDICT r6 item 1). Final round-7 arithmetic: 15 q + 22 s
+    # (s22 joined the streaming block, itself never-gated) + band 1
+    # (7 never-gated) + these 6 = exactly 50. The round-8 rotation
+    # queue is 19 r4-stale rows: x04/x05 (displaced from band 2 by
+    # x67/s22) + x06/x07/x08 (displaced into band 3 below) + the 14 at
+    # the top of _TAIL_STABLE. GATE_PREFIX.md (generated by bench.py)
+    # is the authoritative listing.
     "x22_asof_join",
     "x24_quantile_stats",
     "x20_balanced_sample",
     "x01_text_stats",
     "x02_lang_id",
     "x03_fingerprint",
+    # band 3: driver-green in r06 (freshest — overflow first).
+    # x04/x05 were displaced from band 2 by x67/s22; x06/x07/x08 were
+    # displaced by x65/x66/s21 (never-gated rows front the prefix); all
+    # five join the round-8 rotation with the _TAIL_STABLE r4 cohort.
     "x04_dedup_exact",
     "x05_token_topk",
-    # band 3: driver-green in r06 (freshest — overflow first).
-    # x06/x07/x08 were displaced from band 2 by x65/x66/s21 (never-gated
-    # rows front the prefix); they join the round-8 rotation with the
-    # _TAIL_STABLE r4 cohort.
     "x06_minhash_signatures",
     "x07_ngram_jaccard_dups",
     "x08_simhash",

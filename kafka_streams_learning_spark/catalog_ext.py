@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_learning_spark.catalog import QuerySpec
-from kafka_streams_learning_spark.functions.hashing import hash32_sql, perm_hash_sql
+from kafka_streams_learning_spark.functions.hashing import (
+    hash32_sql,
+    hash60_sql,
+    perm_hash_sql,
+)
 from kafka_streams_learning_spark.functions.text import STOPWORDS, _LANG_MARKERS
 from kafka_streams_learning_spark.operators import (
     clustering,
@@ -2834,6 +2838,97 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# X67 — hashed Naive-Bayes curated-reference classifier
+# (`textops.nb_hash_classifier`): feature hashing (Weinberger et al.
+# 2009) bounds the model at CLS_BUCKETS rows regardless of corpus
+# vocabulary; one-pass multinomial-NB training with Laplace-smoothed
+# log-likelihood-ratio weights on the x43 fixed-point grid; scoring is a
+# broadcast join + exact integer sums. The positive class is the
+# "curated slice" (sources src0–src3) standing in for the
+# reference-corpus labels a production quality filter trains on.
+
+CLS_POSITIVE = ("src0", "src1", "src2", "src3")
+
+# one trained model per sf per process — x67 (batch scoring) and s22
+# (streaming scoring against the batch-frozen model) share the SAME
+# materialized token/weight tables (the _EMB_PAIRS_CACHE attribution
+# contract: the first consumer in catalog order pays training)
+_NB_MODEL_CACHE: dict[str, tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def nb_model(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    if sf not in _NB_MODEL_CACHE:
+        _NB_MODEL_CACHE[sf] = textops.nb_train(
+            load_table(spark, sf, "documents"),
+            positive=F.col("source").isin(*CLS_POSITIVE),
+            n_buckets=textops.CLS_BUCKETS,
+            tag=f"x67-{sf.replace('/', '_')}",
+        )
+    return _NB_MODEL_CACHE[sf]
+
+
+def _x67(spark: SparkSession, sf: str) -> DataFrame:
+    tok, weights, scalars = nb_model(spark, sf)
+    return textops.nb_score_batch(tok.select("id", "bucket"), weights, scalars)
+
+
+def _x67_sql() -> str:
+    d = textops.CLS_BUCKETS
+    pos = ", ".join(f"'{s}'" for s in CLS_POSITIVE)
+    bucket = f"{hash60_sql('token')} % {d}"
+
+    def q(ratio: str) -> str:
+        # one snap per ln — mirrors textops._q inside nb_hash_classifier
+        return f"CAST(floor(ln({ratio}) * 1000000.0 + 0.5) AS BIGINT)"
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_TOKS_NORM}) AS token FROM documents
+), b AS (
+  SELECT doc_id, source, {bucket} AS bucket FROM tok
+), c AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN source IN ({pos}) THEN 1 ELSE 0 END) AS BIGINT)
+           AS pos_cnt,
+         COUNT(*) AS all_cnt
+  FROM b GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(pos_cnt) AS BIGINT) AS n_pos_tot,
+         CAST(SUM(all_cnt) - SUM(pos_cnt) AS BIGINT) AS n_neg_tot
+  FROM c
+), pri AS (
+  SELECT CAST(SUM(CASE WHEN source IN ({pos}) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos_docs,
+         COUNT(*) AS n_docs
+  FROM documents
+), w AS (
+  SELECT bucket,
+         {q(f"CAST(pos_cnt + 1 AS DOUBLE) / CAST(n_pos_tot + {d} AS DOUBLE)")}
+         - {q(f"CAST(all_cnt - pos_cnt + 1 AS DOUBLE) / CAST(n_neg_tot + {d} AS DOUBLE)")}
+           AS w_q
+  FROM c, tot
+), s AS (
+  SELECT {q(f"CAST(1 AS DOUBLE) / CAST(n_pos_tot + {d} AS DOUBLE)")}
+         - {q(f"CAST(1 AS DOUBLE) / CAST(n_neg_tot + {d} AS DOUBLE)")} AS w0_q,
+         {q("CAST(n_pos_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+         - {q("CAST(n_docs - n_pos_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+           AS prior_q
+  FROM tot, pri
+), d AS (
+  SELECT b.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(COALESCE(w.w_q, s.w0_q)) AS BIGINT) AS llr_q_sum,
+         MIN(s.prior_q) AS prior_q
+  FROM b LEFT JOIN w USING (bucket), s
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, llr_q_sum,
+       CAST(prior_q + llr_q_sum AS DOUBLE) / 1000000.0 AS log_odds,
+       (prior_q + llr_q_sum) > 0 AS is_positive
+FROM d
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -2995,4 +3090,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x66_salted_join", _x66, _X66_SQL,
               "salted skew join over the 5-hot-key event_type enrichment "
               "(output identical to the plain join)"),
+    QuerySpec("x67_nb_classifier", _x67, _x67_sql(),
+              "hashed-feature Naive-Bayes curated-reference classifier "
+              "(fastText-style quality filter, fixed-size model)"),
 ]

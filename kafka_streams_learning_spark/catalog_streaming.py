@@ -946,6 +946,49 @@ def _s21_sql() -> str:
     return _x59_sql()
 
 
+# s22 — streaming model-based quality gate (x67's classifier live):
+# the hashed-NB model is trained in BATCH and frozen (the production
+# shape — the curated reference slice changes rarely), then the corpus
+# arrives as a stream and every micro-batch scores through the SAME
+# nb_score expressions x67 uses: the ≤ CLS_BUCKETS-row weight table
+# broadcasts into a stream-static join, the two model scalars ship as
+# collected literals (s16's UNK precedent), and the per-doc integer
+# score sums aggregate in complete mode — so the final state is
+# hash-equal to x67's batch oracle regardless of micro-batch boundaries
+# or arrival order. Distinct from s16: that scores against a ≤V-row
+# vocabulary LM; this one is a trained CLASSIFIER gate whose state per
+# doc is two ints, the "filter a live ingestion feed through the
+# quality model" pattern.
+
+
+def _s22(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.catalog_ext import nb_model
+    from kafka_streams_learning_spark.functions import text as T
+    from kafka_streams_learning_spark.functions.hashing import hash60
+    from kafka_streams_learning_spark.operators.textops import CLS_BUCKETS, nb_score
+
+    _tok, weights, scalars = nb_model(spark, sf)  # batch-frozen model
+    w0, prior = scalars.collect()[0]
+
+    stream = shared_replay_table(
+        spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"
+    )
+    tok = stream.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("token"),
+    ).select("doc_id", (hash60(F.col("token")) % F.lit(CLS_BUCKETS)).alias("bucket"))
+    scored = nb_score(tok, weights, F.lit(w0), F.lit(prior), "doc_id")
+    name = _fresh_name("s22_out")
+    runner.run_to_memory(scored, name, "complete", state_partitions=STATE_SHARDS)
+    return spark.table(name)
+
+
+def _s22_sql() -> str:
+    from kafka_streams_learning_spark.catalog_ext import _x67_sql
+
+    return _x67_sql()
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -1000,4 +1043,7 @@ STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s21_stream_decontamination", _s21, _s21_sql(),
               "streaming decontamination: batch-frozen Bloom probed as "
               "pure expressions on the document stream (x59 twin)"),
+    QuerySpec("s22_stream_nb_classifier", _s22, _s22_sql(),
+              "streaming quality gate: batch-frozen hashed-NB classifier "
+              "scoring the document stream (x67 twin)"),
 ]

@@ -888,3 +888,208 @@ def dsir_importance(
             / (F.lit(float(LOGPROB_SCALE)) * F.col("n_tokens"))
         ).alias("avg_importance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed Naive-Bayes quality classifier (x67)
+
+# Hashing-trick feature dimension. Legibility-sized so bucket collisions
+# are REAL on the fixture corpus (its distinct-token count exceeds 16 —
+# the collision fold is part of the verified semantics, not an accident);
+# production uses 2**18..2**20, which changes only this constant: the
+# weight table stays O(n_buckets) rows and broadcastable either way.
+CLS_BUCKETS = 16
+
+
+def nb_train(
+    df: DataFrame,
+    positive: Column,
+    n_buckets: int = CLS_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tag: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the hashed-feature multinomial-NB model `nb_hash_classifier`
+    scores with; split out so a STREAM can score against a batch-frozen
+    model (s22 — the s16/s21 stream-static precedent).
+
+    Returns ``(tok, weights, scalars)``:
+
+    - ``tok`` — the MATERIALIZED (id, is_pos, bucket) token table. ONE
+      corpus tokenize produces it, and it feeds BOTH the training
+      aggregate here and (in the batch classifier) the scoring join —
+      the x43/x65 shared-intermediate shape: at 100 TB the text column
+      is scanned once end-to-end, and the reusable intermediate is
+      three ints per token with its own footer stats.
+    - ``weights`` — the ≤ n_buckets-row (bucket, w_q) LLR table; always
+      broadcastable regardless of corpus vocabulary (feature hashing).
+    - ``scalars`` — 1 row (w0_q, prior_q): the unseen-bucket weight and
+      the class-prior log-odds, on the same 1e-6 grid.
+
+    ``tag`` keys the run-scoped materializations; pass a per-corpus tag
+    when several corpora train in one process (the per-sf-tag contract
+    of the shared dedup pair tables).
+    """
+    from kafka_streams_learning_spark.functions.hashing import hash60
+    from kafka_streams_learning_spark.operators.materialize import materialized
+
+    scale = F.lit(float(LOGPROB_SCALE))
+    d_lit = F.lit(n_buckets)
+
+    def _q(p: Column) -> Column:
+        # floor() on a double yields LONG in Spark; one snap per ln
+        return F.floor(F.log(p) * scale + F.lit(0.5))
+
+    is_pos = F.when(positive, F.lit(1)).otherwise(F.lit(0))
+    tok = materialized(
+        df.select(
+            F.col(id_col).alias("id"),
+            is_pos.alias("is_pos"),
+            F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token"),
+        ).select("id", "is_pos", (hash60(F.col("token")) % d_lit).alias("bucket")),
+        tag=f"{tag}-tok" if tag else None,
+    )
+    counts = materialized(
+        tok.groupBy("bucket").agg(
+            F.sum("is_pos").alias("pos_cnt"), F.count(F.lit(1)).alias("all_cnt")
+        ),
+        tag=f"{tag}-counts" if tag else None,
+    )
+    totals = counts.agg(
+        F.sum("pos_cnt").alias("n_pos_tot"),
+        (F.sum("all_cnt") - F.sum("pos_cnt")).alias("n_neg_tot"),
+    )
+    priors = df.agg(
+        F.sum(is_pos).alias("n_pos_docs"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+    def _ratio(num: Column, den: Column) -> Column:
+        # exact integers -> ONE IEEE division feeding the snapped ln
+        return num.cast("double") / den.cast("double")
+
+    pos_den = F.col("n_pos_tot") + d_lit
+    neg_den = F.col("n_neg_tot") + d_lit
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            _q(_ratio(F.col("pos_cnt") + F.lit(1), pos_den))
+            - _q(_ratio(F.col("all_cnt") - F.col("pos_cnt") + F.lit(1), neg_den))
+        ).alias("w_q"),
+    )
+    scalars = totals.crossJoin(priors).select(
+        # unseen bucket = the same LLR formula at pos_cnt = all_cnt = 0
+        (_q(_ratio(F.lit(1), pos_den)) - _q(_ratio(F.lit(1), neg_den))).alias("w0_q"),
+        (
+            _q(_ratio(F.col("n_pos_docs"), F.col("n_docs")))
+            - _q(_ratio(F.col("n_docs") - F.col("n_pos_docs"), F.col("n_docs")))
+        ).alias("prior_q"),
+    )
+    return tok, weights, scalars
+
+
+def nb_score(
+    tok: DataFrame,
+    weights: DataFrame,
+    w0_q: Column,
+    prior_q: Column,
+    group_col: str = "id",
+) -> DataFrame:
+    """Score a (group_col, bucket) token table against a trained model:
+    broadcast weight join + exact integer sums — the SAME expressions in
+    batch and streaming, which is what keeps s22's final state hash-equal
+    to x67's oracle. ``w0_q``/``prior_q`` are Columns: the batch path
+    cross-joins the 1-row scalars frame, a stream passes collected
+    literals (s16's UNK-logprob precedent — a stream cannot cross-join
+    even a 1-row static frame)."""
+    scored = (
+        tok.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("w_q"), w0_q)).alias("llr_q_sum"),
+            F.min(prior_q).alias("prior_q"),  # constant per row; min is exact
+        )
+    )
+    return scored.select(
+        group_col,
+        "n_tokens",
+        "llr_q_sum",
+        (
+            (F.col("prior_q") + F.col("llr_q_sum")).cast("double")
+            / F.lit(float(LOGPROB_SCALE))
+        ).alias("log_odds"),
+        ((F.col("prior_q") + F.col("llr_q_sum")) > 0).alias("is_positive"),
+    )
+
+
+def nb_score_batch(
+    tok: DataFrame,
+    weights: DataFrame,
+    scalars: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch scoring assembly over `nb_train`'s outputs: the 1-row
+    scalars frame cross-joins (broadcast) onto the token table so the
+    whole pipeline stays collect-free, then `nb_score` does the rest."""
+    scored = nb_score(
+        tok.crossJoin(F.broadcast(scalars)),
+        weights,
+        F.col("w0_q"),
+        F.col("prior_q"),
+        "id",
+    )
+    return scored.withColumnRenamed("id", id_col)
+
+
+def nb_hash_classifier(
+    df: DataFrame,
+    positive: Column,
+    n_buckets: int = CLS_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tag: str | None = None,
+) -> DataFrame:
+    """Model-based quality filter: a hashed-feature Naive-Bayes classifier
+    trained in ONE aggregation pass and applied to the whole corpus — the
+    engine-native form of the fastText-style "curated-reference" filters
+    used by LLM data pipelines (Joulin et al. 2016, "Bag of Tricks for
+    Efficient Text Classification"; labels-from-a-curated-slice as in the
+    LLaMA webtext classifier). ``positive`` is a boolean Column marking
+    the curated/reference class (e.g. ``col("source").isin(...)``).
+
+    Two public techniques compose:
+
+    - **Feature hashing** (Weinberger et al. 2009): tokens map to
+      ``hash(token) % n_buckets``, so the model is a FIXED-size table of
+      at most ``n_buckets`` rows no matter how large the corpus
+      vocabulary grows — at 100 TB the weight table still broadcasts,
+      and training's exchange carries at most tasks x n_buckets
+      partially-combined rows, never raw tokens.
+    - **Multinomial Naive Bayes** (McCallum & Nigam 1998): per-bucket
+      weight = log-likelihood ratio ln p(b|pos) - ln p(b|neg) with
+      Laplace +1 smoothing; document score = class prior + sum of token
+      weights. The sigmoid is omitted deliberately — it is monotone in
+      the log-odds, so the keep/drop verdict is identical.
+
+    Determinism contract (the x43 pattern): every ln is snapped ONCE to
+    the 1e-6 fixed-point grid (``floor(ln(p)*1e6 + 0.5)`` as BIGINT);
+    per-bucket weights and per-document scores are then exact INTEGER
+    sums/differences — associative, partition-order-free, and identical
+    in DuckDB. The only floats are single IEEE divisions of exact
+    integers feeding each ln, mirrored op-for-op in the oracle.
+
+    Plan shape: ONE corpus tokenize materializes the (id, is_pos,
+    bucket) token table (`nb_train`), which feeds the bucket-key
+    training hash-agg (map-side combine; <= n_buckets groups) AND the
+    scoring join — the text column is never tokenized twice. The
+    <= n_buckets+2 model rows broadcast into the scoring pass = token-
+    table scan -> broadcast join -> doc-key hash-agg (a document's
+    tokens are co-located in the materialized table, so partials
+    collapse map-side). The corpus is never shuffled on token or bucket
+    (plan-tested).
+
+    Output: (id, n_tokens, llr_q_sum, log_odds, is_positive) — one row
+    per document with at least one token.
+    """
+    tok, weights, scalars = nb_train(df, positive, n_buckets, text_col, id_col, tag)
+    return nb_score_batch(tok.select("id", "bucket"), weights, scalars, id_col)

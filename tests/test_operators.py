@@ -1246,3 +1246,84 @@ def test_remove_duplicate_spans_null_text_keeps_row(spark):
     assert (got[2].clean_text, got[2].n_chunks, got[2].n_removed) == ("", 1, 0)
     assert (got[3].clean_text, got[3].n_chunks, got[3].n_removed) == ("", 1, 1)
     assert (got[1].clean_text, got[1].n_removed) == ("a b c d", 0)
+
+
+def test_nb_hash_classifier_matches_python_model(spark):
+    # x67 vs a plain-Python hashed-NB model: same md5 bucketing, same
+    # Laplace LLR weights on the 1e-6 grid, same integer score sums
+    # (Python floats are IEEE doubles, so floor/log reproduce the engine)
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_learning_spark.operators import textops
+
+    rows = [
+        (1, "a a b", "good"),
+        (2, "b c c", "junk"),
+        (3, "a c", "good"),
+        (4, "b b b", "junk"),
+    ]
+    D = 4
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: r
+        for r in textops.nb_hash_classifier(
+            df, positive=F.col("source") == "good", n_buckets=D
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % D
+
+    def q(p):
+        return math.floor(math.log(p) * 1e6 + 0.5)
+
+    pos_cnt, all_cnt = {}, {}
+    for doc_id, text, source in rows:
+        for tok in text.split():
+            b = bucket(tok)
+            all_cnt[b] = all_cnt.get(b, 0) + 1
+            if source == "good":
+                pos_cnt[b] = pos_cnt.get(b, 0) + 1
+    n_pos = sum(pos_cnt.values())
+    n_neg = sum(all_cnt.values()) - n_pos
+    w = {
+        b: q((pos_cnt.get(b, 0) + 1) / (n_pos + D))
+        - q((all_cnt[b] - pos_cnt.get(b, 0) + 1) / (n_neg + D))
+        for b in all_cnt
+    }
+    w0 = q(1 / (n_pos + D)) - q(1 / (n_neg + D))
+    prior = q(2 / 4) - q(2 / 4)
+    for doc_id, text, _ in rows:
+        toks = text.split()
+        llr = sum(w.get(bucket(t), w0) for t in toks)
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.llr_q_sum == llr
+        assert r.log_odds == (prior + llr) / 1e6
+        assert r.is_positive == ((prior + llr) > 0)
+
+
+def test_nb_hash_classifier_is_partition_order_free(spark):
+    # integer score sums must be identical regardless of input layout
+    from pyspark.sql import functions as F
+
+    from kafka_streams_learning_spark.operators import textops
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} common", f"src{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pos = F.col("source").isin("src0", "src1")
+    a = sorted(
+        map(tuple, textops.nb_hash_classifier(df, pos, n_buckets=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            textops.nb_hash_classifier(
+                df.repartition(7, "source"), pos, n_buckets=8
+            ).collect(),
+        )
+    )
+    assert a == b

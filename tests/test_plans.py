@@ -471,3 +471,23 @@ def test_salted_join_scatters_fact_and_replicates_dim(spark):
     # dim side replicates via explode (sequence constant-folds to an
     # array literal); fact side scatters via the whole-row hash
     assert "explode(" in plan and "pmod(xxhash64(struct(" in plan
+
+
+def test_nb_classifier_scoring_is_broadcast_only(spark):
+    # x67: the <=CLS_BUCKETS-row weight table and the 1-row scalars must
+    # broadcast into the scoring pass; the corpus is never shuffled on
+    # token/bucket. The corpus tokenize ran ONCE inside the eager
+    # x67-…-tok materialization (nb_train), whose compact token table
+    # feeds both training and scoring — so THIS plan scans the raw
+    # corpus exactly once (the source-column prior aggregate) and every
+    # other scan is a tiny materialized model table.
+    df = _df(spark, "x67_nb_classifier")
+    plan = E.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "-tok" in plan and "-counts" in plan
+    import re as _re
+
+    scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    mat_scans = plan.count("mat-x67")
+    assert scans - mat_scans == 1, (scans, mat_scans)

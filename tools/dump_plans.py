@@ -265,6 +265,16 @@ SHOWCASE: dict[str, str] = {
         "Output is provably identical to the plain join (oracle is the "
         "unsalted SQL)."
     ),
+    "x67_nb_classifier": (
+        "Hashed-NB quality classifier, scoring pass: the raw corpus "
+        "appears ONCE (the source-column prior aggregate — ReadSchema "
+        "is one column); every other scan is a tiny materialized model "
+        "table from `nb_train`'s single tokenize (the `-tok` token "
+        "table feeds training AND this scoring join). The ≤16-row "
+        "weight table enters as BroadcastHashJoin; the token side is "
+        "never shuffled on token or bucket — its only Exchange is the "
+        "doc-key aggregate, with map-side partials."
+    ),
 }
 
 
