@@ -487,6 +487,7 @@ _TAIL_STABLE = [
 #      tests/test_catalog_oracle.py + tools/oracle_check.py every round.
 _HEAD_FIRST = [
     # band 1: never driver-verified (new round-7 rows first)
+    "x68_hll_rollup",
     "x67_nb_classifier",
     "x66_salted_join",
     "x65_span_dedup",
@@ -497,21 +498,22 @@ _HEAD_FIRST = [
     # band 2: rotation — the r4-stale cohort, oldest driver row first
     # (VERDICT r6 item 1). Final round-7 arithmetic: 15 q + 22 s
     # (s22 joined the streaming block, itself never-gated) + band 1
-    # (7 never-gated) + these 6 = exactly 50. The round-8 rotation
-    # queue is 19 r4-stale rows: x04/x05 (displaced from band 2 by
-    # x67/s22) + x06/x07/x08 (displaced into band 3 below) + the 14 at
-    # the top of _TAIL_STABLE. GATE_PREFIX.md (generated by bench.py)
+    # (8 never-gated) + these 5 = exactly 50. The round-8 rotation
+    # queue is 20 r4-stale rows: x03/x04/x05 (displaced from band 2 by
+    # x67/s22/x68) + x06/x07/x08 (displaced into band 3 below) + the 14
+    # at the top of _TAIL_STABLE. GATE_PREFIX.md (generated by bench.py)
     # is the authoritative listing.
     "x22_asof_join",
     "x24_quantile_stats",
     "x20_balanced_sample",
     "x01_text_stats",
     "x02_lang_id",
-    "x03_fingerprint",
     # band 3: driver-green in r06 (freshest — overflow first).
-    # x04/x05 were displaced from band 2 by x67/s22; x06/x07/x08 were
-    # displaced by x65/x66/s21 (never-gated rows front the prefix); all
-    # five join the round-8 rotation with the _TAIL_STABLE r4 cohort.
+    # x03/x04/x05 were displaced from band 2 by x67/s22/x68; x06/x07/
+    # x08 were displaced by x65/x66/s21 (never-gated rows front the
+    # prefix); all six join the round-8 rotation with the _TAIL_STABLE
+    # r4 cohort.
+    "x03_fingerprint",
     "x04_dedup_exact",
     "x05_token_topk",
     "x06_minhash_signatures",

@@ -35,6 +35,7 @@ from kafka_streams_learning_spark.operators import (
     packing,
     sampling,
     similarity,
+    sketches,
     textops,
 )
 from kafka_streams_learning_spark.sources.batch import load_table
@@ -2929,6 +2930,93 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# X68 — HLL rollup: distinct-token cardinality per (source, lang), per
+# source, and corpus-wide from ONE corpus scan (`sketches.hll_rollup`).
+# The fine-level register table is built once; coarser levels MAX-merge
+# the sketch table itself — the mergeability payoff of HLL, and the
+# reason multi-granularity COUNT(DISTINCT) dashboards are feasible at
+# 100 TB. The oracle replays the SAME rollup: registers at the fine
+# level, merged upward by MAX, so the merge semantics (not just the
+# estimates) are inside the hash gate.
+
+
+def _x68(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.hll_token_rollup(
+        load_table(spark, sf, "documents"),
+        ["source", "lang"],
+        tag=f"x68-{sf.replace('/', '_')}",
+    )
+
+
+def _x68_sql() -> str:
+    from kafka_streams_learning_spark.operators.sketches import (
+        HLL_EST_SCALE,
+        HLL_P,
+        hll_alpha,
+    )
+
+    m = 1 << HLL_P
+    pow2_32 = 1 << 32
+    rho_max = 32 - HLL_P + 1
+    es = f"{float(HLL_EST_SCALE)!r}"
+
+    def est(cte: str, keys: list[str]) -> str:
+        # the hll_estimate collapse (x54's oracle fragment) over one
+        # register CTE at one grouping level
+        pre = (", ".join(keys) + ", ") if keys else ""
+        grp = (
+            " GROUP BY " + ", ".join(str(i + 1) for i in range(len(keys)))
+            if keys
+            else ""
+        )
+        label = ",".join(keys) if keys else "all"
+        src = "source" if "source" in keys else "CAST(NULL AS VARCHAR)"
+        lng = "lang" if "lang" in keys else "CAST(NULL AS VARCHAR)"
+        return rf"""SELECT '{label}' AS level, {src} AS source, {lng} AS lang,
+       floor(es * {es} + 0.5) / {es} AS hll_estimate
+FROM (
+  SELECT {pre}CASE WHEN e_raw <= {2.5 * m!r} AND v > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+              ELSE e_raw END AS es
+  FROM (
+    SELECT {pre}({m} - n_buckets) AS v,
+           CAST({hll_alpha(m) * m * m!r} AS DOUBLE) * CAST({float(pow2_32)!r} AS DOUBLE)
+             / CAST(s_present + ({m} - n_buckets) * CAST({pow2_32} AS BIGINT) AS DOUBLE)
+             AS e_raw
+    FROM (
+      SELECT {pre}SUM(CAST(1 AS BIGINT) << (32 - m_b)) AS s_present,
+             COUNT(*) AS n_buckets
+      FROM {cte}{grp}
+    )
+  )
+)"""
+
+    return rf"""
+WITH tok AS (
+  SELECT source, lang, unnest({_TOKS_NORM}) AS token FROM documents
+), hb AS (
+  SELECT source, lang, {hash32_sql('token')} AS h FROM tok
+), reg AS (
+  SELECT source, lang, h % {m} AS bucket,
+         CASE WHEN (h >> {HLL_P}) = 0 THEN {rho_max}
+              ELSE {rho_max} - length(bin(h >> {HLL_P})) END AS rho
+  FROM hb
+), fine AS (
+  SELECT source, lang, bucket, MAX(rho) AS m_b FROM reg GROUP BY 1, 2, 3
+), lsrc AS (
+  SELECT source, bucket, MAX(m_b) AS m_b FROM fine GROUP BY 1, 2
+), lall AS (
+  SELECT bucket, MAX(m_b) AS m_b FROM fine GROUP BY 1
+)
+{est('fine', ['source', 'lang'])}
+UNION ALL
+{est('lsrc', ['source'])}
+UNION ALL
+{est('lall', [])}
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -3093,4 +3181,7 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x67_nb_classifier", _x67, _x67_sql(),
               "hashed-feature Naive-Bayes curated-reference classifier "
               "(fastText-style quality filter, fixed-size model)"),
+    QuerySpec("x68_hll_rollup", _x68, _x68_sql(),
+              "multi-granularity distinct-token counts by MAX-merging "
+              "one HLL register table upward (sketch mergeability)"),
 ]

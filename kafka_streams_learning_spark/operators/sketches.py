@@ -160,6 +160,76 @@ def hll_token_cardinality(
     )
 
 
+def hll_rollup(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    p: int = HLL_P,
+    tag: str | None = None,
+) -> DataFrame:
+    """Distinct-cardinality at EVERY rollup level of ``group_cols``
+    (finest → … → grand total, the SQL ``GROUP BY ROLLUP`` shape) from
+    ONE scan of the data: the finest-level register table is computed
+    once and MATERIALIZED — it is the shared intermediate of all levels
+    — then each coarser level MAX-merges the register TABLE (≤ 2^p rows
+    per fine group), never rescanning the input. This is the
+    mergeability payoff of the HLL design (Flajolet et al. 2007, §3:
+    registers form a monoid under element-wise MAX): any pre-aggregated
+    shard — a day's partition, one source's sketch, yesterday's rollup —
+    folds into any coarser total without touching raw data, which is
+    exactly why COUNT(DISTINCT) dashboards over 100 TB are feasible.
+    Each merge is EXACT, not approximate-on-approximate: merged
+    registers are identical to registers computed directly at the
+    coarser level (unit-tested), so every level carries the same error
+    contract as a direct sketch.
+
+    ``df`` is the pre-tokenized (group…, value) table (the caller owns
+    tokenization so one explode can feed other consumers too). Group
+    columns must be strings (masked-out levels emit NULL strings).
+    Output: (level, *group_cols, hll_estimate) — ``level`` is the
+    comma-joined retained prefix, ``'all'`` for the grand total.
+    """
+    from kafka_streams_learning_spark.operators.materialize import materialized
+
+    fine = materialized(hll_registers(df, value_col, group_cols, p), tag=tag)
+    parts = []
+    for k in range(len(group_cols), -1, -1):
+        keep = list(group_cols[:k])
+        regs = (
+            fine
+            if k == len(group_cols)
+            else fine.groupBy(*keep, "bucket").agg(F.max("m_b").alias("m_b"))
+        )
+        est = hll_estimate(regs, keep, p)
+        cols = [F.lit(",".join(keep) if keep else "all").alias("level")]
+        for c in group_cols:
+            cols.append(
+                F.col(c) if c in keep else F.lit(None).cast("string").alias(c)
+            )
+        parts.append(est.select(*cols, "hll_estimate"))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def hll_token_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    p: int = HLL_P,
+    tag: str | None = None,
+) -> DataFrame:
+    """`hll_rollup` over the corpus token stream: distinct-token counts
+    per (source, lang), per source, and corpus-wide — one tokenize, one
+    register build, sketch-sized merges upward (x68's operator)."""
+    tok = df.select(
+        *group_cols,
+        F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token"),
+    )
+    return hll_rollup(tok, "token", group_cols, p, tag)
+
+
 # ---------------------------------------------------------------------------
 # Count-Min frequency sketch (Cormode & Muthukrishnan 2005): d counter
 # rows × w buckets, update = +1 at one bucket per row, merge = elementwise

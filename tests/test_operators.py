@@ -1327,3 +1327,31 @@ def test_nb_hash_classifier_is_partition_order_free(spark):
         )
     )
     assert a == b
+
+
+def test_hll_rollup_merge_equals_direct_sketch(spark):
+    # the register MAX-merge is exact, not approximate-on-approximate:
+    # each rolled-up level's estimate must equal the estimate computed
+    # by sketching directly at that level (register monoid property)
+    from kafka_streams_learning_spark.operators import sketches
+
+    rows = [(f"s{i % 3}", f"l{i % 2}", f"tok{i % 37}") for i in range(300)]
+    df = spark.createDataFrame(rows, "source string, lang string, token string")
+    got = {
+        (r.level, r.source, r.lang): r.hll_estimate
+        for r in sketches.hll_rollup(df, "token", ["source", "lang"]).collect()
+    }
+    assert len(got) == 3 * 2 + 3 + 1
+    for r in sketches.hll_estimate(
+        sketches.hll_registers(df, "token", ["source", "lang"]),
+        ["source", "lang"],
+    ).collect():
+        assert got[("source,lang", r.source, r.lang)] == r.hll_estimate
+    for r in sketches.hll_estimate(
+        sketches.hll_registers(df, "token", ["source"]), ["source"]
+    ).collect():
+        assert got[("source", r.source, None)] == r.hll_estimate
+    (direct_all,) = sketches.hll_estimate(
+        sketches.hll_registers(df, "token", []), []
+    ).collect()
+    assert got[("all", None, None)] == direct_all.hll_estimate

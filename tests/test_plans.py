@@ -491,3 +491,17 @@ def test_nb_classifier_scoring_is_broadcast_only(spark):
     scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
     mat_scans = plan.count("mat-x67")
     assert scans - mat_scans == 1, (scans, mat_scans)
+
+
+def test_hll_rollup_reads_only_the_register_table(spark):
+    # x68: the corpus was scanned ONCE inside the eager register-table
+    # materialization; the rollup plan itself reads ONLY that sketch
+    # table — every coarser reporting level is a MAX-merge of sketch
+    # rows, so adding levels never rescans the corpus.
+    df = _df(spark, "x68_hll_rollup")
+    plan = E.formatted_plan(df)
+    import re as _re
+
+    scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    mat_scans = plan.count("mat-x68")
+    assert scans == mat_scans and scans >= 3, (scans, mat_scans)

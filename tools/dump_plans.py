@@ -265,6 +265,15 @@ SHOWCASE: dict[str, str] = {
         "Output is provably identical to the plain join (oracle is the "
         "unsalted SQL)."
     ),
+    "x68_hll_rollup": (
+        "HLL rollup: every parquet scan in this plan is the MATERIALIZED "
+        "fine-level register table (the corpus was scanned once, inside "
+        "the eager materialization) — each coarser COUNT(DISTINCT) level "
+        "is a MAX-merge of sketch rows, so adding reporting levels "
+        "never rescans the corpus. The register monoid makes the merge "
+        "exact: rolled-up registers are identical to registers computed "
+        "directly at the coarser level."
+    ),
     "x67_nb_classifier": (
         "Hashed-NB quality classifier, scoring pass: the raw corpus "
         "appears ONCE (the source-column prior aggregate — ReadSchema "
