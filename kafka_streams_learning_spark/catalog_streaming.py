@@ -989,6 +989,92 @@ def _s22_sql() -> str:
     return _x67_sql()
 
 
+# s23 — LEFT-OUTER watermarked interval join (the Kafka Streams DSL's
+# windowed leftJoin, the outer sibling of s04's inner J2): an order with
+# no lineitem shipped inside [o_orderdate, +90d] must still emit, with
+# NULLs on the item side. Outer emission is watermark-gated — the engine
+# holds an unmatched left row in state until the GLOBAL watermark (min
+# across both inputs) passes its join window, then emits the NULL row —
+# so a finite replay needs the s07 flush sentinel on BOTH streams: one
+# far-future row per side rides the tail of the last data chunk,
+# advancing both watermarks past every real order's window; the engine's
+# trailing no-data micro-batch then flushes the NULL emissions. The
+# sentinels join nothing (distinct negative keys) and are filtered from
+# the result; the oracle is the batch LEFT JOIN with the same interval
+# predicate.
+
+
+# the sentinel-carrying stagings derive deterministically from the
+# fixture, so they are cached per sf like s05's changelog staging (the
+# flush-sentinel policy keeps them PRIVATE — never the shared staging —
+# but repeat catalog runs in one process must not re-pay the two sorts)
+_S23_STAGING: dict[str, tuple[str, str, object, object]] = {}
+
+
+def _s23(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime
+
+    from kafka_streams_learning_spark.sources.batch import load_table
+    from kafka_streams_learning_spark.sources.replay import (
+        replay_stream,
+        stage_replay_chunks,
+        staged_column_max,
+    )
+
+    if sf not in _S23_STAGING:
+        # sentinel ts from parquet footer stats (metadata reads, no
+        # scans); 200d > upper bound (90d) + watermark delay (90d) past
+        # every event
+        flush_ts = max(
+            staged_column_max(f"{sf}/orders.parquet", "o_orderdate"),
+            staged_column_max(f"{sf}/lineitem.parquet", "l_shipdate"),
+        ) + datetime.timedelta(days=200)
+
+        o = load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        )
+        o_stage = run_staging_dir("replay")
+        stage_replay_chunks(
+            o.unionByName(spark.createDataFrame([(-1, -1, flush_ts)], o.schema)),
+            o_stage, REPLAY_CHUNKS, order_by="o_orderdate",
+        )
+        li = load_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice",
+            F.col("l_shipdate").cast("timestamp").alias("l_shipdate"),
+        )
+        l_stage = run_staging_dir("replay")
+        stage_replay_chunks(
+            li.unionByName(
+                spark.createDataFrame([(-2, -1, 0.0, flush_ts)], li.schema)
+            ),
+            l_stage, REPLAY_CHUNKS, order_by="l_shipdate",
+        )
+        _S23_STAGING[sf] = (o_stage, l_stage, o.schema, li.schema)
+
+    o_stage, l_stage, o_schema, l_schema = _S23_STAGING[sf]
+    j = windows.streaming_interval_join(
+        replay_stream(spark, o_stage, o_schema),
+        replay_stream(spark, l_stage, l_schema),
+        "o_orderkey", "l_orderkey", "o_orderdate", "l_shipdate",
+        bound="90 days", lower="0 days", upper="90 days", how="left_outer",
+    )
+    out = j.select(
+        "o_orderkey", "o_custkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    )
+    name = _fresh_name("s23_out")
+    runner.run_to_memory(out, name, "append", state_partitions=STATE_SHARDS)
+    return spark.table(name).filter(F.col("o_orderkey") >= 0)
+
+
+_S23_SQL = """
+SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_extendedprice, l.l_shipdate
+FROM orders o LEFT JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -1046,4 +1132,8 @@ STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s22_stream_nb_classifier", _s22, _s22_sql(),
               "streaming quality gate: batch-frozen hashed-NB classifier "
               "scoring the document stream (x67 twin)"),
+    QuerySpec("s23_stream_outer_interval_join", _s23, _S23_SQL,
+              "left-outer watermarked interval join with NULL emission "
+              "flushed by the watermark (windowed leftJoin, s04's outer "
+              "sibling)"),
 ]

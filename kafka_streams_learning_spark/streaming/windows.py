@@ -114,13 +114,22 @@ def streaming_interval_join(
     watermark: str | None = None,
     lower: str | None = None,
     upper: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream windowed inner equi-join (SURVEY §2.5 J2): keys equal
+    """Stream-stream windowed equi-join (SURVEY §2.5 J2): keys equal
     and right_ts ∈ [left_ts - lower, left_ts + upper]
     (`StreamStreamJoinExample.java:118-123` is the symmetric ±bound case;
     lower/upper override for one-sided joins). Watermarks on BOTH sides let
     Spark purge join state once a row can no longer find a match — without
-    them stream-stream join state grows forever."""
+    them stream-stream join state grows forever.
+
+    ``how`` extends the inner default to the Kafka Streams DSL's windowed
+    leftJoin/outerJoin: for outer variants the engine emits the unmatched
+    side with NULLs only once the GLOBAL watermark (the min across both
+    inputs) passes the row's join window — on a finite replay the caller
+    must keep both watermarks advancing past the last real rows (the s07
+    flush-sentinel pattern, on BOTH streams), or tail rows stay in state
+    and their NULL emissions never fire."""
     lo = lower if lower is not None else bound
     hi = upper if upper is not None else bound
     wm = watermark if watermark is not None else hi
@@ -131,4 +140,4 @@ def streaming_interval_join(
         f"r.{right_ts} BETWEEN l.{left_ts} - INTERVAL {lo} "
         f"AND l.{left_ts} + INTERVAL {hi}"
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)

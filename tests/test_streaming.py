@@ -688,3 +688,37 @@ def test_streaming_neardup_merges_across_batches(spark, tmpdir):
     runner.run_to_memory(groups, name, "complete", state_partitions=2)
     rows = sorted(spark.table(name).collect(), key=lambda r: r["keep_id"])
     assert [(r["keep_id"], r["n_members"]) for r in rows] == [(1, 2), (2, 1)]
+
+
+def test_streaming_interval_join_left_outer(spark, tmpdir):
+    """J2's outer sibling (the windowed leftJoin): an unmatched left row
+    emits with NULLs on the right — but only after the GLOBAL watermark
+    passes its join window, so the replay carries a far-future flush row
+    on BOTH streams (the s07 sentinel pattern, as s23 stages it)."""
+    base = ts("2024-01-01T00:00:00")
+    flush = base + dt.timedelta(days=1)
+    o_schema = "o_key string, o_id long, o_ts timestamp"
+    p_schema = "p_key string, p_amount double, p_ts timestamp"
+    stage_explicit_chunks(
+        spark,
+        [[("1", 10, base), ("2", 20, base)], [("F", -1, flush)]],
+        o_schema,
+        tmpdir + "/orders",
+    )
+    stage_explicit_chunks(
+        spark,
+        [[("1", 99.0, base + dt.timedelta(minutes=3))], [("Fp", 0.0, flush)]],
+        p_schema,
+        tmpdir + "/pays",
+    )
+    j = windows.streaming_interval_join(
+        replay_stream(spark, tmpdir + "/orders", o_schema),
+        replay_stream(spark, tmpdir + "/pays", p_schema),
+        "o_key", "p_key", "o_ts", "p_ts", "5 minutes", how="left_outer",
+    )
+    batches = runner.run_collect_batches(j, "append")
+    rows = [(r.o_key, r.p_amount) for b in batches for r in b if r.o_key != "F"]
+    assert sorted(rows) == [("1", 99.0), ("2", None)]
+    # the NULL emission is watermark-gated: it cannot be in the first
+    # batch, before the flush rows advanced the watermark
+    assert ("2", None) not in [(r.o_key, r.p_amount) for r in batches[0]]
