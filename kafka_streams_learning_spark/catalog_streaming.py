@@ -963,20 +963,24 @@ def _s21_sql() -> str:
 
 def _s22(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_learning_spark.catalog_ext import nb_model
-    from kafka_streams_learning_spark.functions import text as T
-    from kafka_streams_learning_spark.functions.hashing import hash60
-    from kafka_streams_learning_spark.operators.textops import CLS_BUCKETS, nb_score
+    from kafka_streams_learning_spark.operators.textops import (
+        CLS_BUCKETS,
+        nb_bucketize,
+        nb_score,
+    )
 
     _tok, weights, scalars = nb_model(spark, sf)  # batch-frozen model
     w0, prior = scalars.collect()[0]
+    # nb_train's precondition: a degenerate one-class corpus yields NULL
+    # model scalars (ln 0) — fail loudly here, not as silent NULL scores
+    assert w0 is not None and prior is not None, "NB model needs both classes"
 
     stream = shared_replay_table(
         spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"
     )
-    tok = stream.select(
-        "doc_id",
-        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("token"),
-    ).select("doc_id", (hash60(F.col("token")) % F.lit(CLS_BUCKETS)).alias("bucket"))
+    # the SAME tokenize+bucket stage nb_train uses (op-for-op identity is
+    # what keeps this stream's final state hash-equal to x67's oracle)
+    tok = nb_bucketize(stream, [F.col("doc_id")], CLS_BUCKETS)
     scored = nb_score(tok, weights, F.lit(w0), F.lit(prior), "doc_id")
     name = _fresh_name("s22_out")
     runner.run_to_memory(scored, name, "complete", state_partitions=STATE_SHARDS)
@@ -1021,7 +1025,11 @@ def _s23(spark: SparkSession, sf: str) -> DataFrame:
         staged_column_max,
     )
 
-    if sf not in _S23_STAGING:
+    import os
+
+    if sf not in _S23_STAGING or not all(
+        os.path.isdir(p) for p in _S23_STAGING[sf][:2]
+    ):
         # sentinel ts from parquet footer stats (metadata reads, no
         # scans); 200d > upper bound (90d) + watermark delay (90d) past
         # every event

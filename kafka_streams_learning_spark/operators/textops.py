@@ -901,6 +901,31 @@ def dsir_importance(
 CLS_BUCKETS = 16
 
 
+def nb_bucketize(
+    df: DataFrame,
+    cols: list[Column],
+    n_buckets: int = CLS_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """The classifier's tokenize + hash-bucket prep — ONE definition
+    shared by `nb_train` (batch) and the streaming scorer (s22), so the
+    two sides cannot drift apart on normalization, tokenization, or the
+    bucket hash (the `bloom_probe_score` precedent: the oracle contract
+    is op-for-op identity, so the shared stage must BE shared code).
+    ``cols`` are the passthrough columns/expressions to carry alongside
+    each token's bucket."""
+    from kafka_streams_learning_spark.functions.hashing import hash60
+
+    toks = df.select(
+        *cols,
+        F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token"),
+    )
+    carried = [f.name for f in toks.schema.fields[:-1]]
+    return toks.select(
+        *carried, (hash60(F.col("token")) % F.lit(n_buckets)).alias("bucket")
+    )
+
+
 def nb_train(
     df: DataFrame,
     positive: Column,
@@ -912,6 +937,13 @@ def nb_train(
     """Train the hashed-feature multinomial-NB model `nb_hash_classifier`
     scores with; split out so a STREAM can score against a batch-frozen
     model (s22 — the s16/s21 stream-static precedent).
+
+    Precondition: BOTH classes must be non-empty — the NB prior and the
+    Laplace token ratios are undefined at ln(0) (Spark would yield NULL
+    scores silently; DuckDB's ln(0) errors, so a degenerate corpus
+    cannot even be oracle-checked). Callers that collect the model
+    scalars (s22) assert this; batch pipelines should validate the
+    `positive` predicate matches a non-trivial slice.
 
     Returns ``(tok, weights, scalars)``:
 
@@ -930,7 +962,6 @@ def nb_train(
     when several corpora train in one process (the per-sf-tag contract
     of the shared dedup pair tables).
     """
-    from kafka_streams_learning_spark.functions.hashing import hash60
     from kafka_streams_learning_spark.operators.materialize import materialized
 
     scale = F.lit(float(LOGPROB_SCALE))
@@ -942,11 +973,12 @@ def nb_train(
 
     is_pos = F.when(positive, F.lit(1)).otherwise(F.lit(0))
     tok = materialized(
-        df.select(
-            F.col(id_col).alias("id"),
-            is_pos.alias("is_pos"),
-            F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token"),
-        ).select("id", "is_pos", (hash60(F.col("token")) % d_lit).alias("bucket")),
+        nb_bucketize(
+            df,
+            [F.col(id_col).alias("id"), is_pos.alias("is_pos")],
+            n_buckets,
+            text_col,
+        ),
         tag=f"{tag}-tok" if tag else None,
     )
     counts = materialized(

@@ -793,3 +793,44 @@ def test_remove_duplicate_spans_matches_python_model(spark, docs):
         assert got[i].clean_text == " ".join(kept), docs
         assert got[i].n_chunks == len(chunks[i]), docs
         assert got[i].n_removed == len(chunks[i]) - len(kept), docs
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.sampled_from(["x", "y"]),
+            st.text(min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hll_rollup_levels_equal_direct_sketches(spark, rows):
+    """Every rollup level must be EXACTLY the sketch computed directly at
+    that grouping — the end-to-end form of register-merge associativity,
+    through `hll_rollup`'s materialize + MAX-merge + estimate assembly,
+    for arbitrary inputs (empty strings, duplicate tokens, single-group
+    corners included)."""
+    from kafka_streams_learning_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+        hll_rollup,
+    )
+
+    df = spark.createDataFrame(rows, "g1 string, g2 string, v string")
+    got = {
+        (r.level, r.g1, r.g2): r.hll_estimate
+        for r in hll_rollup(df, "v", ["g1", "g2"]).collect()
+    }
+    for r in hll_estimate(hll_registers(df, "v", ["g1", "g2"]), ["g1", "g2"]).collect():
+        assert got[("g1,g2", r.g1, r.g2)] == r.hll_estimate
+    for r in hll_estimate(hll_registers(df, "v", ["g1"]), ["g1"]).collect():
+        assert got[("g1", r.g1, None)] == r.hll_estimate
+    (g,) = hll_estimate(hll_registers(df, "v", []), []).collect()
+    assert got[("all", None, None)] == g.hll_estimate
