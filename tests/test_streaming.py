@@ -722,3 +722,47 @@ def test_streaming_interval_join_left_outer(spark, tmpdir):
     # the NULL emission is watermark-gated: it cannot be in the first
     # batch, before the flush rows advanced the watermark
     assert ("2", None) not in [(r.o_key, r.p_amount) for r in batches[0]]
+
+
+def test_outer_interval_join_checkpoint_recovery(spark, tmpdir):
+    """§5.2-5 for stream-stream OUTER join state: kill the query while a
+    left row's join window is still open, deliver the flush sentinels
+    while it is down, restart from the same checkpoint — the NULL
+    emission must fire after recovery, from RESTORED two-sided join
+    state, and nothing may emit twice."""
+    base = ts("2024-01-01T00:00:00")
+    flush = base + dt.timedelta(days=1)
+    o_schema = "o_key string, o_id long, o_ts timestamp"
+    p_schema = "p_key string, p_amount double, p_ts timestamp"
+    o_dir, p_dir, ckpt = tmpdir + "/o", tmpdir + "/p", tmpdir + "/ckpt"
+    stage_explicit_chunks(
+        spark, [[("1", 10, base), ("2", 20, base)]], o_schema, o_dir
+    )
+    stage_explicit_chunks(
+        spark, [[("1", 99.0, base + dt.timedelta(minutes=3))]], p_schema, p_dir
+    )
+
+    def q():
+        return windows.streaming_interval_join(
+            replay_stream(spark, o_dir, o_schema),
+            replay_stream(spark, p_dir, p_schema),
+            "o_key", "p_key", "o_ts", "p_ts", "5 minutes", how="left_outer",
+        )
+
+    run1 = runner.run_collect_batches(q(), "append", checkpoint=ckpt)
+    got1 = [(r.o_key, r.p_amount) for b in run1 for r in b]
+    assert ("2", None) not in got1  # the window was still open at the kill
+
+    # the flush sentinels arrive while the query is down
+    stage_explicit_chunks(
+        spark, [[("F", -1, flush)]], o_schema, o_dir + "/chunk=99999-extra"
+    )
+    stage_explicit_chunks(
+        spark, [[("Fp", 0.0, flush)]], p_schema, p_dir + "/chunk=99999-extra"
+    )
+    run2 = runner.run_collect_batches(q(), "append", checkpoint=ckpt)
+    got2 = [(r.o_key, r.p_amount) for b in run2 for r in b]
+    assert ("2", None) in got2  # restored state emitted the NULL row
+
+    all_rows = [t for t in got1 + got2 if t[0] != "F"]
+    assert sorted(all_rows) == [("1", 99.0), ("2", None)]
