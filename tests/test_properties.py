@@ -834,3 +834,66 @@ def test_hll_rollup_levels_equal_direct_sketches(spark, rows):
         assert got[("g1", r.g1, None)] == r.hll_estimate
     (g,) = hll_estimate(hll_registers(df, "v", []), []).collect()
     assert got[("all", None, None)] == g.hll_estimate
+
+
+@settings(**{**_SETTINGS, "max_examples": 10})
+@given(st.lists(st.tuples(_DOC, st.booleans()), min_size=1, max_size=8))
+def test_nb_classifier_matches_python_model_any_corpus(spark, docs):
+    """x67's hashed-NB classifier vs a direct Python model on adversarial
+    corpora (empty docs, whitespace runs, heavy bucket collisions), with
+    one anchor doc per class injected so the documented two-class
+    precondition holds. Zero-token docs must emit no row; every other
+    doc's integer score must match the model exactly."""
+    import hashlib
+    import math
+
+    from kafka_streams_learning_spark.operators import textops
+
+    rows = [(i, t, "pos" if p else "neg") for i, (t, p) in enumerate(docs)]
+    rows += [(len(rows), "anchor a", "pos"), (len(rows) + 1, "anchor b", "neg")]
+    D = 4
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: r
+        for r in textops.nb_hash_classifier(
+            df, F.col("source") == "pos", n_buckets=D
+        ).collect()
+    }
+
+    def toks(t):
+        return t.lower().split()
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % D
+
+    def q(p):
+        return math.floor(math.log(p) * 1e6 + 0.5)
+
+    pos_cnt, all_cnt = {}, {}
+    for _id, t, src in rows:
+        for tok in toks(t):
+            b = bucket(tok)
+            all_cnt[b] = all_cnt.get(b, 0) + 1
+            if src == "pos":
+                pos_cnt[b] = pos_cnt.get(b, 0) + 1
+    n_pos = sum(pos_cnt.values())
+    n_neg = sum(all_cnt.values()) - n_pos
+    w = {
+        b: q((pos_cnt.get(b, 0) + 1) / (n_pos + D))
+        - q((all_cnt[b] - pos_cnt.get(b, 0) + 1) / (n_neg + D))
+        for b in all_cnt
+    }
+    w0 = q(1 / (n_pos + D)) - q(1 / (n_neg + D))
+    n_pos_docs = sum(1 for r in rows if r[2] == "pos")
+    nd = len(rows)
+    prior = q(n_pos_docs / nd) - q((nd - n_pos_docs) / nd)
+    for _id, t, _src in rows:
+        ts = toks(t)
+        r = got.get(_id)
+        if not ts:
+            assert r is None  # zero-token docs emit no row
+            continue
+        llr = sum(w.get(bucket(x), w0) for x in ts)
+        assert (r.n_tokens, r.llr_q_sum) == (len(ts), llr)
+        assert r.log_odds == (prior + llr) / 1e6
+        assert r.is_positive == ((prior + llr) > 0)
