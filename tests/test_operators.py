@@ -1249,15 +1249,16 @@ def test_remove_duplicate_spans_null_text_keeps_row(spark):
 
 
 def test_nb_hash_classifier_matches_python_model(spark):
-    # x67 vs a plain-Python hashed-NB model: same md5 bucketing, same
-    # Laplace LLR weights on the 1e-6 grid, same integer score sums
-    # (Python floats are IEEE doubles, so floor/log reproduce the engine)
-    import hashlib
-    import math
-
+    # x67 vs the plain-Python hashed-NB model (conftest.py_nb_model, the
+    # SINGLE mirror of nb_train/nb_score shared with the hypothesis
+    # property): same md5 bucketing, same Laplace LLR weights on the
+    # 1e-6 grid, same integer score sums (Python floats are IEEE
+    # doubles, so floor/log reproduce the engine)
     from pyspark.sql import functions as F
 
     from kafka_streams_learning_spark.operators import textops
+
+    from .conftest import py_nb_model
 
     rows = [
         (1, "a a b", "good"),
@@ -1274,33 +1275,15 @@ def test_nb_hash_classifier_matches_python_model(spark):
         ).collect()
     }
 
-    def bucket(tok):
-        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % D
-
-    def q(p):
-        return math.floor(math.log(p) * 1e6 + 0.5)
-
-    pos_cnt, all_cnt = {}, {}
-    for doc_id, text, source in rows:
-        for tok in text.split():
-            b = bucket(tok)
-            all_cnt[b] = all_cnt.get(b, 0) + 1
-            if source == "good":
-                pos_cnt[b] = pos_cnt.get(b, 0) + 1
-    n_pos = sum(pos_cnt.values())
-    n_neg = sum(all_cnt.values()) - n_pos
-    w = {
-        b: q((pos_cnt.get(b, 0) + 1) / (n_pos + D))
-        - q((all_cnt[b] - pos_cnt.get(b, 0) + 1) / (n_neg + D))
-        for b in all_cnt
-    }
-    w0 = q(1 / (n_pos + D)) - q(1 / (n_neg + D))
-    prior = q(2 / 4) - q(2 / 4)
+    w, w0, prior, bucket, toks = py_nb_model(
+        [(i, t, s == "good") for i, t, s in rows], D
+    )
+    assert prior == 0  # balanced 2/4 corpus
     for doc_id, text, _ in rows:
-        toks = text.split()
-        llr = sum(w.get(bucket(t), w0) for t in toks)
+        ts = toks(text)
+        llr = sum(w.get(bucket(t), w0) for t in ts)
         r = got[doc_id]
-        assert r.n_tokens == len(toks)
+        assert r.n_tokens == len(ts)
         assert r.llr_q_sum == llr
         assert r.log_odds == (prior + llr) / 1e6
         assert r.is_positive == ((prior + llr) > 0)

@@ -844,10 +844,9 @@ def test_nb_classifier_matches_python_model_any_corpus(spark, docs):
     one anchor doc per class injected so the documented two-class
     precondition holds. Zero-token docs must emit no row; every other
     doc's integer score must match the model exactly."""
-    import hashlib
-    import math
-
     from kafka_streams_learning_spark.operators import textops
+
+    from .conftest import py_nb_model
 
     rows = [(i, t, "pos" if p else "neg") for i, (t, p) in enumerate(docs)]
     rows += [(len(rows), "anchor a", "pos"), (len(rows) + 1, "anchor b", "neg")]
@@ -860,33 +859,9 @@ def test_nb_classifier_matches_python_model_any_corpus(spark, docs):
         ).collect()
     }
 
-    def toks(t):
-        return t.lower().split()
-
-    def bucket(tok):
-        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % D
-
-    def q(p):
-        return math.floor(math.log(p) * 1e6 + 0.5)
-
-    pos_cnt, all_cnt = {}, {}
-    for _id, t, src in rows:
-        for tok in toks(t):
-            b = bucket(tok)
-            all_cnt[b] = all_cnt.get(b, 0) + 1
-            if src == "pos":
-                pos_cnt[b] = pos_cnt.get(b, 0) + 1
-    n_pos = sum(pos_cnt.values())
-    n_neg = sum(all_cnt.values()) - n_pos
-    w = {
-        b: q((pos_cnt.get(b, 0) + 1) / (n_pos + D))
-        - q((all_cnt[b] - pos_cnt.get(b, 0) + 1) / (n_neg + D))
-        for b in all_cnt
-    }
-    w0 = q(1 / (n_pos + D)) - q(1 / (n_neg + D))
-    n_pos_docs = sum(1 for r in rows if r[2] == "pos")
-    nd = len(rows)
-    prior = q(n_pos_docs / nd) - q((nd - n_pos_docs) / nd)
+    w, w0, prior, bucket, toks = py_nb_model(
+        [(i, t, s == "pos") for i, t, s in rows], D
+    )
     for _id, t, _src in rows:
         ts = toks(t)
         r = got.get(_id)
