@@ -487,6 +487,7 @@ _TAIL_STABLE = [
 #      tests/test_catalog_oracle.py + tools/oracle_check.py every round.
 _HEAD_FIRST = [
     # band 1: never driver-verified (new round-7 rows first)
+    "x69_star_join_rollup",
     "x68_hll_rollup",
     "x67_nb_classifier",
     "x66_salted_join",
@@ -498,20 +499,20 @@ _HEAD_FIRST = [
     # band 2: rotation — the r4-stale cohort, oldest driver row first
     # (VERDICT r6 item 1). Final round-7 arithmetic: 15 q + 23 s
     # (s22/s23 joined the streaming block, themselves never-gated) +
-    # band 1 (8 never-gated) + these 4 = exactly 50. The round-8
-    # rotation queue is 21 r4-stale rows: x02/x03/x04/x05 (displaced
-    # from band 2 by x67/s22/x68/s23) + x06/x07/x08 (displaced into
+    # band 1 (9 never-gated) + these 3 = exactly 50. The round-8
+    # rotation queue is 22 r4-stale rows: x01–x05 (displaced from
+    # band 2 by the round-7 additions) + x06/x07/x08 (displaced into
     # band 3 below) + the 14 at the top of _TAIL_STABLE. GATE_PREFIX.md
     # (generated by bench.py) is the authoritative listing.
     "x22_asof_join",
     "x24_quantile_stats",
     "x20_balanced_sample",
-    "x01_text_stats",
     # band 3: driver-green in r06 (freshest — overflow first).
-    # x02–x05 were displaced from band 2 by x67/s22/x68/s23; x06/x07/
-    # x08 were displaced by x65/x66/s21 (never-gated rows front the
-    # prefix); all seven join the round-8 rotation with the
+    # x01–x05 were displaced from band 2 by x67/s22/x68/s23/x69;
+    # x06/x07/x08 were displaced by x65/x66/s21 (never-gated rows
+    # front the prefix); all eight join the round-8 rotation with the
     # _TAIL_STABLE r4 cohort.
+    "x01_text_stats",
     "x02_lang_id",
     "x03_fingerprint",
     "x04_dedup_exact",

@@ -3017,6 +3017,74 @@ UNION ALL
 """
 
 
+# ---------------------------------------------------------------------------
+# X69 — star-schema broadcast-chain rollup (TPC-H Q9-flavored): revenue
+# per (region, nation, part brand) from the lineitem fact through FOUR
+# chained dimension joins (supplier → nation → region, plus part). The
+# canonical 100 TB star-join shape: every dimension broadcasts, so the
+# fact table streams through ONE codegen stage with zero exchanges
+# until the final group-by (plan-pinned) — at a thousand executors the
+# only shuffle is ≤ |regions × nations × brands| aggregate rows.
+# Money math follows the x43 fixed-point contract: the per-row revenue
+# is snapped to integer CENTS before the sum, so the aggregate is an
+# exact, partition-order-free BIGINT in both engines (a raw SUM(DOUBLE)
+# would be association-dependent and could never hash-match).
+# Also the coverage row for the four fixture tables (region, nation,
+# supplier, part) no other catalog query touches.
+
+
+def _x69(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf, "region").select("r_regionkey", "r_name")
+    prt = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    j = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        j.select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("p_brand").alias("brand"),
+            cents.alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .groupBy("region", "nation", "brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").alias("sum_qty"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+_X69_SQL = """
+SELECT r.r_name AS region, n.n_name AS nation, p.p_brand AS brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1, 2, 3
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -3184,4 +3252,8 @@ EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x68_hll_rollup", _x68, _x68_sql(),
               "multi-granularity distinct-token counts by MAX-merging "
               "one HLL register table upward (sketch mergeability)"),
+    QuerySpec("x69_star_join_rollup", _x69, _X69_SQL,
+              "star-schema broadcast-chain rollup over four dimensions "
+              "(exact integer-cents revenue; region/nation/supplier/part "
+              "coverage)"),
 ]

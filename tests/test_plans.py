@@ -505,3 +505,20 @@ def test_hll_rollup_reads_only_the_register_table(spark):
     scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
     mat_scans = plan.count("mat-x68")
     assert scans == mat_scans and scans >= 3, (scans, mat_scans)
+
+
+def test_star_join_broadcasts_every_dimension(spark):
+    # x69: the canonical star shape — all four dimension joins must be
+    # broadcast hash joins, so the fact side streams with ZERO exchanges
+    # until the final group-by (one exchange total); no sort-merge join
+    # may appear. Five scans: the fact + four dims.
+    import re as _re
+
+    df = _df(spark, "x69_star_join_rollup")
+    plan = E.formatted_plan(df)
+    # each node renders in the tree AND the details section — count the
+    # numbered detail entries, one per physical node
+    assert len(_re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 4
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert E.exchange_count(df) == 1
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 5

@@ -265,6 +265,13 @@ SHOWCASE: dict[str, str] = {
         "Output is provably identical to the plain join (oracle is the "
         "unsalted SQL)."
     ),
+    "x69_star_join_rollup": (
+        "Star-schema rollup: four chained BroadcastHashJoins — the fact "
+        "scan streams through one codegen stage with zero exchanges "
+        "until the final group-by. Revenue is snapped to integer cents "
+        "per row before the sum, so the aggregate is exact and "
+        "partition-order-free in both engines."
+    ),
     "x68_hll_rollup": (
         "HLL rollup: every parquet scan in this plan is the MATERIALIZED "
         "fine-level register table (the corpus was scanned once, inside "
