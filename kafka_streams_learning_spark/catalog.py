@@ -454,10 +454,11 @@ REFERENCE_QUERIES: list[QuerySpec] = [
 _TAIL_STABLE = [
     # round 7: the r4-stale cohort is being cycled through the gate
     # prefix oldest-driver-row-first (VERDICT r6 item 1). This round's
-    # rotation band re-gates x22/x24/x20 + x01–x05 (x06/x07/x08 displaced
-    # to the round-8 band by the new never-gated rows x65/x66/s21); the 14
-    # names below are the REMAINING r4-stale rows, also round-8.
-    # All are locally oracle-checked at three SFs every round.
+    # rotation band re-gates x22/x24/x20 only — x01–x08 were displaced
+    # past the 50-cap by the nine new never-gated rows (x61–x69, s20–s23
+    # et al.) and join the round-8 queue with the 14 names below (the
+    # remaining r4-stale rows). All are locally oracle-checked at three
+    # SFs every round; GATE_PREFIX.md is the authoritative listing.
     "x10_embedding_near_dups",
     "x16_clean_corpus",
     "x11_lsh_candidates",

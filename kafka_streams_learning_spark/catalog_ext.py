@@ -3059,7 +3059,11 @@ def _x69(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.col("p_brand").alias("brand"),
             cents.alias("cents"),
-            F.col("l_quantity").cast("bigint").alias("qty"),
+            # floor(+0.5) BEFORE the cast: a bare double->BIGINT cast
+            # truncates in Spark but rounds in DuckDB — pin the
+            # semantics so a fixture with fractional quantities cannot
+            # diverge (values are integral today, so hashes unchanged)
+            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("qty"),
         )
         .groupBy("region", "nation", "brand")
         .agg(
@@ -3073,7 +3077,7 @@ def _x69(spark: SparkSession, sf: str) -> DataFrame:
 _X69_SQL = """
 SELECT r.r_name AS region, n.n_name AS nation, p.p_brand AS brand,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
                      AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem l
