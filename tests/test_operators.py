@@ -1054,7 +1054,8 @@ def test_never_gated_queries_sit_inside_gate_prefix():
     misplaced = [n for n in never_gated if names.index(n) >= 50]
     assert not misplaced, (
         f"never-driver-verified queries outside the ~50-entry gate "
-        f"prefix: {misplaced} — reorder _HEAD_FIRST in catalog.py"
+        f"prefix: {misplaced} — gate_rotation.rotation_sort should have "
+        f"fronted them (never-gated rows sort as round 0)"
     )
 
 
