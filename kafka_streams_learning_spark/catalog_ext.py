@@ -1477,13 +1477,22 @@ FROM s
 # k-means cluster — the cluster-bounded scale path beside x26's banded
 # LSH. Pairs = equi-join on cluster id, Σ|cluster|² not n²; scoring is
 # normalize-once + one dot (same contract as x10/x26 re-scoring).
+# Since round 8 the clustering model is the SAMPLED-training one
+# (hash32(vec_id) % KMEANS_SAMPLE_MOD, the x62 lever): Lloyd scans the
+# sample per iteration instead of the full corpus — at 100 TB that was
+# the catalog's last full-corpus-per-iteration scan (VERDICT r7 item 3).
+# Cluster boundaries differ slightly from full-corpus training, which is
+# fine for SemDeDup (clusters only bound the candidate pairs; scoring is
+# exact) — and the DuckDB oracle replays the SAME sampled training, so
+# the bit-level gate still covers the whole path. x39 and x62 share one
+# trained model per process.
 
 SEMDEDUP_THRESHOLD = EMB_DUP_THRESHOLD
 
 
 def _x39(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    cents = _trained_centroids(spark, sf)
+    cents = _sampled_centroids(spark, sf)
     return similarity.semantic_near_dup_pairs(emb, cents, SEMDEDUP_THRESHOLD)
 
 
@@ -1496,7 +1505,7 @@ _NORM_SQ = (
 def _x39_sql() -> str:
     dist = _kmeans_dist_sql("e.embedding", "c.cv")
     return f"""
-WITH {_kmeans_ctes()},
+WITH {_kmeans_ctes_sampled()},
 asg AS (
   SELECT vec_id, embedding, cluster FROM (
     SELECT e.vec_id, e.embedding, c.cid AS cluster, {dist} AS dist
@@ -2693,9 +2702,12 @@ def _kmeans_sample_pred_sql() -> str:
     return f"{hash32_sql('CAST(vec_id AS VARCHAR)')} % {KMEANS_SAMPLE_MOD} = 0"
 
 
-def _x62(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
+def _sampled_centroids(spark: SparkSession, sf: str) -> dict[int, list[float]]:
+    """The sampled-training k-means model, trained once per process and
+    shared by x62 (assignment audit) and x39 (SemDeDup) — the same
+    one-model precedent as `_trained_centroids` for x35."""
     if sf not in _SAMPLED_CENTROID_CACHE:
+        emb = load_table(spark, sf, "embeddings")
         _SAMPLED_CENTROID_CACHE[sf] = clustering.kmeans_centroids(
             emb,
             k=KMEANS_K,
@@ -2703,7 +2715,12 @@ def _x62(spark: SparkSession, sf: str) -> DataFrame:
             dim=EMB_DIM,
             train_filter=_kmeans_sample_filter(),
         )
-    return clustering.assign_labeled(emb, _SAMPLED_CENTROID_CACHE[sf])
+    return _SAMPLED_CENTROID_CACHE[sf]
+
+
+def _x62(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return clustering.assign_labeled(emb, _sampled_centroids(spark, sf))
 
 
 def _kmeans_ctes_sampled() -> str:
