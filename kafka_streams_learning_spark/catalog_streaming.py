@@ -971,9 +971,12 @@ def _s22(spark: SparkSession, sf: str) -> DataFrame:
 
     _tok, weights, scalars = nb_model(spark, sf)  # batch-frozen model
     w0, prior = scalars.collect()[0]
-    # nb_train's precondition: a degenerate one-class corpus yields NULL
-    # model scalars (ln 0) — fail loudly here, not as silent NULL scores
-    assert w0 is not None and prior is not None, "NB model needs both classes"
+    # nb_train now raises on a one-class corpus, but the frozen-model
+    # handoff keeps its own guard (an explicit raise, not an assert —
+    # `python -O` strips asserts and the failure mode this prevents is
+    # SILENT NULL scores)
+    if w0 is None or prior is None:
+        raise ValueError("NB model scalars are NULL — both classes required")
 
     stream = shared_replay_table(
         spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"

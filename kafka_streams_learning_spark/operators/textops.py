@@ -916,13 +916,21 @@ def nb_bucketize(
     each token's bucket."""
     from kafka_streams_learning_spark.functions.hashing import hash60
 
+    # the exploded token gets an internal alias a passthrough column can't
+    # plausibly shadow — a caller carrying a column literally named
+    # "token" must not silently hash the wrong column (ADVICE r7)
     toks = df.select(
         *cols,
-        F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("token"),
+        F.explode(T.tokens(T.normalized_text(F.col(text_col)))).alias("__nb_token"),
     )
     carried = [f.name for f in toks.schema.fields[:-1]]
+    if len(set(carried)) != len(carried) or "__nb_token" in carried:
+        raise ValueError(
+            "nb_bucketize passthrough columns must be uniquely named and "
+            f"must not use the internal alias '__nb_token': {carried}"
+        )
     return toks.select(
-        *carried, (hash60(F.col("token")) % F.lit(n_buckets)).alias("bucket")
+        *carried, (hash60(F.col("__nb_token")) % F.lit(n_buckets)).alias("bucket")
     )
 
 
@@ -938,12 +946,13 @@ def nb_train(
     scores with; split out so a STREAM can score against a batch-frozen
     model (s22 — the s16/s21 stream-static precedent).
 
-    Precondition: BOTH classes must be non-empty — the NB prior and the
-    Laplace token ratios are undefined at ln(0) (Spark would yield NULL
-    scores silently; DuckDB's ln(0) errors, so a degenerate corpus
-    cannot even be oracle-checked). Callers that collect the model
-    scalars (s22) assert this; batch pipelines should validate the
-    `positive` predicate matches a non-trivial slice.
+    Precondition (ENFORCED): both classes must be non-empty — the NB
+    class prior hits ln(0) on a one-class corpus, which Spark evaluates
+    to silent NULL scores (DuckDB's ln(0) errors, so such a corpus
+    cannot even be oracle-checked). Training collects the 1-row doc
+    prior (a column-pruned scan it then reuses as exact-integer
+    literals, so the corpus is not re-scanned when `scalars`
+    evaluates) and raises ``ValueError`` when either class is empty.
 
     Returns ``(tok, weights, scalars)``:
 
@@ -991,8 +1000,22 @@ def nb_train(
         F.sum("pos_cnt").alias("n_pos_tot"),
         (F.sum("all_cnt") - F.sum("pos_cnt")).alias("n_neg_tot"),
     )
-    priors = df.agg(
+    pri = df.agg(
         F.sum(is_pos).alias("n_pos_docs"), F.count(F.lit(1)).alias("n_docs")
+    ).collect()[0]
+    n_pos_docs, n_docs = int(pri["n_pos_docs"] or 0), int(pri["n_docs"])
+    if n_pos_docs == 0 or n_pos_docs == n_docs:
+        raise ValueError(
+            "nb_train needs both classes non-empty: "
+            f"{n_pos_docs} of {n_docs} docs match `positive` — the class "
+            "prior hits ln(0) and every score would be NULL"
+        )
+    # exact-integer literals: the ln/snap math still runs in-engine, so
+    # there is no Python-vs-JVM log() drift, but downstream evaluations
+    # of `scalars` no longer re-scan the corpus for the prior
+    priors = df.sparkSession.range(1).select(
+        F.lit(n_pos_docs).cast("long").alias("n_pos_docs"),
+        F.lit(n_docs).cast("long").alias("n_docs"),
     )
 
     def _ratio(num: Column, den: Column) -> Column:

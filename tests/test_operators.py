@@ -1290,6 +1290,45 @@ def test_nb_hash_classifier_matches_python_model(spark):
         assert r.is_positive == ((prior + llr) > 0)
 
 
+def test_nb_train_rejects_one_class_corpus(spark):
+    # ADVICE r7: the two-class precondition must fail LOUDLY on the batch
+    # path too — a one-class corpus hits ln(0) in the class prior and
+    # used to emit silent NULL scores
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_streams_learning_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, "a b", "good"), (2, "b c", "good")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="both classes"):
+        textops.nb_train(df, positive=F.col("source") == "good", n_buckets=4)
+    with pytest.raises(ValueError, match="both classes"):
+        textops.nb_train(df, positive=F.col("source") == "junk", n_buckets=4)
+
+
+def test_nb_bucketize_rejects_colliding_passthrough_names(spark):
+    # ADVICE r7: a passthrough column named like the internal exploded
+    # alias (or duplicate passthrough names) must raise, not silently
+    # hash the wrong column
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_streams_learning_spark.operators import textops
+
+    df = spark.createDataFrame([(1, "a b", "x")], "doc_id long, text string, token string")
+    # a passthrough column legitimately named "token" is FINE now
+    out = textops.nb_bucketize(df, [F.col("doc_id"), F.col("token")], 4)
+    assert out.columns == ["doc_id", "token", "bucket"]
+    assert out.count() == 2
+    with pytest.raises(ValueError, match="__nb_token"):
+        textops.nb_bucketize(df, [F.col("token").alias("__nb_token")], 4)
+    with pytest.raises(ValueError, match="uniquely named"):
+        textops.nb_bucketize(df, [F.col("doc_id"), F.col("token").alias("doc_id")], 4)
+
+
 def test_nb_hash_classifier_is_partition_order_free(spark):
     # integer score sums must be identical regardless of input layout
     from pyspark.sql import functions as F

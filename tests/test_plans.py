@@ -478,9 +478,9 @@ def test_nb_classifier_scoring_is_broadcast_only(spark):
     # broadcast into the scoring pass; the corpus is never shuffled on
     # token/bucket. The corpus tokenize ran ONCE inside the eager
     # x67-…-tok materialization (nb_train), whose compact token table
-    # feeds both training and scoring — so THIS plan scans the raw
-    # corpus exactly once (the source-column prior aggregate) and every
-    # other scan is a tiny materialized model table.
+    # feeds both training and scoring, and the doc prior is collected at
+    # train time into exact-integer literals — so THIS plan scans ZERO
+    # raw-corpus parquet: every scan is a tiny materialized model table.
     df = _df(spark, "x67_nb_classifier")
     plan = E.formatted_plan(df)
     assert "BroadcastHashJoin" in plan
@@ -490,7 +490,7 @@ def test_nb_classifier_scoring_is_broadcast_only(spark):
 
     scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
     mat_scans = plan.count("mat-x67")
-    assert scans - mat_scans == 1, (scans, mat_scans)
+    assert scans == mat_scans and scans > 0, (scans, mat_scans)
 
 
 def test_hll_rollup_reads_only_the_register_table(spark):
