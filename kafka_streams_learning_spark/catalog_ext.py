@@ -3050,16 +3050,25 @@ UNION ALL
 # supplier, part) no other catalog query touches.
 
 
-def _x69(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem").select(
-        "l_suppkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
-    )
+def star_rollup_dims(spark: SparkSession, sf: str):
+    """The four star dimensions, column-pruned — shared by x69 (batch)
+    and s24 (the same rollup with lineitem arriving as a stream)."""
     sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     nat = load_table(spark, sf, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
     reg = load_table(spark, sf, "region").select("r_regionkey", "r_name")
     prt = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    return sup, nat, reg, prt
+
+
+def star_rollup(li: DataFrame, sup, nat, reg, prt) -> DataFrame:
+    """The x69 broadcast-chain rollup over any lineitem-shaped frame —
+    `li` may be a batch scan (x69) or a replayed STREAM (s24): every
+    dimension broadcasts into stateless stream-static joins, so the only
+    stateful stage is the final ≤|region×nation×brand|-row aggregate.
+    ONE definition keeps the batch and streaming sides op-for-op
+    identical (the nb_bucketize/nb_score precedent)."""
     cents = F.floor(
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
         + F.lit(0.5)
@@ -3089,6 +3098,13 @@ def _x69(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("cents").alias("revenue_cents"),
         )
     )
+
+
+def _x69(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return star_rollup(li, *star_rollup_dims(spark, sf))
 
 
 _X69_SQL = """

@@ -1086,6 +1086,49 @@ FROM orders o LEFT JOIN lineitem l
 """
 
 
+# s24 — streaming star-schema rollup (x69 live): the classic streaming-
+# enrichment dashboard — the lineitem FACT arrives as a stream and flows
+# through the SAME four chained broadcast dimension joins x69 uses
+# (`joins/stream_ktable/StreamTableJoinExample.java:151-155` is the
+# reference's stream⋈table enrichment pattern, here at dimension count
+# 4), into a complete-mode (region, nation, brand) rollup. Stream-static
+# inner joins are STATELESS — each micro-batch's facts join the
+# broadcast dims and die — so the only state is the ≤|region×nation×
+# brand|-row aggregate, and the exact-integer cents/qty sums make the
+# final state hash-equal to x69's batch oracle regardless of micro-batch
+# boundaries. One shared `star_rollup` definition keeps the two sides
+# op-for-op identical (the nb_bucketize/nb_score precedent).
+
+# staged-column signature for the s24 lineitem replay (also pre-staged by
+# bench.py's warmup so the timed row measures the engine, not the sort)
+S24_LINEITEM_COLS = (
+    "l_suppkey", "l_partkey", "l_quantity",
+    "l_extendedprice", "l_discount", "l_shipdate",
+)
+
+
+def _s24(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.catalog_ext import (
+        star_rollup,
+        star_rollup_dims,
+    )
+
+    stream = shared_replay_table(
+        spark, sf, "lineitem", REPLAY_CHUNKS,
+        order_by="l_shipdate", columns=S24_LINEITEM_COLS,
+    )
+    rolled = star_rollup(stream, *star_rollup_dims(spark, sf))
+    name = _fresh_name("s24_out")
+    runner.run_to_memory(rolled, name, "complete", state_partitions=STATE_SHARDS)
+    return spark.table(name)
+
+
+def _s24_sql() -> str:
+    from kafka_streams_learning_spark.catalog_ext import _X69_SQL
+
+    return _X69_SQL
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("s01_stream_count_by_key", _s01, _S01_SQL,
               "running count per key through the streaming engine (A1)"),
@@ -1147,4 +1190,8 @@ STREAMING_QUERIES: list[QuerySpec] = [
               "left-outer watermarked interval join with NULL emission "
               "flushed by the watermark (windowed leftJoin, s04's outer "
               "sibling)"),
+    QuerySpec("s24_stream_star_rollup", _s24, _s24_sql(),
+              "streaming star-schema rollup: the lineitem fact stream "
+              "through four broadcast dims into a complete-mode rollup "
+              "(x69 twin)"),
 ]

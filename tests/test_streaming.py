@@ -766,3 +766,48 @@ def test_outer_interval_join_checkpoint_recovery(spark, tmpdir):
 
     all_rows = [t for t in got1 + got2 if t[0] != "F"]
     assert sorted(all_rows) == [("1", 99.0), ("2", None)]
+
+
+def test_streaming_star_rollup_aggregates_across_batches(spark, tmpdir):
+    """s24: facts arriving in different micro-batches fold into ONE
+    rollup row per (region, nation, brand) — the complete-mode final
+    state equals the batch star_rollup over the concatenated input, and
+    the integer cents/qty sums are exact across the batch boundary."""
+    from kafka_streams_learning_spark.catalog_ext import star_rollup
+
+    li_schema = (
+        "l_suppkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp"
+    )
+    base = ts("2024-01-01T00:00:00")
+    chunks = [
+        [(1, 1, 2.0, 100.0, 0.1, base), (2, 1, 1.0, 50.0, 0.0, base)],
+        # same (region, nation, brand) as row 1 — must merge across batches
+        [(1, 1, 3.0, 10.0, 0.5, base + dt.timedelta(days=1))],
+    ]
+    stage_explicit_chunks(spark, chunks, li_schema, tmpdir)
+    sup = spark.createDataFrame(
+        [(1, 10), (2, 20)], "s_suppkey long, s_nationkey long"
+    )
+    nat = spark.createDataFrame(
+        [(10, "FRANCE", 100), (20, "KENYA", 200)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    reg = spark.createDataFrame(
+        [(100, "EUROPE"), (200, "AFRICA")], "r_regionkey long, r_name string"
+    )
+    prt = spark.createDataFrame([(1, "B#1")], "p_partkey long, p_brand string")
+
+    rolled = star_rollup(
+        replay_stream(spark, tmpdir, li_schema), sup, nat, reg, prt
+    )
+    runner.run_to_memory(rolled, "s24_test_out", "complete", state_partitions=2)
+    got = {
+        (r.region, r.nation, r.brand): (r.n_items, r.sum_qty, r.revenue_cents)
+        for r in spark.table("s24_test_out").collect()
+    }
+    # EUROPE row: batches 1+2 merged; cents = round(100*0.9*100) + round(10*0.5*100)
+    assert got == {
+        ("EUROPE", "FRANCE", "B#1"): (2, 5, 9000 + 500),
+        ("AFRICA", "KENYA", "B#1"): (1, 1, 5000),
+    }
