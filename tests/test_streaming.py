@@ -811,3 +811,43 @@ def test_streaming_star_rollup_aggregates_across_batches(spark, tmpdir):
         ("EUROPE", "FRANCE", "B#1"): (2, 5, 9000 + 500),
         ("AFRICA", "KENYA", "B#1"): (1, 1, 5000),
     }
+
+
+def test_statestore_read_matches_sink_table(spark, tmpdir):
+    """IQ1 both access paths on one checkpoint (s02's shape): the
+    `statestore` reader over the query's live checkpoint must return
+    exactly the rows the complete-mode sink table holds — the store IS
+    the result, the sink is just its published snapshot."""
+    from kafka_streams_learning_spark.streaming import interactive
+
+    base = ts("2024-01-01T00:00:00")
+    data_dir = tmpdir + "/data"
+    ckpt = tmpdir + "/ckpt"
+    rows = [
+        [("107", 1, 1.0, base), ("200", 2, 1.0, base + dt.timedelta(seconds=40))],
+        [("107", 3, 1.0, base + dt.timedelta(minutes=2))],
+    ]
+    stage_explicit_chunks(spark, rows, EVENTS_SCHEMA, data_dir)
+    counted = windows.streaming_tumbling_count(
+        replay_stream(spark, data_dir, EVENTS_SCHEMA), "ts", "1 minute", "key"
+    )
+    runner.run_to_memory(counted, "iq_paths_out", "complete", checkpoint=ckpt)
+
+    sink = {
+        (r.key, r.window_start, r.window_end, r.cnt)
+        for r in spark.table("iq_paths_out").collect()
+    }
+    store = {
+        (r.key, r.window_start, r.window_end, r.cnt)
+        for r in interactive.read_state(spark, ckpt)
+        .select(
+            F.col("key.key").alias("key"),
+            F.col("key.window.start").alias("window_start"),
+            F.col("key.window.end").alias("window_end"),
+            # the store's value struct holds the raw agg buffer field
+            # (`count`), not the post-agg projection alias (`cnt`)
+            F.col("value.count").alias("cnt"),
+        )
+        .collect()
+    }
+    assert store == sink and len(sink) == 3
