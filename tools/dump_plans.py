@@ -282,9 +282,9 @@ SHOWCASE: dict[str, str] = {
         "directly at the coarser level."
     ),
     "x67_nb_classifier": (
-        "Hashed-NB quality classifier, scoring pass: the raw corpus "
-        "appears ONCE (the source-column prior aggregate — ReadSchema "
-        "is one column); every other scan is a tiny materialized model "
+        "Hashed-NB quality classifier, scoring pass: ZERO raw-corpus "
+        "scans — the doc prior is collected into exact-integer literals "
+        "at train time, so every scan here is a tiny materialized model "
         "table from `nb_train`'s single tokenize (the `-tok` token "
         "table feeds training AND this scoring join). The ≤16-row "
         "weight table enters as BroadcastHashJoin; the token side is "
