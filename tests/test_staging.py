@@ -236,3 +236,44 @@ def test_jsonl_source_tag_bounds_repeated_ingest(spark, tmp_path):
     tag = "jsonl-" + hashlib.md5(str(p).encode()).hexdigest()[:12]
     gens = [d for d in os.listdir(run_named_dir(f"mat-{tag}")) if d.startswith("gen-")]
     assert len(gens) == 1
+
+
+def test_csv_source_routes_malformed_lines(spark, tmp_path):
+    # schema-pinned CSV read (jsonl's delimited-text sibling): clean rows
+    # parse, type-mismatched and short rows land in quarantine with the
+    # raw line preserved, nothing throws
+    from kafka_streams_learning_spark.sources import csv_, jsonl
+
+    p = tmp_path / "shard-00000.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        '1,hello world,en,web,11\n'
+        "oops,this doc_id is not a long,xx,web,NaNish\n"
+        '2,zwei,de,web,4\n'
+    )
+    df = csv_.read_csv(spark, str(p), jsonl.DOCUMENTS_SCHEMA)
+    clean, quarantine = csv_.split_clean_quarantine(df)
+    got = {r.doc_id: r for r in clean.collect()}
+    assert set(got) == {1, 2}
+    assert got[1].text == "hello world" and got[2].lang == "de"
+    assert clean.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    bad = quarantine.collect()
+    assert len(bad) == 1 and bad[0].raw_line.startswith("oops,")
+
+
+def test_csv_clean_rows_feed_operators(spark, tmp_path):
+    # the parsed CSV frame is a drop-in documents table
+    from kafka_streams_learning_spark.operators import textops
+    from kafka_streams_learning_spark.sources import csv_, jsonl
+
+    p = tmp_path / "shard.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,a b a,en,w,5\n"
+        "2,c,en,w,1\n"
+    )
+    clean, _ = csv_.split_clean_quarantine(
+        csv_.read_csv(spark, str(p), jsonl.DOCUMENTS_SCHEMA)
+    )
+    got = {r.doc_id: r.n_tokens for r in textops.text_stats(clean).collect()}
+    assert got == {1: 3, 2: 1}
