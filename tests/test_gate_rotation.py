@@ -87,3 +87,75 @@ def test_new_catalog_rows_per_round_capped(newest):
         f"{len(new_rows)} never-gated catalog rows this round "
         f"(cap {MAX_NEW_ROWS_PER_ROUND}): {new_rows}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Properties of the LRU rotation itself (pure Python, no Spark). Two
+# separately-honest claims: (1) when prefix rows gate GREEN, staleness is
+# bounded over any history — growth within the new-row cap, any starting
+# state; (2) a row whose gate attempt FAILS keeps its old round and so
+# rotates straight back into the next prefix (retry priority). Under
+# sustained mass failure no ordering can bound staleness — that case is
+# what test_no_row_staler_than_bound_after_this_gate catches on the real
+# history.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n_start=st.integers(min_value=1, max_value=150),
+    rounds=st.integers(min_value=4, max_value=12),
+    growth=st.lists(
+        st.integers(min_value=0, max_value=MAX_NEW_ROWS_PER_ROUND),
+        min_size=12, max_size=12,
+    ),
+)
+def test_lru_rotation_bounds_staleness(n_start, rounds, growth):
+    """With green gates, no row's gap since its last driver verification
+    (or since entering the catalog) ever exceeds MAX_STALE_ROUNDS, as
+    long as the catalog stays within MAX_STALE_ROUNDS × cap rows."""
+    cap = GATE_PREFIX_CAP
+    names = [f"q{i}" for i in range(n_start)]
+    newest: dict[str, int] = {}
+    entered = {n: 0 for n in names}
+    for rnd in range(1, rounds + 1):
+        for name in rotation_sort(names, newest)[:cap]:
+            newest[name] = rnd
+        for _ in range(growth[rnd % len(growth)]):
+            if len(names) >= MAX_STALE_ROUNDS * cap:
+                break
+            n = f"q{len(names)}"
+            names.append(n)
+            entered[n] = rnd
+        for n in names:
+            last = max(newest.get(n, 0), entered[n])
+            assert rnd - last <= MAX_STALE_ROUNDS, (
+                n, rnd, newest.get(n), entered[n], len(names),
+            )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=150),
+    bad=st.integers(min_value=0, max_value=149),
+    rounds=st.integers(min_value=3, max_value=8),
+)
+def test_failed_row_rotates_back_into_the_prefix(n, bad, rounds):
+    """A row that keeps FAILING its gate keeps round 0 in `newest`, so it
+    re-enters every subsequent prefix (never silently parked): failures
+    get retried at the next opportunity, they don't count as fresh."""
+    cap = GATE_PREFIX_CAP
+    names = [f"q{i}" for i in range(n)]
+    bad_name = f"q{bad % n}"
+    newest: dict[str, int] = {}
+    for rnd in range(1, rounds + 1):
+        prefix = rotation_sort(names, newest)[:cap]
+        for name in prefix:
+            if name != bad_name:
+                newest[name] = rnd
+        if rnd >= 2:
+            # after one full round, everything else has a green round, so
+            # the still-never-green row sorts ahead of all of them
+            assert bad_name in prefix
