@@ -162,3 +162,19 @@ def test_kmeans_sampled_training_assigns_full_corpus(spark):
         df, k=3, n_iter=2, dim=2, train_filter=F.col("vec_id") % 4 == 0
     )
     assert again == cents
+
+
+def test_x39_and_x62_share_one_sampled_model(spark):
+    """x39's SemDeDup and x62's assignment audit must train ONE sampled
+    k-means model per (process, sf): the cache is keyed by sf and both
+    catalog rows resolve through _sampled_centroids."""
+    from kafka_streams_learning_spark import catalog_ext as X
+
+    sf = "/root/testdata/sf0.001"
+    X._SAMPLED_CENTROID_CACHE.pop(sf, None)
+    m1 = X._sampled_centroids(spark, sf)
+    assert X._sampled_centroids(spark, sf) is m1  # cache hit, no retrain
+    # and the model is the sampled-training one: it differs from the
+    # full-corpus x35 model (same k/iters, different training set)
+    full = X._trained_centroids(spark, sf)
+    assert m1 != full
