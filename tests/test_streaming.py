@@ -851,3 +851,54 @@ def test_statestore_read_matches_sink_table(spark, tmpdir):
         .collect()
     }
     assert store == sink and len(sink) == 3
+
+
+def test_star_rollup_checkpoint_recovery(spark, tmpdir):
+    """§5.2-5 for s24's shape: kill the streaming star rollup after the
+    first fact chunk, let more facts arrive, restart from the same
+    checkpoint — the folded update-mode changelog equals the
+    uninterrupted totals and never regresses (the stream-static
+    broadcast joins are stateless; all recovered state is the rollup
+    aggregate)."""
+    from kafka_streams_learning_spark.catalog_ext import star_rollup
+
+    li_schema = (
+        "l_suppkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp"
+    )
+    base = ts("2024-01-01T00:00:00")
+    data_dir = tmpdir + "/facts"
+    ckpt = tmpdir + "/ckpt"
+    sup = spark.createDataFrame([(1, 10)], "s_suppkey long, s_nationkey long")
+    nat = spark.createDataFrame(
+        [(10, "FRANCE", 100)], "n_nationkey long, n_name string, n_regionkey long"
+    )
+    reg = spark.createDataFrame([(100, "EUROPE")], "r_regionkey long, r_name string")
+    prt = spark.createDataFrame([(1, "B#1")], "p_partkey long, p_brand string")
+
+    stage_explicit_chunks(
+        spark, [[(1, 1, 2.0, 100.0, 0.0, base)]], li_schema, data_dir
+    )
+    r1 = runner.run_collect_batches(
+        star_rollup(replay_stream(spark, data_dir, li_schema), sup, nat, reg, prt),
+        "update", checkpoint=ckpt,
+    )
+    assert r1
+
+    stage_explicit_chunks(
+        spark, [[(1, 1, 3.0, 50.0, 0.0, base + dt.timedelta(days=1))]],
+        li_schema, data_dir + "/chunk=99999-extra",
+    )
+    r2 = runner.run_collect_batches(
+        star_rollup(replay_stream(spark, data_dir, li_schema), sup, nat, reg, prt),
+        "update", checkpoint=ckpt,
+    )
+
+    final = {}
+    for batch in r1 + r2:
+        for r in batch:
+            key = (r.region, r.nation, r.brand)
+            prev = final.get(key, (0, 0, 0))
+            assert r.n_items > prev[0], "rollup regressed after restart"
+            final[key] = (r.n_items, r.sum_qty, r.revenue_cents)
+    assert final == {("EUROPE", "FRANCE", "B#1"): (2, 5, 10000 + 5000)}
