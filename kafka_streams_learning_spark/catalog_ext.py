@@ -3068,7 +3068,15 @@ def star_rollup(li: DataFrame, sup, nat, reg, prt) -> DataFrame:
     dimension broadcasts into stateless stream-static joins, so the only
     stateful stage is the final ≤|region×nation×brand|-row aggregate.
     ONE definition keeps the batch and streaming sides op-for-op
-    identical (the nb_bucketize/nb_score precedent)."""
+    identical (the nb_bucketize/nb_score precedent).
+
+    Scale note: nation/region are FIXED-size (25/5 rows at any SF) and
+    always broadcast; supplier/part grow linearly with SF and broadcast
+    comfortably to ~SF1k (part ≈ 200M rows ≈ a few GB columnar). Past
+    the executor-memory broadcast bound, drop the hint on the oversized
+    dim and let AQE pick the shuffle join (salting via
+    `joins.salted_join` if the fact side is key-skewed, x66) — the
+    rollup algebra and this function's output are unchanged."""
     cents = F.floor(
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
         + F.lit(0.5)
