@@ -145,17 +145,19 @@ def test_lru_rotation_bounds_staleness(n_start, rounds, growth):
 def test_failed_row_rotates_back_into_the_prefix(n, bad, rounds):
     """A row that keeps FAILING its gate keeps round 0 in `newest`, so it
     re-enters every subsequent prefix (never silently parked): failures
-    get retried at the next opportunity, they don't count as fresh."""
+    get retried at the next opportunity, they don't count as fresh.
+    With n > cap the never-gated backlog drains first — ceil(n/cap)
+    rounds until every OTHER row has a green round — after which the
+    still-never-green row fronts every prefix."""
     cap = GATE_PREFIX_CAP
     names = [f"q{i}" for i in range(n)]
     bad_name = f"q{bad % n}"
     newest: dict[str, int] = {}
+    backlog_rounds = math.ceil(n / cap)
     for rnd in range(1, rounds + 1):
         prefix = rotation_sort(names, newest)[:cap]
         for name in prefix:
             if name != bad_name:
                 newest[name] = rnd
-        if rnd >= 2:
-            # after one full round, everything else has a green round, so
-            # the still-never-green row sorts ahead of all of them
+        if rnd > backlog_rounds:
             assert bad_name in prefix
