@@ -522,3 +522,16 @@ def test_star_join_broadcasts_every_dimension(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert E.exchange_count(df) == 1
     assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 5
+
+
+def test_catalog_wide_plan_antipattern_sweep(spark):
+    """Every batch catalog row's physical plan, swept against the two
+    no-judgment scale rules: no row-at-a-time Python UDFs
+    (BatchEvalPython) and no CartesianProduct anywhere — the mechanical
+    complement to this file's hand-pinned shapes (tools/plan_audit.py,
+    runnable standalone against any sf)."""
+    from tools.plan_audit import audit
+
+    from .conftest import SF_DIR
+
+    assert audit(spark, SF_DIR) == []
