@@ -68,10 +68,14 @@ def newest_green_rounds(root: str | None = None) -> dict[str, int]:
         except (OSError, json.JSONDecodeError):
             continue
         for name, v in rows.items():
+            # hash_match is absent or None for rows-only checks (no
+            # oracle) — that still counts as driver-verified, else such
+            # a row would front the prefix forever; only an explicit
+            # false (a real value mismatch) blocks the green
             if (
                 v.get("rows_match")
                 and v.get("schema_match")
-                and v.get("hash_match", True)
+                and v.get("hash_match") is not False
             ):
                 newest[name] = max(newest.get(name, 0), rnd)
     return newest
