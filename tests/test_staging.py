@@ -277,3 +277,65 @@ def test_csv_clean_rows_feed_operators(spark, tmp_path):
     )
     got = {r.doc_id: r.n_tokens for r in textops.text_stats(clean).collect()}
     assert got == {1: 3, 2: 1}
+
+
+def test_streaming_ingest_routes_and_resumes(spark, tmp_path):
+    """The production ingest poller: shards land in a directory, the
+    streaming query drains what's there (AvailableNow), routes clean rows
+    and malformed lines to separate parquet outputs, and a LATER run with
+    the same checkpoint ingests only the new shard — no re-parse, no
+    duplicates (file-source offsets are the poller's changelog)."""
+    from kafka_streams_learning_spark.sources import ingest, jsonl
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    clean_dir = str(tmp_path / "clean")
+    qdir = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    (drop / "shard-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "one", "lang": "en", "source": "w", "n_chars": 3}\n'
+        "BROKEN LINE {{{\n"
+    )
+    ingest.run_quarantine_ingest(
+        ingest.read_jsonl_stream(spark, str(drop), jsonl.DOCUMENTS_SCHEMA),
+        clean_dir, qdir, ckpt,
+    )
+    assert {r.doc_id for r in spark.read.parquet(clean_dir).collect()} == {1}
+    bad = spark.read.parquet(qdir).collect()
+    assert len(bad) == 1 and bad[0].raw_line.startswith("BROKEN")
+
+    # a new shard lands while the query is down; resume from checkpoint
+    (drop / "shard-1.jsonl").write_text(
+        '{"doc_id": 2, "text": "two", "lang": "de", "source": "w", "n_chars": 3}\n'
+    )
+    ingest.run_quarantine_ingest(
+        ingest.read_jsonl_stream(spark, str(drop), jsonl.DOCUMENTS_SCHEMA),
+        clean_dir, qdir, ckpt,
+    )
+    clean = spark.read.parquet(clean_dir).collect()
+    assert sorted(r.doc_id for r in clean) == [1, 2]  # no shard-0 re-ingest
+    assert len(spark.read.parquet(qdir).collect()) == 1
+
+
+def test_streaming_csv_ingest_quarantines_type_mismatch(spark, tmp_path):
+    """CSV twin of the streaming ingest: a type-mismatched row quarantines
+    with the raw line preserved; clean rows parse to the pinned schema."""
+    from kafka_streams_learning_spark.sources import ingest, jsonl
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "part-0.csv").write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,uno,es,web,3\n"
+        "NOT_A_LONG,bad row,xx,web,0\n"
+    )
+    clean_dir, qdir = str(tmp_path / "clean"), str(tmp_path / "q")
+    ingest.run_quarantine_ingest(
+        ingest.read_csv_stream(spark, str(drop), jsonl.DOCUMENTS_SCHEMA),
+        clean_dir, qdir, str(tmp_path / "ckpt"),
+    )
+    clean = spark.read.parquet(clean_dir).collect()
+    assert len(clean) == 1 and clean[0].doc_id == 1 and clean[0].lang == "es"
+    bad = spark.read.parquet(qdir).collect()
+    assert len(bad) == 1 and bad[0].raw_line.startswith("NOT_A_LONG")
