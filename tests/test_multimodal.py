@@ -162,3 +162,59 @@ def test_header_triage_is_pure_codegen(spark):
         plan = E.formatted_plan(op(df))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Exchange" not in plan
+
+
+def test_wav_bmp_header_parse_property(spark):
+    """Property: for ANY parameter combination, the pure-expression parse
+    recovers exactly what stdlib `wave` / struct packed — one batched
+    Spark job over many generated headers (offsets/endianness verified
+    across the whole parameter space, not just the canonical example)."""
+    import io
+    import itertools
+    import struct
+    import wave
+
+    from kafka_streams_learning_spark.operators import multimodal
+
+    wav_rows, expected_wav = [], {}
+    for i, (rate, ch, width) in enumerate(
+        itertools.product([8000, 22050, 44100, 96000], [1, 2, 6], [1, 2, 4])
+    ):
+        frames = (i * 997) % 5000 + 1
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(b"\x00" * (frames * ch * width))
+        wav_rows.append((i, buf.getvalue()))
+        expected_wav[i] = (
+            ch, rate, width * 8, frames * ch * width,
+            frames * ch * width * 1000 // (rate * ch * width),
+        )
+    df = spark.createDataFrame(wav_rows, "id long, blob binary")
+    for r in multimodal.wav_meta(df).collect():
+        assert r.valid, r.id
+        got = (r.n_channels, r.sample_rate, r.bits_per_sample,
+               r.data_bytes, r.duration_ms)
+        assert got == expected_wav[r.id], (r.id, got, expected_wav[r.id])
+
+    bmp_rows, expected_bmp = [], {}
+    for i, (wd, ht, bpp) in enumerate(
+        itertools.product([1, 13, 640, 7680], [1, -1, 480, -2160], [1, 8, 24, 32])
+    ):
+        row_bytes = ((wd * bpp + 31) // 32) * 4
+        img = row_bytes * abs(ht)
+        blob = struct.pack("<2sIHHI", b"BM", 54 + img, 0, 0, 54) + struct.pack(
+            "<IiiHHIIiiII", 40, wd, ht, 1, bpp, 0, img, 2835, 2835, 0, 0
+        ) + b"\x00" * min(img, 64)
+        # header-only truncated pixel data still parses (triage reads
+        # the first 54 bytes; sanity of pixel payload is the decoder's
+        # job) — but keep blobs >= 54 bytes
+        bmp_rows.append((i, blob))
+        expected_bmp[i] = (wd, abs(ht), ht < 0, bpp, 54 + img)
+    df = spark.createDataFrame(bmp_rows, "id long, blob binary")
+    for r in multimodal.bmp_meta(df).collect():
+        assert r.valid, r.id
+        got = (r.width, r.height, r.top_down, r.bits_per_pixel, r.file_bytes)
+        assert got == expected_bmp[r.id], (r.id, got, expected_bmp[r.id])
