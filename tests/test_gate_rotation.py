@@ -161,3 +161,19 @@ def test_failed_row_rotates_back_into_the_prefix(n, bad, rounds):
                 newest[name] = rnd
         if rnd > backlog_rounds:
             assert bad_name in prefix
+
+
+def test_rotation_survives_corrupt_artifacts(tmp_path):
+    """A truncated/corrupt CORRECTNESS file must not kill query listing —
+    it is skipped, the readable rounds still order the catalog."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": {"rows_match": True, "schema_match": True,
+                          "hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{ TRUNCATED")
+    newest = newest_green_rounds(str(tmp_path))
+    assert newest == {"a": 1}
+    assert current_round(newest) == 2
+    assert rotation_sort(["a", "b"], newest) == ["b", "a"]

@@ -339,3 +339,32 @@ def test_streaming_csv_ingest_quarantines_type_mismatch(spark, tmp_path):
     assert len(clean) == 1 and clean[0].doc_id == 1 and clean[0].lang == "es"
     bad = spark.read.parquet(qdir).collect()
     assert len(bad) == 1 and bad[0].raw_line.startswith("NOT_A_LONG")
+
+
+def test_streaming_ingest_continuous_poller(spark, tmp_path):
+    """continuous=True returns a live query: a shard landing AFTER start
+    is picked up by the running poller (the long-lived deployment path,
+    vs AvailableNow's drain-and-stop)."""
+    from kafka_streams_learning_spark.sources import ingest, jsonl
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "s0.jsonl").write_text(
+        '{"doc_id": 1, "text": "a", "lang": "en", "source": "w", "n_chars": 1}\n'
+    )
+    clean_dir, qdir = str(tmp_path / "clean"), str(tmp_path / "q")
+    q = ingest.run_quarantine_ingest(
+        ingest.read_jsonl_stream(spark, str(drop), jsonl.DOCUMENTS_SCHEMA),
+        clean_dir, qdir, str(tmp_path / "ckpt"), continuous=True,
+    )
+    try:
+        q.processAllAvailable()
+        (drop / "s1.jsonl").write_text(
+            '{"doc_id": 2, "text": "b", "lang": "en", "source": "w", "n_chars": 1}\n'
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(clean_dir).collect()
+    ) == [1, 2]
