@@ -1404,3 +1404,40 @@ def test_gate_prefix_record_matches_catalog():
         "GATE_PREFIX.md is stale — rerun bench.py (it regenerates the "
         "record from all_queries())"
     )
+
+
+def test_ivf_recall_is_monotone_in_nprobe(spark):
+    """The IVF accuracy knob: probing more clusters can only ADD
+    candidates (supersets), so each query's intersection with the exact
+    brute-force top-k is non-decreasing in nprobe, reaching full recall
+    at nprobe = all clusters (measured on the fixture: mean recall ~0.54
+    at the catalog's nprobe=2, by design ~8% of the corpus scored)."""
+    from kafka_streams_learning_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from kafka_streams_learning_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {}
+    for r in brute_force_topk(emb, q, 5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def rec(nprobe):
+        got = {}
+        for r in ivf_topk(
+            emb, 5, centroid_mod=20, query_mod=50, nprobe=nprobe
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        per_q = {qk: len(exact[qk] & got.get(qk, set())) / len(exact[qk])
+                 for qk in exact}
+        return per_q
+
+    r2, r6, r_all = rec(2), rec(6), rec(25)
+    for qk in exact:
+        assert r2[qk] <= r6[qk] <= r_all[qk], qk
+    assert all(v == 1.0 for v in r_all.values())  # full probe = exact
+    assert sum(r6.values()) > sum(r2.values())  # strictly better somewhere
