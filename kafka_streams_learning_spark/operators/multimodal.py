@@ -85,6 +85,50 @@ def _tag(blob, offset: int, n: int):
     return F.substring(blob, offset, n).cast("string")
 
 
+def _le_hex(value, nbytes: int):
+    """Little-endian hex encoding of an integer Column — the write-side
+    inverse of :func:`_le_uint`: big-endian lpad'ed hex, byte pairs
+    reversed."""
+    h = F.lpad(F.hex(value.cast("long")), 2 * nbytes, "0")
+    return F.concat(*[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))])
+
+
+def wav_blob(sample_rate, n_channels, bits_per_sample, data_bytes):
+    """A canonical 44-byte WAV header + zeroed PCM payload, synthesized
+    as ONE pure expression from integer Columns — `unhex` of the
+    concatenated little-endian fields. The write-side inverse of
+    :func:`wav_meta` (round-trip property-tested), and the fixture
+    generator a catalog row can use to gate the parser against a DuckDB
+    oracle that replays the same synthesis.
+
+    The payload is `repeat('\\x00', data_bytes)` — header-exercising
+    fixtures, not audio; real encoders obviously write real samples."""
+    rate = sample_rate.cast("long")
+    ch = n_channels.cast("long")
+    bits = bits_per_sample.cast("long")
+    data = data_bytes.cast("long")
+    block_align = ch * (bits / F.lit(8)).cast("long")
+    header_hex = F.concat(
+        F.lit("52494646"),                      # 'RIFF'
+        _le_hex(data + F.lit(36), 4),           # riff chunk size
+        F.lit("57415645"),                      # 'WAVE'
+        F.lit("666d7420"),                      # 'fmt '
+        _le_hex(F.lit(16), 4),                  # fmt chunk size
+        _le_hex(F.lit(1), 2),                   # PCM
+        _le_hex(ch, 2),
+        _le_hex(rate, 4),
+        _le_hex(rate * block_align, 4),         # byte rate
+        _le_hex(block_align, 2),
+        _le_hex(bits, 2),
+        F.lit("64617461"),                      # 'data'
+        _le_hex(data, 4),
+    )
+    return F.concat(
+        F.unhex(header_hex),
+        F.unhex(F.repeat(F.lit("00"), data.cast("int"))),
+    )
+
+
 def wav_meta(df: DataFrame, blob_col: str = "blob", id_col: str = "id") -> DataFrame:
     """Canonical-layout WAV (RIFF/WAVE + 'fmt ' at byte 13 + 'data' at
     byte 37 — what stdlib `wave`, ffmpeg default mux, and virtually every
