@@ -3302,3 +3302,19 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               "(exact integer-cents revenue; region/nation/supplier/part "
               "coverage)"),
 ]
+
+
+def clear_model_caches() -> None:
+    """Drop the per-process TRAINED-MODEL caches (k-means centroids, the
+    sampled-Lloyd variant, the NB token/prior tables) so the next caller
+    re-trains from scratch. Exists for the determinism sweep: sharing the
+    caches across its two sessions verifies assignment reproducibility
+    but lets training itself execute only under the FIRST session's
+    shuffle.partitions (ADVICE r8) — clearing between sessions makes the
+    training path partition-count-swept too. The materialized staging
+    caches (_MH_PAIRS/_EMB_PAIRS/_BUCKETS) are intentionally untouched:
+    they hold session-bound persisted DataFrames reused across catalog
+    rows, and their builder pipelines are plan-audited separately."""
+    _CENTROID_CACHE.clear()
+    _SAMPLED_CENTROID_CACHE.clear()
+    _NB_MODEL_CACHE.clear()

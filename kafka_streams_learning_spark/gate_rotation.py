@@ -95,10 +95,68 @@ def gated_names(root: str | None = None) -> set[str]:
     return seen
 
 
-def current_round(newest: dict[str, int] | None = None) -> int:
-    """The round about to be gated = newest committed round + 1."""
-    newest = newest if newest is not None else newest_green_rounds()
+def latest_gated_round(root: str | None = None) -> int:
+    """Newest round the driver ATTEMPTED, from CORRECTNESS_r*.json
+    filenames — independent of whether any row in it passed. Using only
+    green rows here (the pre-round-9 behavior) made the simulated
+    'upcoming gate' round off by one whenever the newest committed round
+    contained only failures, weakening the staleness-bound test by a
+    round (ADVICE r8)."""
+    root = root or repo_root()
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0)
+
+
+def current_round(
+    newest: dict[str, int] | None = None, root: str | None = None
+) -> int:
+    """The round about to be gated = newest ATTEMPTED round + 1, derived
+    from artifact filenames (even an all-failure or corrupt round was a
+    gated round). Falls back to the green-row mapping only when no
+    artifact files exist at `root` (pure-simulation callers)."""
+    from_files = latest_gated_round(root)
+    if from_files:
+        return from_files + 1
+    newest = newest if newest is not None else newest_green_rounds(root)
     return max(newest.values(), default=0) + 1
+
+
+def rows_only_names(root: str | None = None) -> set[str]:
+    """Names whose NEWEST driver verification was rows-only (no value
+    hash): rows_match + schema_match green but hash_match absent/None in
+    their latest green round. These count as driver-verified for the LRU
+    (else an oracle-less row would front the prefix forever) but are the
+    WEAKER gate — policy requires GATE_PREFIX.md to flag them explicitly
+    so weaker evidence can never silently rotate a row out of the gate
+    (VERDICT r8 'What's wrong' #2)."""
+    root = root or repo_root()
+    newest: dict[str, int] = {}
+    hashed_at: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, v in rows.items():
+            if not (v.get("rows_match") and v.get("schema_match")):
+                continue
+            if v.get("hash_match") is True:
+                hashed_at[name] = max(hashed_at.get(name, 0), rnd)
+                newest[name] = max(newest.get(name, 0), rnd)
+            elif v.get("hash_match") is None or "hash_match" not in v:
+                newest[name] = max(newest.get(name, 0), rnd)
+    return {
+        n for n, rnd in newest.items() if hashed_at.get(n, 0) < rnd
+    }
 
 
 def rotation_sort(declared, newest: dict[str, int] | None = None):

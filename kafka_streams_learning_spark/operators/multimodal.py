@@ -156,14 +156,26 @@ def wav_meta(df: DataFrame, blob_col: str = "blob", id_col: str = "id") -> DataF
         "sample_rate": _le_uint(b, 25, 4),
         "bits_per_sample": _le_uint(b, 35, 2),
         "data_bytes": data_bytes,
-        "duration_ms": F.when(
-            byte_rate > 0, (data_bytes * 1000).cast("long") / byte_rate
-        ).otherwise(None).cast("long"),
     }
-    return df.select(
+    # Two-stage select so `div` (Spark's IntegralDivide — exact floor for
+    # ANY long operands) can name its inputs. The pre-r9 double division
+    # was floor-exact only while data_bytes*1000 stayed under 2^53 — an
+    # assumption the 4-byte header field happens to satisfy but a wider
+    # field wouldn't (ADVICE r8). Catalyst collapses the projections.
+    staged = df.select(
         id_col,
         ok.alias("valid"),
         *[F.when(ok, c).alias(name) for name, c in fields.items()],
+        F.when(ok, (data_bytes * 1000).cast("long")).alias("_dm_num"),
+        F.when(ok, byte_rate.cast("long")).alias("_dm_den"),
+    )
+    return staged.select(
+        id_col,
+        "valid",
+        *fields.keys(),
+        F.when(
+            F.col("_dm_den") > 0, F.expr("_dm_num div _dm_den")
+        ).otherwise(F.lit(None)).cast("long").alias("duration_ms"),
     )
 
 

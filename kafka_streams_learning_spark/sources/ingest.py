@@ -83,22 +83,32 @@ def run_quarantine_ingest(
     currently-available input (`Trigger.AvailableNow`) and stops —
     rerunning with the same checkpoint ingests only NEW files. With
     ``continuous=True`` it returns the running StreamingQuery for a
-    long-lived poller (caller stops it)."""
+    long-lived poller (caller stops it).
 
-    def _route(batch: DataFrame, _batch_id: int) -> None:
+    Exactly-once output: each micro-batch lands in a Hive-style
+    ``ingest_batch=<batch_id>`` subdirectory written with OVERWRITE
+    semantics. ``batch_id`` is stable across restarts of the same
+    checkpoint, so a micro-batch replayed after a mid-batch crash (e.g.
+    dying between the clean-side write and the checkpoint commit)
+    rewrites the same directory instead of appending duplicates —
+    the standard idempotent-foreachBatch pattern. Readers see an extra
+    ``ingest_batch`` int partition column on ``spark.read.parquet(dir)``;
+    ``read_ingested`` strips it."""
+
+    def _route(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:
             (
                 batch.filter(F.col(CORRUPT_COL).isNull())
                 .drop(CORRUPT_COL)
-                .write.mode("append")
-                .parquet(clean_dir)
+                .write.mode("overwrite")
+                .parquet(f"{clean_dir}/ingest_batch={batch_id}")
             )
             (
                 batch.filter(F.col(CORRUPT_COL).isNotNull())
                 .select(F.col(CORRUPT_COL).alias("raw_line"))
-                .write.mode("append")
-                .parquet(quarantine_dir)
+                .write.mode("overwrite")
+                .parquet(f"{quarantine_dir}/ingest_batch={batch_id}")
             )
         finally:
             batch.unpersist()
@@ -111,3 +121,10 @@ def run_quarantine_ingest(
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return q
+
+
+def read_ingested(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ingest output directory, dropping the ``ingest_batch``
+    bookkeeping partition column the idempotent writer adds."""
+    df = spark.read.parquet(path)
+    return df.drop("ingest_batch") if "ingest_batch" in df.columns else df

@@ -165,7 +165,10 @@ def test_failed_row_rotates_back_into_the_prefix(n, bad, rounds):
 
 def test_rotation_survives_corrupt_artifacts(tmp_path):
     """A truncated/corrupt CORRECTNESS file must not kill query listing —
-    it is skipped, the readable rounds still order the catalog."""
+    it is skipped for green rows, but its FILENAME still counts as a
+    gated round (ADVICE r8: an all-failure round must still advance the
+    simulated upcoming-gate round, else the staleness-bound test is
+    weakened by a round)."""
     import json
 
     (tmp_path / "CORRECTNESS_r01.json").write_text(
@@ -175,5 +178,72 @@ def test_rotation_survives_corrupt_artifacts(tmp_path):
     (tmp_path / "CORRECTNESS_r02.json").write_text("{ TRUNCATED")
     newest = newest_green_rounds(str(tmp_path))
     assert newest == {"a": 1}
-    assert current_round(newest) == 2
+    # r02 was attempted (the file exists), so the upcoming round is 3
+    assert current_round(newest, str(tmp_path)) == 3
     assert rotation_sort(["a", "b"], newest) == ["b", "a"]
+
+
+def test_current_round_counts_all_failure_rounds(tmp_path):
+    """ADVICE r8 item 2: a committed round whose every row FAILED must
+    still advance current_round — green rows alone would be off by one."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps({"a": {"rows_match": True, "schema_match": True,
+                          "hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({"a": {"rows_match": False, "schema_match": False,
+                          "hash_match": False}})
+    )
+    newest = newest_green_rounds(str(tmp_path))
+    assert newest == {"a": 4}  # r05 failure does not demote the green
+    from kafka_streams_learning_spark.gate_rotation import latest_gated_round
+
+    assert latest_gated_round(str(tmp_path)) == 5
+    assert current_round(newest, str(tmp_path)) == 6
+
+
+def test_rows_only_rows_detected_and_flagged(tmp_path):
+    """VERDICT r8 'What's wrong' #2, policy-as-code: a row whose NEWEST
+    verification is rows-only (no value hash) is surfaced by
+    rows_only_names(); a later hash-green round clears it."""
+    import json
+
+    from kafka_streams_learning_spark.gate_rotation import rows_only_names
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "hashed": {"rows_match": True, "schema_match": True,
+                   "hash_match": True},
+        "weak": {"rows_match": True, "schema_match": True,
+                 "hash_match": None},
+        "cleared": {"rows_match": True, "schema_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "cleared": {"rows_match": True, "schema_match": True,
+                    "hash_match": True},
+    }))
+    assert rows_only_names(str(tmp_path)) == {"weak"}
+
+
+def test_gate_prefix_md_flags_every_rows_only_row():
+    """The committed GATE_PREFIX.md must carry the 'rows-only' flag on
+    every row whose newest driver verification lacked a value hash, so
+    weaker evidence can never silently rotate a row out of the gate."""
+    import os
+
+    from kafka_streams_learning_spark.gate_rotation import (
+        repo_root,
+        rows_only_names,
+    )
+
+    weak = rows_only_names()
+    path = os.path.join(repo_root(), "GATE_PREFIX.md")
+    if not weak:
+        return  # today: every row has an oracle and hash-matched
+    with open(path) as fh:
+        text = fh.read()
+    for name in weak:
+        assert f"{name}  (rows-only" in text, (
+            f"{name} verified rows-only but not flagged in GATE_PREFIX.md"
+        )

@@ -318,6 +318,52 @@ def test_streaming_ingest_routes_and_resumes(spark, tmp_path):
     assert len(spark.read.parquet(qdir).collect()) == 1
 
 
+def test_streaming_ingest_replay_after_crash_is_idempotent(spark, tmp_path):
+    """ADVICE r8 (medium): dying AFTER the sink writes but BEFORE the
+    checkpoint commit replays the micro-batch on restart. Simulated by
+    deleting the checkpoint's commit marker after a successful run — the
+    replayed batch must OVERWRITE its ingest_batch directory, not append
+    duplicates, on both the clean and quarantine sides."""
+    import os
+
+    from kafka_streams_learning_spark.sources import ingest, jsonl
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    clean_dir = str(tmp_path / "clean")
+    qdir = str(tmp_path / "quarantine")
+    ckpt = tmp_path / "ckpt"
+
+    (drop / "shard-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "one", "lang": "en", "source": "w", "n_chars": 3}\n'
+        '{"doc_id": 2, "text": "two", "lang": "de", "source": "w", "n_chars": 3}\n'
+        "BROKEN LINE {{{\n"
+    )
+    ingest.run_quarantine_ingest(
+        ingest.read_jsonl_stream(spark, str(drop), jsonl.DOCUMENTS_SCHEMA),
+        clean_dir, qdir, str(ckpt),
+    )
+    assert sorted(
+        r.doc_id for r in ingest.read_ingested(spark, clean_dir).collect()
+    ) == [1, 2]
+    assert len(spark.read.parquet(qdir).collect()) == 1
+
+    # the crash: sink writes landed, the commit marker did not
+    os.remove(ckpt / "commits" / "0")
+    crc = ckpt / "commits" / ".0.crc"
+    if crc.exists():
+        os.remove(crc)
+    ingest.run_quarantine_ingest(
+        ingest.read_jsonl_stream(spark, str(drop), jsonl.DOCUMENTS_SCHEMA),
+        clean_dir, qdir, str(ckpt),
+    )
+    clean = ingest.read_ingested(spark, clean_dir).collect()
+    assert sorted(r.doc_id for r in clean) == [1, 2], "replay duplicated rows"
+    assert len(spark.read.parquet(qdir).collect()) == 1
+    # read_ingested strips the bookkeeping partition column
+    assert "ingest_batch" not in ingest.read_ingested(spark, clean_dir).columns
+
+
 def test_streaming_csv_ingest_quarantines_type_mismatch(spark, tmp_path):
     """CSV twin of the streaming ingest: a type-mismatched row quarantines
     with the raw line preserved; clean rows parse to the pinned schema."""

@@ -42,28 +42,39 @@ def main() -> int:
     for p in (p1, p2):
         s = base.newSession()
         s.conf.set("spark.sql.shuffle.partitions", p)
-        # per-query state (model caches, materializations) must not leak
-        # a result computed under the OTHER parallelism — it cannot: the
-        # caches key on sf only and their contents are themselves the
-        # partition-free contract under test, so sharing them is the
-        # stricter check (a cache filled at p1 must reproduce at p2)
         sessions.append(s)
 
-    bad = []
-    for spec in REFERENCE_QUERIES + EXTENSION_QUERIES:
-        hashes = []
-        for s in sessions:
+    # Trained-model caches (k-means centroids, NB model) are CLEARED at
+    # the start of each session's pass so model TRAINING executes under
+    # both parallelisms, not just the first (ADVICE r8: sharing them
+    # verified assignment reproducibility but never swept training
+    # itself). Within a pass the cache still amortizes one training
+    # across its consumer rows, exactly as a real catalog run does. The
+    # materialized staging caches (LSH pair buckets etc.) stay shared —
+    # session-bound persisted frames whose builders are plan-audited.
+    from kafka_streams_learning_spark.catalog_ext import clear_model_caches
+
+    specs = REFERENCE_QUERIES + EXTENSION_QUERIES
+    per_session: list[dict[str, tuple[int, str]]] = []
+    for s in sessions:
+        clear_model_caches()
+        results: dict[str, tuple[int, str]] = {}
+        for spec in specs:
             df = spec.spark(s, sf_dir)
             rows = [tuple(r) for r in df.collect()]
-            hashes.append((len(rows), table_hash(df.columns, rows)))
-        if hashes[0] != hashes[1]:
+            results[spec.name] = (len(rows), table_hash(df.columns, rows))
+        per_session.append(results)
+
+    bad = []
+    for spec in specs:
+        h1, h2 = per_session[0][spec.name], per_session[1][spec.name]
+        if h1 != h2:
             bad.append(spec.name)
-            print(f"MISMATCH {spec.name}: p={p1} -> {hashes[0]}, "
-                  f"p={p2} -> {hashes[1]}")
+            print(f"MISMATCH {spec.name}: p={p1} -> {h1}, p={p2} -> {h2}")
     if not bad:
-        n = len(REFERENCE_QUERIES) + len(EXTENSION_QUERIES)
-        print(f"OK: {n} batch queries hash-identical at "
-              f"shuffle.partitions={p1} and {p2} ({sf_dir})")
+        print(f"OK: {len(specs)} batch queries hash-identical at "
+              f"shuffle.partitions={p1} and {p2} ({sf_dir}; "
+              f"model training re-run per parallelism)")
     return 1 if bad else 0
 
 
