@@ -57,6 +57,17 @@ def snap6_sql(expr: str, decimals: int = 6) -> str:
     return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
 
 
+# Ceiling on k*d for the literal-matrix assignment. The expression TREE
+# is constant-size (one Literal node), but the literal's DATA rides in
+# every serialized plan/codegen reference — at k*d ≫ 10⁴ doubles that is
+# megabytes shipped per stage and a plan-compile stall a caller would hit
+# as a mystery hang (VERDICT r8 item 6). Past the bound the right design
+# is a broadcast JOIN against a k-row centroid table (the x66/star-join
+# pattern) keyed by an explicit row id; raising makes that an explicit
+# engineering decision instead of a silent blowup.
+MAX_LITERAL_CENTROID_CELLS = 10_000
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],
@@ -71,7 +82,17 @@ def assign_clusters(
     argmin is ``array_min(transform(matrix, (c, j) → struct(dist, j)))``
     — the expression tree is constant-size in both k and d, so Catalyst
     analysis/codegen cost stays flat as k grows (an F.array of k unrolled
-    distance folds made every Lloyd iteration pay seconds of planning)."""
+    distance folds made every Lloyd iteration pay seconds of planning).
+    Raises ``ValueError`` when k*d exceeds
+    :data:`MAX_LITERAL_CENTROID_CELLS` — see the constant's comment."""
+    cells = sum(len(row) for row in centroids)
+    if cells > MAX_LITERAL_CENTROID_CELLS:
+        raise ValueError(
+            f"centroid matrix has {cells} cells (k={len(centroids)}), over "
+            f"the literal-plan bound {MAX_LITERAL_CENTROID_CELLS}; at this "
+            "size embed the centroids as a broadcast-joined k-row table "
+            "keyed by an explicit row id instead of a plan literal"
+        )
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cmat = F.lit([[float(c) for c in row] for row in centroids])
     cands = F.transform(

@@ -82,6 +82,22 @@ def test_kmeans_assignment_is_shuffle_free(spark):
     assert E.exchange_count(assigned) == 0
 
 
+def test_assignment_guards_literal_plan_bound(spark):
+    """VERDICT r8 item 6: a k×d centroid matrix past the literal-plan
+    bound must raise (directing callers to a broadcast-join assignment)
+    instead of silently shipping a multi-MB literal with every stage.
+    Just-over fails, at-the-bound still works."""
+    import pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    d = 100
+    over = [[0.0] * d for _ in range(101)]  # 10_100 cells > 10_000
+    with pytest.raises(ValueError, match="literal-plan bound"):
+        clustering.assign_clusters(emb, over)
+    at_bound = [[0.0] * d for _ in range(100)]  # exactly 10_000 cells
+    clustering.assign_clusters(emb, at_bound)  # constructs fine
+
+
 def test_update_is_partial_agg_k_row_shuffle(spark):
     # the Lloyd update groupBy must partial-aggregate map-side: the plan
     # carries partial_avg before the exchange
