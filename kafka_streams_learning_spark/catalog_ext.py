@@ -3130,6 +3130,81 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# X70 — WAV header triage, gated end-to-end: canonical WAV blobs are
+# SYNTHESIZED per-row as one pure expression (multimodal.wav_blob:
+# unhex of concatenated little-endian fields, bit-identical to stdlib
+# `wave` — property-tested in tests/test_multimodal.py), a deterministic
+# slice corrupted (junk-prefixed / truncated — the malformed-media
+# reality of a crawl), then PARSED back by multimodal.wav_meta. The
+# whole row is blob-in-the-middle: params → hex → binary → header
+# fields, all JVM codegen, zero exchanges, scan-pruned to events keys.
+# The DuckDB oracle derives the expected fields from the same params
+# with valid/NULL routing for the corrupted slices, so any off-by-one
+# in EITHER the synthesizer or the parser breaks the value hash.
+# This is the catalog row BENCH_NOTES r8 deferred to round 9's new-row
+# budget. Reference parity: the malformed→route-not-throw stance of
+# SURVEY §2 P2 applied to binary media.
+
+WAV_RATES = (8000, 16000, 22050, 44100, 48000)
+WAV_BITS = (8, 16, 24, 32)
+WAV_DATA_MOD = 4096
+
+
+def _x70(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        F.col("event_id").alias("id"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in WAV_RATES]),
+            (F.col("event_id") % len(WAV_RATES) + 1).cast("int"),
+        ).alias("rate"),
+        (F.col("event_id") % 2 + 1).alias("ch"),
+        F.element_at(
+            F.array(*[F.lit(b) for b in WAV_BITS]),
+            (F.col("event_id") % len(WAV_BITS) + 1).cast("int"),
+        ).alias("bits"),
+        (F.col("event_id") * 37 % WAV_DATA_MOD).alias("data"),
+    )
+    blob = multimodal.wav_blob(
+        F.col("rate"), F.col("ch"), F.col("bits"), F.col("data")
+    )
+    # deterministic corruption slices (order matters — mirrored in SQL):
+    # id%7: junk-prefixed (RIFF tag displaced); id%11: truncated mid-header
+    blob = (
+        F.when(F.col("id") % 7 == 0,
+               F.concat(F.unhex(F.lit("DEADBEEF")), blob))
+        .when(F.col("id") % 11 == 0, F.substring(blob, 1, 20))
+        .otherwise(blob)
+    )
+    return multimodal.wav_meta(ev.select("id", blob.alias("blob")))
+
+
+def _x70_sql() -> str:
+    rates = ", ".join(str(r) for r in WAV_RATES)
+    bits = ", ".join(str(b) for b in WAV_BITS)
+    return f"""
+WITH p AS (
+  SELECT event_id AS id,
+         ([{rates}])[CAST(event_id % {len(WAV_RATES)} AS INT) + 1] AS rate,
+         event_id % 2 + 1 AS ch,
+         ([{bits}])[CAST(event_id % {len(WAV_BITS)} AS INT) + 1] AS bits,
+         event_id * 37 % {WAV_DATA_MOD} AS data,
+         (event_id % 7 = 0 OR event_id % 11 = 0) AS corrupted
+  FROM events
+)
+SELECT id,
+       NOT corrupted AS valid,
+       CASE WHEN corrupted THEN NULL ELSE 1 END AS audio_format,
+       CASE WHEN corrupted THEN NULL ELSE ch END AS n_channels,
+       CASE WHEN corrupted THEN NULL ELSE rate END AS sample_rate,
+       CASE WHEN corrupted THEN NULL ELSE bits END AS bits_per_sample,
+       CASE WHEN corrupted THEN NULL ELSE data END AS data_bytes,
+       CASE WHEN corrupted THEN NULL
+            ELSE (data * 1000) // (rate * ch * (bits // 8)) END AS duration_ms
+FROM p
+"""
+
+
 EXTENSION_QUERIES: list[QuerySpec] = [
     QuerySpec("x01_text_stats", _x01, _X01_SQL, "token counts + quality scoring"),
     QuerySpec("x02_lang_id", _x02, _lang_sql(), "marker-token language ID"),
@@ -3301,6 +3376,10 @@ EXTENSION_QUERIES: list[QuerySpec] = [
               "star-schema broadcast-chain rollup over four dimensions "
               "(exact integer-cents revenue; region/nation/supplier/part "
               "coverage)"),
+    QuerySpec("x70_wav_triage", _x70, _x70_sql(),
+              "WAV header triage gated end-to-end: expression-synthesized "
+              "canonical blobs (+ corrupted slices) re-parsed by the pure "
+              "JVM header parser; oracle replays field derivation"),
 ]
 
 

@@ -12,7 +12,7 @@ ORDER   ``queries()`` is sorted least-recently-driver-verified first,
         never-gated rows first (round 0), then oldest green round first,
         ties broken by declaration order (Python's sort is stable).
         With N catalog rows and a P-row prefix, every row is re-gated at
-        least every ceil(N/P) rounds — 3 at today's 108/50 — with zero
+        least every ceil(N/P) rounds — 3 at today's 109/50 — with zero
         per-round human judgment.
 
 BOUND   ``MAX_STALE_ROUNDS`` / ``MAX_NEW_ROWS_PER_ROUND`` are enforced

@@ -1,0 +1,107 @@
+"""Generate shape-matched sf1 `documents`/`embeddings` for the scale probe.
+
+VERDICT r8 item 4: all dedup/LSH scale claims are plan-shape arguments
+plus sf0.1 measurements; this produces one decade more data so the
+claim "runtime grows ~linearly in SF because df caps and bucket bounds
+hold" can be MEASURED. The driver's testdata is read-only and has no
+sf1, so we synthesize our own — deliberately matching the observed
+driver shape at sf0.1 (measured 2026-08-15):
+
+  documents: 5,000 rows -> 50,000 at sf1. 31-word vocabulary, ~300
+    chars/doc, lang skewed 40% en + 15% each zh/es/fr/de, 10 sources,
+    ~4.5% of docs are near-duplicate mutations of an earlier doc
+    (shared long prefix, few trailing-token edits — what MinHash/LSH
+    and n-gram Jaccard must find), ~0.15% exact duplicates.
+  embeddings: 2,000 rows -> 20,000 at sf1. 64-dim float32 around 10
+    label centroids (the IVF/cluster structure x13/x26/x39 exploit).
+
+Deterministic (numpy PCG, fixed seed). Output parquet lands in
+/root/repo/.scratch/sf1/ (gitignored) next to SYMLINKS for the other
+tables pointing at sf0.1 — catalog loaders resolve any table by name,
+only documents/embeddings rows matter for the probed x-rows.
+
+Usage: python tools/gen_sf1_probe_data.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_P = [0.40, 0.15, 0.15, 0.15, 0.15]
+
+N_DOCS = 50_000
+N_VECS = 20_000
+DIM = 64
+N_LABELS = 10
+SEED = 20260815
+
+
+def gen_documents(rng: np.random.Generator) -> pa.Table:
+    texts: list[str] = []
+    for i in range(N_DOCS):
+        r = rng.random()
+        if i > 100 and r < 0.0015:           # exact duplicate
+            texts.append(texts[int(rng.integers(0, i))])
+        elif i > 100 and r < 0.045:          # near-dup: tail-token edits
+            base = texts[int(rng.integers(0, i))].split(" ")
+            n_edit = int(rng.integers(1, 4))
+            for _ in range(n_edit):
+                pos = int(rng.integers(max(0, len(base) - 6), len(base)))
+                base[pos] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+            texts.append(" ".join(base))
+        else:
+            n_words = int(rng.integers(9, 115))
+            idx = rng.integers(0, len(VOCAB), size=n_words)
+            texts.append(" ".join(VOCAB[j] for j in idx))
+    langs = rng.choice(LANGS, size=N_DOCS, p=LANG_P)
+    sources = [f"src{int(s)}" for s in rng.integers(0, 10, size=N_DOCS)]
+    return pa.table({
+        "doc_id": pa.array(range(N_DOCS), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array([str(x) for x in langs], pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
+def gen_embeddings(rng: np.random.Generator) -> pa.Table:
+    centroids = rng.normal(0.0, 1.0, size=(N_LABELS, DIM))
+    labels = rng.integers(0, N_LABELS, size=N_VECS)
+    vecs = (centroids[labels]
+            + rng.normal(0.0, 0.35, size=(N_VECS, DIM))).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(range(N_VECS), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array([int(x) for x in labels], pa.int32()),
+    })
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    pq.write_table(gen_documents(rng), os.path.join(out, "documents.parquet"))
+    pq.write_table(gen_embeddings(rng), os.path.join(out, "embeddings.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+    print(f"wrote {out}: documents={N_DOCS} embeddings={N_VECS}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
