@@ -370,6 +370,7 @@ def _mh_pairs(spark: SparkSession, sf: str) -> DataFrame:
             load_table(spark, sf, "documents"),
             n_perm=MINHASH_PERMS,
             bands=MINHASH_PERMS,
+            bucket_cap=MINHASH_BUCKET_CAP,
         )
         _MH_PAIRS_CACHE[sf] = materialized(
             pairs, tag=f"mh-pairs-{sf.replace('/', '_')}"
@@ -381,16 +382,38 @@ def _x11(spark: SparkSession, sf: str) -> DataFrame:
     return _mh_pairs(spark, sf)
 
 
+MINHASH_BUCKET_CAP = 256  # never binds at fixture occupancy (≤19 at sf0.1)
+
+
 def _lsh_sql() -> str:
     # bands of 1 row: bucket b = md5(CAST(mh_b AS VARCHAR)); a pair is a
-    # candidate iff any single minhash matches — mirror of lsh_candidate_pairs
-    # with rows_per_band=1.
+    # candidate iff any single minhash matches — mirror of
+    # lsh_candidate_pairs with rows_per_band=1, INCLUDING the r9
+    # per-(band,bucket) occupancy cap under the band-keyed hash order
+    # (long format replaces the old OR-join so the cap is expressible).
+    from kafka_streams_learning_spark.functions.hashing import hash60_sql
+
     sig = _minhash_sql()
-    ors = " OR ".join(f"x.mh{i} = y.mh{i}" for i in range(MINHASH_PERMS))
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {i} AS band, md5(CAST(mh{i} AS VARCHAR)) AS bucket "
+        f"FROM sig"
+        for i in range(MINHASH_PERMS)
+    )
+    cap_order = hash60_sql(
+        "CAST(band AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)"
+    )
     return f"""
-WITH sig AS ({sig})
-SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ({ors})
+WITH sig AS ({sig}),
+bb AS (
+  {band_selects}
+), kept AS (
+  SELECT doc_id, band, bucket FROM bb
+  QUALIFY row_number() OVER (PARTITION BY band, bucket
+      ORDER BY {cap_order}, doc_id) <= {MINHASH_BUCKET_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM kept a JOIN kept b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 
 
@@ -946,12 +969,25 @@ FROM f
 # bucket equi-join (never a cross product); survivors are re-scored with
 # exactly x10's normalized-dot scorer, so every emitted score is identical
 # to the exact variant. The oracle replays the identical algorithm (bit
-# pattern → band buckets → OR-collision join → exact re-score), so the
-# driver hashes the full approximate pipeline, not just "pairs came back".
-# x10 stays in the catalog as the exact small-N oracle of the semantics.
+# pattern → band buckets → per-bucket cap → collision join → exact
+# re-score), so the driver hashes the full approximate pipeline, not just
+# "pairs came back". x10 stays in the catalog as the exact small-N oracle.
+#
+# Round 9 re-parameterization, forced by measurement: the r1–r8 settings
+# (bands=8, ppb=2 — FOUR buckets per band, uncapped) made bucket
+# occupancy N/4, so the bucket self-join was O(N²) with a constant —
+# the 10x-corpus probe (tools/scale_probe.py, BENCH_NOTES r9) OOM'd the
+# 128 GiB JVM in exactly that join. Now: 16 buckets per band (ppb=4),
+# 4x the bands to hold recall (OR-amplification; measured recall 1.0 vs the x10 exact arm at sf0.001 AND sf0.01) (a cos≥0.9 true pair still collides
+# somewhere with p ≈ 1-1e-5), and NEARDUP_BUCKET_CAP as the hard bound —
+# per (band,bucket) only the cap-many members under a band-keyed hash
+# order generate pairs (each band keeps a DIFFERENT slice of a hot
+# region; x07's df-cap pattern applied to vector buckets). A
+# (band,bucket) emits ≤ cap²/2 pairs at ANY corpus size.
 
-NEARDUP_BANDS = 8
-NEARDUP_PPB = 2
+NEARDUP_BANDS = 32
+NEARDUP_PPB = 4
+NEARDUP_BUCKET_CAP = 256
 
 # The LSH near-dup PAIR TABLE is the shared intermediate of the embedding
 # dedup family: x26 reports it, x28 closes it into groups. A production
@@ -974,6 +1010,7 @@ def _emb_pairs(spark: SparkSession, sf: str) -> DataFrame:
             bands=NEARDUP_BANDS,
             planes_per_band=NEARDUP_PPB,
             dim=EMB_DIM,
+            bucket_cap=NEARDUP_BUCKET_CAP,
         )
         # per-sf tag: generations for different sf dirs must not reclaim
         # each other (the oracle suite runs three SFs in one process)
@@ -988,9 +1025,10 @@ def _x26(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _x26_sql() -> str:
+    from kafka_streams_learning_spark.functions.hashing import hash60_sql
     from kafka_streams_learning_spark.operators.similarity import _hyperplane
 
-    band_exprs = []
+    band_selects = []
     for b in range(NEARDUP_BANDS):
         terms = []
         for j in range(NEARDUP_PPB):
@@ -1001,17 +1039,25 @@ def _x26_sql() -> str:
                 f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
             )
             terms.append(f"(CASE WHEN {dot} >= 0 THEN {2**j} ELSE 0 END)")
-        band_exprs.append("(" + " + ".join(terms) + f") AS bb{b}")
-    buckets = ",\n         ".join(band_exprs)
-    orjoin = " OR ".join(f"a.bb{b} = b.bb{b}" for b in range(NEARDUP_BANDS))
+        bucket = " + ".join(terms)
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, ({bucket}) AS bucket FROM embeddings"
+        )
+    bb_union = "\n  UNION ALL\n  ".join(band_selects)
+    cap_order = hash60_sql(
+        "CAST(band AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR)"
+    )
     return f"""
 WITH bb AS (
-  SELECT vec_id,
-         {buckets}
-  FROM embeddings
+  {bb_union}
+), kept AS (
+  SELECT vec_id, band, bucket FROM bb
+  QUALIFY row_number() OVER (PARTITION BY band, bucket
+      ORDER BY {cap_order}, vec_id) <= {NEARDUP_BUCKET_CAP}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bb a JOIN bb b ON a.vec_id < b.vec_id AND ({orjoin})
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ), n AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE) /

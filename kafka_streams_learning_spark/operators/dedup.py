@@ -140,11 +140,25 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     sig: DataFrame | None = None,
+    bucket_cap: int | None = 256,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b): docs whose signatures collide
     in at least one band. rows_per_band = n_perm // bands. The self-join
     runs per (band, bucket) group — the only shuffle keys are band buckets,
     never the full cross product.
+
+    ``bucket_cap`` (the r9 embedding-LSH lesson applied here too): a
+    bucket is a boilerplate/template family at scale, and an uncapped
+    bucket of k members emits k²/2 pairs — quadratic in family size.
+    Per (band, bucket) only the first cap members under a band-keyed
+    deterministic hash order generate pairs; different bands keep
+    different slices of a hot family, and the downstream group closure
+    (connected components in `dedup_survivors`) reconnects what any
+    single band's slice missed. Measured occupancy on the fixtures is
+    ≤ 19 at sf0.1, so the default cap never binds at oracle scale —
+    it exists for the corpus where a family is 10⁶ documents. Pass
+    ``bucket_cap=None`` for diagnostics that need the full candidate
+    set (x53's calibration does).
 
     Pass `sig` (a `minhash_signatures` output, ideally materialized) when
     the caller also consumes the signatures itself — otherwise the whole
@@ -163,6 +177,19 @@ def lsh_candidate_pairs(
     buckets = sig.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
+    if bucket_cap is not None:
+        from kafka_streams_learning_spark.functions import hashing
+
+        order = hashing.hash60(
+            F.concat(F.col("band").cast("string"), F.lit("|"),
+                     F.col("id").cast("string"))
+        )
+        w = Window.partitionBy("band", "bucket").orderBy(order, F.col("id"))
+        buckets = (
+            buckets.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= bucket_cap)
+            .drop("_rk")
+        )
     # the self-join reads the bucket table twice; without materializing,
     # the whole shingle→minhash pipeline runs twice (Catalyst plans each
     # side independently)
@@ -533,8 +560,11 @@ def sketch_calibration(
     sig = materialized(
         minhash_signatures(df, n_perm, k, text_col, id_col), tag="x53-sig"
     )
+    # bucket_cap=None: the calibration row's contract is the FULL
+    # candidate set (its oracle replays the uncapped OR-join)
     pairs = lsh_candidate_pairs(
-        df, n_perm, bands=n_perm, k=k, text_col=text_col, id_col=id_col, sig=sig
+        df, n_perm, bands=n_perm, k=k, text_col=text_col, id_col=id_col,
+        sig=sig, bucket_cap=None,
     )
     sa = sig.select(
         F.col(id_col).alias("doc_a"),

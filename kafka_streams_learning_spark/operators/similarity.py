@@ -243,28 +243,87 @@ def rh_band_buckets(
     md5-seeded family as `rh_lsh_buckets`). Banding is the classic LSH
     OR-amplification: a pair is a candidate iff it collides in ANY band,
     which keeps recall high for genuinely-similar pairs while each band's
-    bucket join stays an equi-join. All plane dots for a row evaluate in
-    one projection; the explode emits `bands` small rows per vector."""
-    entries = []
-    for b in range(bands):
+    bucket join stays an equi-join.
+
+    All bands·ppb plane dots for a vector are computed in ONE
+    Arrow-batched stage (`pandas_udf`): at bands=32/ppb=4 that is 128
+    projections per vector, and both JVM-side forms measured
+    interpretation-bound — 128 unrolled fold expressions cost ~15 s per
+    2,000 vectors (codegen compile of a 170 KB node) and a
+    `transform`-over-plane-literal costs ~9 s (higher-order functions
+    evaluate interpreted, ~4 ms/vector — linear, but hopeless at real
+    corpus sizes). The Arrow stage is a vectorized matrix product at
+    ~µs/vector, exactly the "Python only when the built-ins genuinely
+    can't express it efficiently" boundary (same policy as the x14
+    decode stage; plan_audit allows ArrowEvalPython, forbids
+    BatchEvalPython).
+
+    Bit-exactness for the oracle: the numpy loop runs over DIMENSIONS in
+    order, accumulating `acc = acc + x_j * p_j` across all (vector,
+    plane) cells — element-wise double multiply then add, the identical
+    IEEE operation sequence as the SQL fold `aggregate(zip_with(...))`,
+    so bucket signs match DuckDB's replay bit-for-bit. Null or
+    wrong-length vectors yield a NULL dots array, exactly like the
+    zip_with fold (null propagates, every band falls to bucket 0)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = bands * planes_per_band
+    planes_m = np.asarray(
+        [_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64
+    )
+
+    def _dots_fn(vecs):  # pd.Series -> pd.Series; hints omitted — the
+        # in-function 'pd' import is invisible to pandas_udf's
+        # string-annotation resolver under `from __future__ import annotations`
+        res: list = [None] * len(vecs)
+        idx, rows = [], []
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) == planes_m.shape[1]:
+                idx.append(i)
+                rows.append(np.asarray(v, dtype=np.float64))
+        if rows:
+            x = np.stack(rows)                          # (m, dim)
+            acc = np.zeros((len(rows), planes_m.shape[0]))
+            for j in range(planes_m.shape[1]):          # fold order: dim-sequential
+                acc = acc + x[:, j:j + 1] * planes_m[None, :, j][0]
+            for i, a in zip(idx, acc):
+                res[i] = a.tolist()
+        return pd.Series(res)
+
+    # non-decorator form: local type hints ('pd' imported in-function)
+    # aren't resolvable by pandas_udf's hint inference
+    _dots = pandas_udf(_dots_fn, "array<double>")
+    staged = df.select(F.col(id_col), _dots(F.col(vec_col)).alias("_dots"))
+
+    def _bucket(b):
+        # b is a RUNTIME column (the band index), so this expression is
+        # written once, not once per band — the tree stays constant-size
+        # in `bands`. Unrolling 32 bands × 4 planes into literal-indexed
+        # case-whens produced a 170 KB Generate node whose codegen
+        # compile alone cost ~15 s per query (measured); this form plans
+        # in milliseconds with identical output.
         terms = []
         for j in range(planes_per_band):
-            plane = F.array(
-                *[F.lit(w) for w in _hyperplane(dim, b * planes_per_band + j)]
-            )
-            dot = F.aggregate(
-                F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            dot = F.element_at(
+                F.col("_dots"), (b * planes_per_band + j + 1).cast("int")
             )
             terms.append(F.when(dot >= 0, F.lit(2**j)).otherwise(F.lit(0)))
         bucket = terms[0]
         for t in terms[1:]:
             bucket = bucket + t
-        entries.append(
-            F.struct(F.lit(b).alias("band"), bucket.cast("long").alias("bucket"))
-        )
-    return df.select(F.col(id_col), F.explode(F.array(*entries)).alias("bb")).select(
+        return bucket
+
+    entries = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"), _bucket(b).cast("long").alias("bucket")
+        ),
+    )
+    return staged.select(
+        F.col(id_col), F.explode(entries).alias("bb")
+    ).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -272,11 +331,12 @@ def rh_band_buckets(
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     threshold: float,
-    bands: int = 8,
-    planes_per_band: int = 2,
+    bands: int = 32,
+    planes_per_band: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate pairs via banded random-hyperplane LSH — the
     100 TB-safe path for `embedding_near_dup_pairs`. Candidate pairs come
@@ -289,20 +349,42 @@ def embedding_near_dup_pairs_lsh(
 
     Plan shape at scale: the bucket table (bands rows/vector) and the
     normalized vectors materialize once each to run-scoped parquet; pair
-    generation shuffles on (band, bucket) — bounded by bucket occupancy,
-    not N²; the distinct + two id-joins for re-scoring shuffle only the
-    candidate set. Recall tuning: at real near-dup thresholds (cos ≥ 0.9,
-    θ ≤ 26°) a (bands=8, ppb=2) scheme misses a pair with probability
-    (1-0.734)^8 ≈ 2e-5; the fixture catalog threshold (0.35, θ ≤ 70°)
-    is a far weaker similarity, where measured recall is 0.978 with 89%
-    of pairs surviving as candidates — LSH prunes hard only where near-
-    dup semantics actually live. Parameters are caller-tunable."""
+    generation shuffles on (band, bucket); the distinct + two id-joins
+    for re-scoring shuffle only the candidate set. Recall tuning: at real
+    near-dup thresholds (cos ≥ 0.9, θ ≤ 26°) each band collides with
+    probability (1-θ/π)^ppb — 0.54 at ppb=4 — so 16 bands miss a true
+    pair with probability ~1e-5; weak-similarity pairs (the fixture
+    catalog's 0.35 threshold) trade some recall for pruning.
+
+    ``bucket_cap`` is the hard memory/size guard (the x07 df-cap pattern
+    applied to vector buckets): per (band, bucket), only the first
+    ``bucket_cap`` members — ordered by a band-keyed deterministic hash,
+    so each band keeps a DIFFERENT subset of a hot region — enter pair
+    generation. Without it, a bucket holding k vectors emits k²/2 pairs,
+    and bucket occupancy grows linearly with the corpus (a 10x corpus
+    probe OOM'd exactly here: GC-thrash then heap exhaustion in the
+    bucket self-join at default params, tools/scale_probe.py). With it,
+    a (band,bucket) emits ≤ cap²/2 pairs no matter the corpus; dense
+    regions still surface because the 16 band-wise subsets differ and
+    downstream grouping (connected components) closes the partial pair
+    graph. The truncation is one row_number window over the bucket
+    table — bands·N rows, one exchange, never the corpus re-shuffled."""
+    from kafka_streams_learning_spark.functions import hashing
     from kafka_streams_learning_spark.operators.materialize import materialized
 
-    bb = materialized(
-        rh_band_buckets(df, bands, planes_per_band, dim, id_col, vec_col),
-        tag="neardup-bands",
-    )
+    bb = rh_band_buckets(df, bands, planes_per_band, dim, id_col, vec_col)
+    if bucket_cap is not None:
+        order = hashing.hash60(
+            F.concat(F.col("band").cast("string"), F.lit("|"),
+                     F.col(id_col).cast("string"))
+        )
+        w = Window.partitionBy("band", "bucket").orderBy(order, F.col(id_col))
+        bb = (
+            bb.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= bucket_cap)
+            .drop("_rk")
+        )
+    bb = materialized(bb, tag="neardup-bands")
     cand = (
         bb.select(F.col(id_col).alias("vec_a"), "band", "bucket")
         .join(bb.select(F.col(id_col).alias("vec_b"), "band", "bucket"),

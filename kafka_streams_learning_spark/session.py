@@ -56,6 +56,14 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_BASE_CONF)
+    # local[N] puts the driver AND all N executor threads in ONE JVM, and
+    # Spark's default driver heap is 1g — 32 concurrent tasks sharing 1 GiB
+    # OOM'd the round-9 10x-corpus probe (and GC-taxed everything else)
+    # on a 128 GiB machine. Honored only at JVM launch; a cluster
+    # deployment sizes executors in the launcher instead.
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

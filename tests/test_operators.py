@@ -292,8 +292,9 @@ def test_banded_lsh_near_dups_subset_of_exact(spark):
     the exact all-pairs result with IDENTICAL scores (re-scoring is
     exact, only candidate generation is approximate), co-directional
     duplicates are always recalled (same sign pattern in every band),
-    and recall on the fixture corpus stays high (measured 0.978 at
-    bands=8/ppb=2; assert a 0.9 floor so a bucketing regression fails)."""
+    and recall on the fixture corpus stays high (measured 1.0 at the
+    round-9 defaults bands=32/ppb=4/cap=256, sf0.001 AND sf0.01; assert
+    a 0.9 floor so a bucketing regression fails)."""
     from kafka_streams_learning_spark.operators import similarity
     from kafka_streams_learning_spark.sources.batch import load_table
 
@@ -311,6 +312,38 @@ def test_banded_lsh_near_dups_subset_of_exact(spark):
     assert set(lsh) <= set(exact)
     assert all(lsh[p] == exact[p] for p in lsh)  # bitwise-identical scores
     assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
+    """The per-(band,bucket) occupancy cap is the 100 TB memory guard:
+    a degenerate hot region — here 300 co-directional vectors, which
+    land in ONE bucket of every band — must emit at most
+    bands · cap·(cap-1)/2 candidate pairs instead of C(300,2)·threshold
+    survivors (the uncapped form is quadratic in occupancy; the r9
+    10x-corpus probe OOM'd there). Band-keyed kept-set rotation still
+    surfaces pairs from the hot region in every band."""
+    from kafka_streams_learning_spark.operators import similarity
+
+    base = [float((i * 37) % 13 - 6) or 1.0 for i in range(16)]
+    rows = [(i, [x * (1.0 + i) for x in base]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bands, cap = 8, 10
+    got = similarity.embedding_near_dup_pairs_lsh(
+        df, threshold=0.99, bands=bands, planes_per_band=4, dim=16,
+        bucket_cap=cap,
+    ).collect()
+    n_pairs = len(got)
+    assert 0 < n_pairs <= bands * cap * (cap - 1) // 2
+    # all pairs are true co-directional dups — exact re-scoring kept
+    # score 1.0 for every survivor the buckets produced
+    assert all(abs(r.score - 1.0) < 1e-9 for r in got)
+    # uncapped on the same corpus: the full quadratic pair set — the cap
+    # is the only thing standing between occupancy and O(k²)
+    uncapped = similarity.embedding_near_dup_pairs_lsh(
+        df, threshold=0.99, bands=bands, planes_per_band=4, dim=16,
+        bucket_cap=None,
+    ).count()
+    assert uncapped == 300 * 299 // 2
 
 
 def test_hash_split_stable_and_exhaustive(spark):

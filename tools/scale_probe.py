@@ -23,10 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_ROWS = [
     "x07_ngram_jaccard_dups",
-    "x11_minhash_lsh_dups",
-    "x26_ann_near_dup_lsh",
-    "x33_minhash_lsh_jaccard_verify",
-    "x48_containment_dups",
+    "x11_lsh_candidates",
+    "x26_embedding_near_dups_lsh",
+    "x33_dedup_survivors",
+    "x48_containment_pairs",
 ]
 
 SF_DIRS = [
@@ -55,6 +55,7 @@ def main() -> int:
             df = specs[name].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 2)
+            print(f"# {sf_name} {name} {timings[name]}s", flush=True)
             spark.catalog.clearCache()
         out[sf_name] = timings
 
