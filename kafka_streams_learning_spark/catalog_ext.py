@@ -442,8 +442,19 @@ FROM documents
 # so the oracle replays the identical algorithm: the check verifies the
 # full IVF pipeline — assignment, probing, candidate generation, exact
 # re-scoring — not just "some neighbors came back".
+#
+# r9: the centroid COUNT is held constant across corpus sizes. The r1-r8
+# binding (a fixed modulus of 20) made #centroids = N/20, so assignment
+# was a CROSS score of N x N/20 — quadratic by construction; the 10x
+# probe measured it at 39x runtime for 10x data. The modulus is now
+# derived from the corpus count to target IVF_TARGET_CENTROIDS seeds
+# (one tiny count() on the driver — the balanced_sample precedent), so
+# assignment is N x C, linear. Per-query cost is nprobe x N/C and the
+# query workload scales with the fixture (vec_id % ANN_QUERY_MOD);
+# production retunes C (~ sqrt(N)) as the corpus grows and retrains —
+# the catalog pins the TARGET, not the modulus, for oracle determinism.
 
-IVF_CENTROID_MOD = 20
+IVF_TARGET_CENTROIDS = 50
 IVF_NPROBE = 2
 
 _NORM_NV = (
@@ -453,24 +464,31 @@ _NORM_NV = (
 )
 
 
+def _ivf_centroid_mod(spark: SparkSession, sf: str) -> int:
+    n = load_table(spark, sf, "embeddings").count()
+    return max(1, n // IVF_TARGET_CENTROIDS)
+
+
 def _x13(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(
         load_table(spark, sf, "embeddings"),
         k=ANN_K,
-        centroid_mod=IVF_CENTROID_MOD,
+        centroid_mod=_ivf_centroid_mod(spark, sf),
         query_mod=ANN_QUERY_MOD,
         nprobe=IVF_NPROBE,
     )
 
 
 _X13_SQL = f"""
-WITH n AS (
+WITH m AS (
+  SELECT greatest(1, COUNT(*) // {IVF_TARGET_CENTROIDS}) AS md FROM embeddings
+), n AS (
   SELECT vec_id, {_NORM_NV} AS nv FROM embeddings
   -- zero-norm vectors excluded, mirroring similarity.normalized_vectors
   WHERE list_sum(list_transform(embedding,
           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0
 ), cent AS (
-  SELECT vec_id AS cid, nv AS cv FROM n WHERE vec_id % {IVF_CENTROID_MOD} = 0
+  SELECT vec_id AS cid, nv AS cv FROM n WHERE vec_id % (SELECT md FROM m) = 0
 ), scored AS (
   SELECT v.vec_id, c.cid,
          list_sum(list_transform(generate_series(1, len(v.nv)),
@@ -1534,12 +1552,19 @@ FROM s
 # trained model per process.
 
 SEMDEDUP_THRESHOLD = EMB_DUP_THRESHOLD
+# r9: per-cluster occupancy cap (salted-hash order) — fixed-k clustering
+# means cluster size grows with the corpus, and the uncapped within-
+# cluster pair join measured 42x runtime at the 10x probe. Never binds
+# at fixture cluster sizes (<= 266 at sf0.1).
+SEMDEDUP_CLUSTER_CAP = 512
 
 
 def _x39(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     cents = _sampled_centroids(spark, sf)
-    return similarity.semantic_near_dup_pairs(emb, cents, SEMDEDUP_THRESHOLD)
+    return similarity.semantic_near_dup_pairs(
+        emb, cents, SEMDEDUP_THRESHOLD, cluster_cap=SEMDEDUP_CLUSTER_CAP
+    )
 
 
 _NORM_SQ = (
@@ -1564,6 +1589,9 @@ n AS (
            x -> CAST(x AS DOUBLE) / sqrt({_NORM_SQ})) AS nv
   FROM asg
   WHERE {_NORM_SQ} > 0
+  QUALIFY row_number() OVER (PARTITION BY cluster
+      ORDER BY {hash60_sql("'sem|' || CAST(vec_id AS VARCHAR)")}, vec_id)
+      <= {SEMDEDUP_CLUSTER_CAP}
 )
 SELECT cluster, vec_a, vec_b, score FROM (
   SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
