@@ -151,14 +151,20 @@ def lsh_candidate_pairs(
     bucket is a boilerplate/template family at scale, and an uncapped
     bucket of k members emits k²/2 pairs — quadratic in family size.
     Per (band, bucket) only the first cap members under a band-keyed
-    deterministic hash order generate pairs; different bands keep
-    different slices of a hot family, and the downstream group closure
-    (connected components in `dedup_survivors`) reconnects what any
-    single band's slice missed. Measured occupancy on the fixtures is
-    ≤ 19 at sf0.1, so the default cap never binds at oracle scale —
-    it exists for the corpus where a family is 10⁶ documents. Pass
-    ``bucket_cap=None`` for diagnostics that need the full candidate
-    set (x53's calibration does).
+    deterministic hash order enter the pair self-join; every member
+    PAST the cap additionally emits ONE star pair linking it to the
+    bucket's first kept member (the rank-1 anchor under the same hash
+    order). The star pairs keep connected-component closure exact at
+    linear cost: a bucket of k members emits ≤ cap²/2 + (k-cap) pairs,
+    and every member of a hot family reaches the family's component
+    through its anchor even if it was capped out of EVERY band (without
+    the star, a member dropped in all bands — probability
+    (1-cap/k)^bands, ~98% for a 10⁶-member family at cap=256/bands=64 —
+    would emit zero pairs and silently survive dedup). Measured
+    occupancy on the fixtures is ≤ 19 at sf0.1, so the default cap
+    never binds at oracle scale — it exists for the corpus where a
+    family is 10⁶ documents. Pass ``bucket_cap=None`` for diagnostics
+    that need the full candidate set (x53's calibration does).
 
     Pass `sig` (a `minhash_signatures` output, ideally materialized) when
     the caller also consumes the signatures itself — otherwise the whole
@@ -177,6 +183,7 @@ def lsh_candidate_pairs(
     buckets = sig.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
+    overflow_pairs = None
     if bucket_cap is not None:
         from kafka_streams_learning_spark.functions import hashing
 
@@ -185,18 +192,37 @@ def lsh_candidate_pairs(
                      F.col("id").cast("string"))
         )
         w = Window.partitionBy("band", "bucket").orderBy(order, F.col("id"))
-        buckets = (
-            buckets.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= bucket_cap)
-            .drop("_rk")
+        # rank + the rank-1 anchor come from the same window pass (one
+        # exchange over bands·N rows); materializing WITH both columns
+        # lets the kept/overflow split read the run-scoped parquet twice
+        # instead of re-running shingle→minhash per arm
+        buckets = _materialized(
+            buckets.withColumn("_rk", F.row_number().over(w)).withColumn(
+                "_anchor",
+                F.first("id").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            ),
+            tag="x11-buckets",
         )
-    # the self-join reads the bucket table twice; without materializing,
-    # the whole shingle→minhash pipeline runs twice (Catalyst plans each
-    # side independently)
-    buckets = _materialized(buckets, tag="x11-buckets")
+        overflow_pairs = (
+            buckets.filter(F.col("_rk") > bucket_cap)
+            .select(
+                F.least("_anchor", "id").alias("doc_a"),
+                F.greatest("_anchor", "id").alias("doc_b"),
+            )
+        )
+        buckets = buckets.filter(F.col("_rk") <= bucket_cap).select(
+            "id", "band", "bucket"
+        )
+    else:
+        # the self-join reads the bucket table twice; without
+        # materializing, the whole shingle→minhash pipeline runs twice
+        # (Catalyst plans each side independently)
+        buckets = _materialized(buckets, tag="x11-buckets")
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -204,8 +230,10 @@ def lsh_candidate_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
     )
+    if overflow_pairs is not None:
+        pairs = pairs.unionByName(overflow_pairs)
+    return pairs.distinct()
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -538,6 +566,8 @@ def sketch_calibration(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_rows: int = 50_000,
+    force: bool = False,
 ) -> DataFrame:
     """Sketch-accuracy diagnostic: for every LSH candidate pair, the
     MinHash-ESTIMATED Jaccard (fraction of agreeing permutation minima —
@@ -554,8 +584,19 @@ def sketch_calibration(
     a hash-collision-induced false candidate surfaces with exact 0.0
     (the worst-case row the diagnostic exists to expose) instead of
     silently dropping. Both ratios are exact small-integer divisions, so
-    the rows replay bit-for-bit across engines."""
+    the rows replay bit-for-bit across engines.
+
+    Because the uncapped candidate set (``bucket_cap=None``) is
+    quadratic in hot-bucket size, this diagnostic is mechanically
+    size-guarded like `similarity.embedding_near_dup_pairs`: inputs
+    over ``max_rows`` raise unless ``force=True`` (fixtures are ≤ 5,000
+    documents at sf0.1). The production dedup path is the CAPPED
+    `lsh_candidate_pairs` (x11)."""
+    from kafka_streams_learning_spark.operators.guards import guard_exact_arm
     from kafka_streams_learning_spark.operators.materialize import materialized
+
+    guard_exact_arm(df, max_rows, force, "sketch_calibration",
+                    "lsh_candidate_pairs (default bucket_cap)")
 
     sig = materialized(
         minhash_signatures(df, n_perm, k, text_col, id_col), tag="x53-sig"

@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from kafka_streams_learning_spark.functions.vectors import cosine, norm
+from kafka_streams_learning_spark.operators.guards import (
+    guard_exact_arm as _guard_exact_arm,
+)
 
 
 def brute_force_topk(
@@ -352,47 +355,69 @@ def embedding_near_dup_pairs_lsh(
     generation shuffles on (band, bucket); the distinct + two id-joins
     for re-scoring shuffle only the candidate set. Recall tuning: at real
     near-dup thresholds (cos ≥ 0.9, θ ≤ 26°) each band collides with
-    probability (1-θ/π)^ppb — 0.54 at ppb=4 — so 16 bands miss a true
-    pair with probability ~1e-5; weak-similarity pairs (the fixture
-    catalog's 0.35 threshold) trade some recall for pruning.
+    probability (1-θ/π)^ppb — 0.54 at ppb=4 — so ``bands`` independent
+    bands miss a true pair with probability (1-0.54)^bands (~2e-11 at
+    the default bands=32); weak-similarity pairs (the fixture catalog's
+    0.35 threshold) trade some recall for pruning.
 
     ``bucket_cap`` is the hard memory/size guard (the x07 df-cap pattern
     applied to vector buckets): per (band, bucket), only the first
     ``bucket_cap`` members — ordered by a band-keyed deterministic hash,
-    so each band keeps a DIFFERENT subset of a hot region — enter pair
-    generation. Without it, a bucket holding k vectors emits k²/2 pairs,
-    and bucket occupancy grows linearly with the corpus (a 10x corpus
-    probe OOM'd exactly here: GC-thrash then heap exhaustion in the
-    bucket self-join at default params, tools/scale_probe.py). With it,
-    a (band,bucket) emits ≤ cap²/2 pairs no matter the corpus; dense
-    regions still surface because the 16 band-wise subsets differ and
-    downstream grouping (connected components) closes the partial pair
-    graph. The truncation is one row_number window over the bucket
-    table — bands·N rows, one exchange, never the corpus re-shuffled."""
+    so each band keeps a DIFFERENT subset of a hot region — enter the
+    pair self-join; every member past the cap additionally emits ONE
+    star candidate against the bucket's rank-1 anchor, so a bucket of
+    k vectors emits ≤ cap²/2 + (k-cap) candidates no matter the corpus
+    (without the star, a member capped out of every band — probability
+    (1-cap/k)^bands for a k-member hot region — would emit zero
+    candidates and its true near-dups go unreported). Star candidates
+    flow through the same exact re-scoring, so a dissimilar
+    anchor-member pair is dropped by the threshold like any other false
+    candidate; a similar one reconnects the member to the dense region
+    for downstream connected components. Without the cap, bucket
+    occupancy grows linearly with the corpus (a 10x corpus probe OOM'd
+    exactly here: GC-thrash then heap exhaustion in the bucket
+    self-join at default params, tools/scale_probe.py). The
+    truncation is one row_number window over the bucket table —
+    bands·N rows, one exchange, never the corpus re-shuffled."""
     from kafka_streams_learning_spark.functions import hashing
     from kafka_streams_learning_spark.operators.materialize import materialized
 
     bb = rh_band_buckets(df, bands, planes_per_band, dim, id_col, vec_col)
+    overflow = None
     if bucket_cap is not None:
         order = hashing.hash60(
             F.concat(F.col("band").cast("string"), F.lit("|"),
                      F.col(id_col).cast("string"))
         )
         w = Window.partitionBy("band", "bucket").orderBy(order, F.col(id_col))
-        bb = (
-            bb.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= bucket_cap)
-            .drop("_rk")
+        bb = materialized(
+            bb.withColumn("_rk", F.row_number().over(w)).withColumn(
+                "_anchor",
+                F.first(id_col).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            ),
+            tag="neardup-bands",
         )
-    bb = materialized(bb, tag="neardup-bands")
+        overflow = bb.filter(F.col("_rk") > bucket_cap).select(
+            F.least("_anchor", F.col(id_col)).alias("vec_a"),
+            F.greatest("_anchor", F.col(id_col)).alias("vec_b"),
+        )
+        bb = bb.filter(F.col("_rk") <= bucket_cap).select(
+            id_col, "band", "bucket"
+        )
+    else:
+        bb = materialized(bb, tag="neardup-bands")
     cand = (
         bb.select(F.col(id_col).alias("vec_a"), "band", "bucket")
         .join(bb.select(F.col(id_col).alias("vec_b"), "band", "bucket"),
               ["band", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
-        .distinct()
     )
+    if overflow is not None:
+        cand = cand.unionByName(overflow)
+    cand = cand.distinct()
     n = materialized(normalized_vectors(df, id_col, vec_col), tag="neardup-norm")
     prods = F.zip_with(F.col("na"), F.col("nb"), lambda x, y: x * y)
     return (
@@ -406,19 +431,33 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+EXACT_ARM_MAX_ROWS = 50_000
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = EXACT_ARM_MAX_ROWS,
+    force: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) with cosine ≥ threshold. Vectors are
     normalized once per side before the pair join, so each of the O(n²)
     pairs costs one dot product instead of dot+2 norms (3× fewer flops —
     measured 74s → ~25s on the sf0.1 bench). Exact form is a self
-    cross-join — fine at oracle scale; at 100 TB the LSH-bucketed variant
-    (join within `rh_lsh_buckets` buckets) bounds pair generation and
-    candidates are re-scored exactly the same way."""
+    cross-join — the calibration/ground-truth arm, NEVER the production
+    path; at 100 TB the LSH-bucketed variant
+    (`embedding_near_dup_pairs_lsh`) bounds pair generation and
+    re-scores candidates exactly the same way.
+
+    Because nothing else stops a caller pointing this at a full corpus,
+    the quadratic arm is mechanically guarded: if the input exceeds
+    ``max_rows`` (a cheap ``limit(max_rows+1).count()`` probe, never a
+    full scan) it raises unless ``force=True``. Fixtures are ≤ 2,000
+    vectors at sf0.1, far under the default bound."""
+    _guard_exact_arm(df, max_rows, force, "embedding_near_dup_pairs",
+                     "embedding_near_dup_pairs_lsh")
     n = normalized_vectors(df, id_col, vec_col)
     a = n.select(F.col(id_col).alias("vec_a"), F.col("nv").alias("na"))
     b = n.select(F.col(id_col).alias("vec_b"), F.col("nv").alias("nb"))

@@ -318,10 +318,13 @@ def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
     """The per-(band,bucket) occupancy cap is the 100 TB memory guard:
     a degenerate hot region — here 300 co-directional vectors, which
     land in ONE bucket of every band — must emit at most
-    bands · cap·(cap-1)/2 candidate pairs instead of C(300,2)·threshold
+    bands · (cap·(cap-1)/2 + (k-cap)) candidate pairs (capped self-join
+    plus one star pair per capped-out member) instead of C(300,2)
     survivors (the uncapped form is quadratic in occupancy; the r9
-    10x-corpus probe OOM'd there). Band-keyed kept-set rotation still
-    surfaces pairs from the hot region in every band."""
+    10x-corpus probe OOM'd there). The star pairs keep closure EXACT:
+    every member of the hot family — including the ones capped out of
+    every band — must appear in at least one emitted pair, so connected
+    components still collapse the whole family."""
     from kafka_streams_learning_spark.operators import similarity
 
     base = [float((i * 37) % 13 - 6) or 1.0 for i in range(16)]
@@ -333,10 +336,13 @@ def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
         bucket_cap=cap,
     ).collect()
     n_pairs = len(got)
-    assert 0 < n_pairs <= bands * cap * (cap - 1) // 2
+    assert 0 < n_pairs <= bands * (cap * (cap - 1) // 2 + (300 - cap))
     # all pairs are true co-directional dups — exact re-scoring kept
     # score 1.0 for every survivor the buckets produced
     assert all(abs(r.score - 1.0) < 1e-9 for r in got)
+    # star-closure: no member of the family is silently invisible
+    covered = {r.vec_a for r in got} | {r.vec_b for r in got}
+    assert covered == set(range(300))
     # uncapped on the same corpus: the full quadratic pair set — the cap
     # is the only thing standing between occupancy and O(k²)
     uncapped = similarity.embedding_near_dup_pairs_lsh(
@@ -344,6 +350,70 @@ def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
         bucket_cap=None,
     ).count()
     assert uncapped == 300 * 299 // 2
+
+
+def test_minhash_lsh_bucket_cap_star_closure(spark):
+    """dedup.lsh_candidate_pairs with a binding bucket_cap: a
+    duplicate family larger than the cap (identical texts → identical
+    signatures → the SAME bucket in every band) must still emit a pair
+    for every member via the star-anchor path, with linearly-bounded
+    pair count — the ADVICE-flagged silent-survivor hole."""
+    from kafka_streams_learning_spark.operators import dedup
+
+    fam = 40
+    rows = [(i, "the same boilerplate text repeated verbatim") for i in range(fam)]
+    rows += [(100 + i, f"unique document number {i} with its own words") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bands, cap = 4, 5
+    pairs = dedup.lsh_candidate_pairs(
+        df, n_perm=8, bands=bands, k=3, bucket_cap=cap
+    ).collect()
+    covered = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    # every family member reachable — none capped out of existence
+    assert set(range(fam)) <= covered
+    # linear bound: per band, cap members self-join + (fam-cap) stars
+    assert len(pairs) <= bands * (cap * (cap - 1) // 2 + (fam - cap)) + 25
+    # the family stays ONE connected component through the star pairs
+    parent = {i: i for i in covered}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(r.doc_a)] = find(r.doc_b)
+    assert len({find(i) for i in range(fam)}) == 1
+
+
+def test_exact_arm_guards_raise_above_bound(spark):
+    """The two calibration-only quadratic arms are mechanically guarded:
+    inputs above max_rows raise ExactArmSizeError unless force=True;
+    fixture-scale inputs pass untouched (x10/x53 hashes unchanged)."""
+    import pytest as _pytest
+
+    from kafka_streams_learning_spark.operators import dedup, similarity
+    from kafka_streams_learning_spark.operators.guards import ExactArmSizeError
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ExactArmSizeError, match="near_dup_pairs_lsh"):
+        similarity.embedding_near_dup_pairs(emb, 0.5, max_rows=10)
+    # force overrides; under-bound passes without force
+    assert similarity.embedding_near_dup_pairs(
+        emb, 0.5, max_rows=10, force=True
+    ).count() == 20 * 19 // 2
+    assert similarity.embedding_near_dup_pairs(emb, 0.5, max_rows=50).count() > 0
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} words alpha beta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ExactArmSizeError, match="lsh_candidate_pairs"):
+        dedup.sketch_calibration(docs, 4, k=3, max_rows=10)
+    dedup.sketch_calibration(docs, 4, k=3, max_rows=10, force=True).count()
 
 
 def test_hash_split_stable_and_exhaustive(spark):
