@@ -464,9 +464,18 @@ _NORM_NV = (
 )
 
 
+_IVF_MOD_CACHE: dict[str, int] = {}
+
+
 def _ivf_centroid_mod(spark: SparkSession, sf: str) -> int:
-    n = load_table(spark, sf, "embeddings").count()
-    return max(1, n // IVF_TARGET_CENTROIDS)
+    # memoized per sf (the _CENTROID_CACHE pattern): the count is an
+    # uncached full-table action, and without the cache every _x13
+    # CONSTRUCTION paid a scan — bench warm repeats and the determinism
+    # sweep's two sessions each re-counted during pure plan building
+    if sf not in _IVF_MOD_CACHE:
+        n = load_table(spark, sf, "embeddings").count()
+        _IVF_MOD_CACHE[sf] = max(1, n // IVF_TARGET_CENTROIDS)
+    return _IVF_MOD_CACHE[sf]
 
 
 def _x13(spark: SparkSession, sf: str) -> DataFrame:
@@ -3471,3 +3480,35 @@ def clear_model_caches() -> None:
     _CENTROID_CACHE.clear()
     _SAMPLED_CENTROID_CACHE.clear()
     _NB_MODEL_CACHE.clear()
+
+
+def warm_shared_artifacts(spark: SparkSession, sf: str) -> dict[str, float]:
+    """Eagerly build every cross-query SHARED artifact for ``sf`` and
+    return per-artifact wall seconds (VERDICT r9 item 3). The bench's
+    first-consumer attribution contract — whichever catalog row first
+    touches a shared materialization pays its build — made the movers
+    report cry wolf every time plan edits re-keyed a cache (r9: s24,
+    x61, x63, x14, x67, x47 all jumped with zero code changes). Warming
+    here pins those one-time costs to an explicit, separately-reported
+    setup step, so a per-query regression in BENCH_r*.json is a real
+    regression. Covers the documented shared caches: the two LSH pair
+    tables, both k-means models, the IVF modulus count, the CCNet
+    bucket staging, and the NB model tables (consumers listed at each
+    cache site)."""
+    import time as _time
+
+    steps: dict[str, object] = {
+        "mh_pairs": lambda: _mh_pairs(spark, sf),
+        "emb_pairs": lambda: _emb_pairs(spark, sf),
+        "centroids": lambda: _trained_centroids(spark, sf),
+        "sampled_centroids": lambda: _sampled_centroids(spark, sf),
+        "ivf_mod": lambda: _ivf_centroid_mod(spark, sf),
+        "ccnet_buckets": lambda: _ccnet_buckets_shared(spark, sf),
+        "nb_model": lambda: nb_model(spark, sf),
+    }
+    out: dict[str, float] = {}
+    for name, fn in steps.items():
+        t0 = _time.time()
+        fn()
+        out[name] = round(_time.time() - t0, 3)
+    return out

@@ -44,6 +44,15 @@ MAX_STALE_ROUNDS = 3
 # New catalog rows per round must fit in the prefix WITHOUT starving the
 # rotation band (VERDICT r7 item 2 asked for <=5).
 MAX_NEW_ROWS_PER_ROUND = 5
+# GROWTH FREEZE (VERDICT r9 item 6): at 109 rows against a 50-row gate
+# the staleness bound is already at its 3-round limit; every added
+# catalog row dilutes it further. The catalog may not grow past this
+# waiver unless the prefix cap grows with it — new operators either
+# replace a lower-value row or ship gate-neutral (tests +
+# tools/oracle_check.py coverage, no queries() entry). Raising the
+# waiver is an explicit, reviewed act: bump the constant in the same
+# commit that adds the row, with the staleness math in the message.
+CATALOG_SIZE_WAIVER = 109
 
 
 def repo_root() -> str:
@@ -116,8 +125,17 @@ def current_round(
 ) -> int:
     """The round about to be gated = newest ATTEMPTED round + 1, derived
     from artifact filenames (even an all-failure or corrupt round was a
-    gated round). Falls back to the green-row mapping only when no
-    artifact files exist at `root` (pure-simulation callers)."""
+    gated round). Falls back to the green-row mapping when no artifact
+    files exist at `root`.
+
+    A caller passing ONLY a synthetic `newest` mapping (no root) is a
+    pure simulation and gets the mapping-derived round — it must never
+    silently read the live repo's CORRECTNESS files through repo_root()
+    (ADVICE r9: that made simulated rounds track the real repo). The
+    filename-based path runs when `root` is explicit, or when neither
+    argument is given (the production call shape)."""
+    if newest is not None and root is None:
+        return max(newest.values(), default=0) + 1
     from_files = latest_gated_round(root)
     if from_files:
         return from_files + 1

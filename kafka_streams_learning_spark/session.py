@@ -40,6 +40,21 @@ _BASE_CONF: dict[str, str] = {
 }
 
 
+def _default_driver_mem() -> str:
+    """Half of MemAvailable, capped at 24g (the measured-good size for
+    the 128 GiB probe box), floored at 2g. Unreadable /proc/meminfo
+    (non-Linux) falls back to a conservative 4g."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{min(24, max(2, avail_gb // 2))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(
     app_name: str = "kafka-streams-learning-spark",
     master: str | None = None,
@@ -59,10 +74,14 @@ def get_spark(
     # local[N] puts the driver AND all N executor threads in ONE JVM, and
     # Spark's default driver heap is 1g — 32 concurrent tasks sharing 1 GiB
     # OOM'd the round-9 10x-corpus probe (and GC-taxed everything else)
-    # on a 128 GiB machine. Honored only at JVM launch; a cluster
-    # deployment sizes executors in the launcher instead.
+    # on a 128 GiB machine. The default is derived from the host's
+    # available memory (half of it, capped at 24g, floored at 2g) so a
+    # smaller container doesn't fail at JVM launch; SPARK_GRAFT_DRIVER_MEM
+    # is the explicit scale-up/override lever. Honored only at JVM
+    # launch; a cluster deployment sizes executors in the launcher.
     conf.setdefault(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
     )
     if extra_conf:
         conf.update(extra_conf)

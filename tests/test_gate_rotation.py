@@ -62,7 +62,12 @@ def test_no_row_staler_than_bound_after_this_gate(newest):
         f"catalog ({len(names)} rows) outgrew the {MAX_STALE_ROUNDS}-round "
         f"rotation guarantee at a {GATE_PREFIX_CAP}-row gate prefix"
     )
-    cur = current_round(newest)
+    # explicit root → filename-based round (counts failure-only rounds);
+    # a bare current_round(newest) is the pure-simulation shape and
+    # deliberately ignores the live repo's artifact files (ADVICE r9)
+    from kafka_streams_learning_spark.gate_rotation import repo_root
+
+    cur = current_round(newest, repo_root())
     stale = {}
     for i, name in enumerate(names):
         effective = cur if i < GATE_PREFIX_CAP else newest.get(name, 0)
@@ -247,3 +252,35 @@ def test_gate_prefix_md_flags_every_rows_only_row():
         assert f"{name}  (rows-only" in text, (
             f"{name} verified rows-only but not flagged in GATE_PREFIX.md"
         )
+
+
+def test_no_rows_only_rows_remain():
+    """VERDICT r9 item 7: every catalog row has a full-strength oracle —
+    zero rows whose newest driver verification was the weaker rows-only
+    check. A new non-SQL-expressible op that genuinely cannot have an
+    oracle must be added to the documented allowlist here, not slipped
+    past the assertion."""
+    from kafka_streams_learning_spark.gate_rotation import rows_only_names
+
+    allowed_rows_only: set[str] = set()  # nothing is exempt today
+    assert rows_only_names() <= allowed_rows_only, (
+        f"rows-only catalog rows appeared: {rows_only_names() - allowed_rows_only}; "
+        "give them oracle_sql() entries or add a documented exemption"
+    )
+
+
+def test_catalog_growth_frozen_at_waiver():
+    """VERDICT r9 item 6: the catalog may not grow past
+    CATALOG_SIZE_WAIVER (109 at freeze time) while the driver gate stays
+    a 50-row prefix — every added row dilutes the 3-round staleness
+    bound. New operators replace lower-value rows or ship gate-neutral;
+    raising the waiver is an explicit reviewed act in the commit that
+    adds the row."""
+    from kafka_streams_learning_spark.gate_rotation import CATALOG_SIZE_WAIVER
+
+    names = [q.name for q in all_queries()]
+    assert len(names) <= CATALOG_SIZE_WAIVER, (
+        f"catalog grew to {len(names)} rows past the {CATALOG_SIZE_WAIVER} "
+        "freeze; replace a lower-value row, ship gate-neutral, or bump "
+        "CATALOG_SIZE_WAIVER deliberately with the staleness math"
+    )
