@@ -88,18 +88,56 @@ def gen_embeddings(rng: np.random.Generator) -> pa.Table:
     })
 
 
+N_EVENTS = 1_000_000  # 10x the sf0.1 events table (streaming growth probe)
+N_USERS = 15_000      # users scale with events (fixture keeps ~67 events/user)
+
+
+def gen_events(rng: np.random.Generator) -> pa.Table:
+    """Shape-matched 10x events: same schema/ranges as the sf0.1 fixture
+    (30-day window, 5 uniform event types, value in [0, ~560], ~67
+    events per user) so streaming replay rows exercise a true decade of
+    input growth, not just a bigger file of the same keys."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = base + rng.integers(0, span_us, size=N_EVENTS).astype("timedelta64[us]")
+    ts.sort()
+    types = rng.choice(
+        ["signup", "click", "error", "view", "purchase"], size=N_EVENTS
+    )
+    return pa.table({
+        "event_id": pa.array(range(N_EVENTS), pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array(
+            rng.integers(0, N_USERS, size=N_EVENTS), pa.int64()
+        ),
+        "event_type": pa.array([str(x) for x in types], pa.string()),
+        "value": pa.array(
+            np.round(rng.random(N_EVENTS) * 560.0, 2), pa.float64()
+        ),
+        "props": pa.array(
+            [f'{{"k":{int(i % 7)}}}' for i in range(N_EVENTS)], pa.string()
+        ),
+    })
+
+
 def main() -> int:
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(SEED)
     pq.write_table(gen_documents(rng), os.path.join(out, "documents.parquet"))
     pq.write_table(gen_embeddings(rng), os.path.join(out, "embeddings.parquet"))
+    ev_dst = os.path.join(out, "events.parquet")
+    if os.path.islink(ev_dst):
+        os.unlink(ev_dst)  # replace the old sf0.1 symlink with real 10x data
+    if not os.path.exists(ev_dst):
+        pq.write_table(gen_events(rng), ev_dst)
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"):
+              "orders", "lineitem"):
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
-    print(f"wrote {out}: documents={N_DOCS} embeddings={N_VECS}")
+    print(f"wrote {out}: documents={N_DOCS} embeddings={N_VECS} "
+          f"events={N_EVENTS}")
     return 0
 
 
