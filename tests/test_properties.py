@@ -872,3 +872,30 @@ def test_nb_classifier_matches_python_model_any_corpus(spark, docs):
         assert (r.n_tokens, r.llr_q_sum) == (len(ts), llr)
         assert r.log_odds == (prior + llr) / 1e6
         assert r.is_positive == ((prior + llr) > 0)
+
+
+@settings(**{**_SETTINGS, "max_examples": 6})
+@given(
+    st.integers(min_value=12, max_value=60),   # duplicate-family size
+    st.integers(min_value=2, max_value=6),     # bucket cap (always binds)
+    st.integers(min_value=1, max_value=4),     # bands
+)
+def test_lsh_star_closure_holds_for_any_cap(spark, fam, cap, bands):
+    """For ANY (family size, cap, bands) where the cap binds, every
+    member of an identical-text duplicate family must appear in at
+    least one candidate pair (the star-anchor guarantee), and the pair
+    count stays <= bands * (cap^2/2 + (fam-cap)) + singles' pairs —
+    the linear bound the r10 closure fix promises for hot families of
+    any size."""
+    from kafka_streams_learning_spark.operators import dedup
+
+    n_perm = bands * 2
+    rows = [(i, "identical boilerplate family text body") for i in range(fam)]
+    rows += [(1000 + i, f"singleton document {i} distinct words") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.lsh_candidate_pairs(
+        df, n_perm=n_perm, bands=bands, k=3, bucket_cap=cap
+    ).collect()
+    covered = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert set(range(fam)) <= covered
+    assert len(pairs) <= bands * (cap * (cap - 1) // 2 + (fam - cap)) + 10
