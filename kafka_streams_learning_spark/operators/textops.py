@@ -59,37 +59,43 @@ def rolling_fingerprints(
     sketch. Two documents sharing long substrings share window hashes, so
     sketch overlap estimates containment — the winnowing-style complement
     to the whole-document fingerprint (`fingerprints`) and the word-level
-    MinHash (x06). Pure expression: shuffle-free single pass. Documents
-    shorter than the window get an empty sketch (Spark's `sequence(1, 0)`
-    DESCENDS rather than returning empty — the guard is load-bearing)."""
-    t = F.col(text_col)
-    n = F.length(t)
-    # char codes extracted ONCE per document (split+ascii is one pass),
-    # then each window folds over an 8-int slice — identical hash values
-    # to folding ascii(substring(t, p, 1)) per position, but ~K× fewer
-    # string ops. The one-element-array transform wrapper binds the codes
-    # array to a lambda variable, guaranteeing single evaluation (a plain
-    # column reference would be re-inlined into every window by
-    # CollapseProject and recompute the split per window).
-    codes = F.transform(F.split(t, ""), F.ascii)
-    window_hash = lambda chars, i: F.aggregate(  # noqa: E731
-        F.slice(chars, i, ROLLING_K),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * ROLLING_BASE + c).bitwiseAND(F.lit(ROLLING_MASK)),
-    )
-    hashes = F.transform(
-        F.array(codes),
-        lambda chars: F.transform(
-            F.sequence(F.lit(1), n - F.lit(ROLLING_K - 1)),
-            lambda i: window_hash(chars, i),
-        ),
-    )[0]
-    sketch = F.slice(F.array_sort(F.array_distinct(hashes)), 1, ROLLING_BOTTOM)
-    empty = F.array().cast("array<long>")
-    return df.select(
-        id_col,
-        F.when(n >= ROLLING_K, sketch).otherwise(empty).alias("fp_sketch"),
-    )
+    MinHash (x06). Shuffle-free single pass, Arrow-vectorized: the
+    per-window Horner fold is numpy over a sliding-window view — the r9
+    x26 lesson (Spark higher-order functions evaluate INTERPRETED, and
+    the nested transform/aggregate fold measured ~3 s per 5k-doc pass
+    at sf0.1; the vectorized form is ~10x cheaper and byte-identical).
+    Exactness: codepoints come from a utf-32 reinterpretation (== ord(),
+    exactly the DuckDB oracle's `ord(substr(...))`), the fold masks at
+    every step in int64 (max intermediate (2^55-1)*128 + c < 2^63), and
+    np.unique == array_sort ∘ array_distinct. Documents shorter than
+    the window get an empty sketch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    k, base, mask, bottom = ROLLING_K, ROLLING_BASE, ROLLING_MASK, ROLLING_BOTTOM
+
+    def _sketch_fn(texts):  # pd.Series -> pd.Series; hints omitted — the
+        # in-function 'pd' import is invisible to pandas_udf's
+        # string-annotation resolver under `from __future__ import annotations`
+        out = []
+        empty = np.empty(0, dtype=np.int64)
+        for t in texts:
+            if t is None or len(t) < k:
+                out.append(empty)
+                continue
+            cp = np.frombuffer(
+                t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+            ).astype(np.int64)
+            sw = np.lib.stride_tricks.sliding_window_view(cp, k)
+            acc = np.zeros(sw.shape[0], dtype=np.int64)
+            for j in range(k):
+                acc = (acc * base + sw[:, j]) & mask
+            out.append(np.unique(acc)[:bottom])
+        return pd.Series(out)
+
+    _sketch = pandas_udf(_sketch_fn, "array<long>")
+    return df.select(id_col, _sketch(F.col(text_col)).alias("fp_sketch"))
 
 
 def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
