@@ -899,3 +899,50 @@ def test_lsh_star_closure_holds_for_any_cap(spark, fam, cap, bands):
     covered = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
     assert set(range(fam)) <= covered
     assert len(pairs) <= bands * (cap * (cap - 1) // 2 + (fam - cap)) + 10
+
+
+@settings(**{**_SETTINGS, "max_examples": 10})
+@given(
+    st.lists(
+        st.text(
+            st.characters(min_codepoint=32, max_codepoint=0x2FFF,
+                          exclude_characters="'\\"),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_rolling_fingerprints_match_duckdb_fold(spark, texts):
+    """The r10 Arrow-vectorized Rabin-Karp sketch must stay
+    byte-identical to the DuckDB oracle's ord()-based Horner fold for
+    ANY input — including non-ASCII codepoints (the vectorized path
+    reads codepoints via utf-32 reinterpretation; a drift here would
+    silently break x17/x48's cross-engine hash gate)."""
+    from kafka_streams_learning_spark.operators import textops
+
+    k, base, mask, bottom = (
+        textops.ROLLING_K, textops.ROLLING_BASE,
+        textops.ROLLING_MASK, textops.ROLLING_BOTTOM,
+    )
+
+    def py_sketch(t: str) -> list[int]:
+        if len(t) < k:
+            return []
+        hs = set()
+        for i in range(len(t) - k + 1):
+            acc = 0
+            for c in t[i:i + k]:
+                acc = (acc * base + ord(c)) & mask
+            hs.add(acc)
+        return sorted(hs)[:bottom]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: list(r.fp_sketch)
+        for r in textops.rolling_fingerprints(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_sketch(t), (i, t)
