@@ -755,3 +755,41 @@ def remove_duplicate_spans(
         )
         .select(F.col("id").alias(id_col), "clean_text", "n_chunks", "n_removed")
     )
+
+
+def lsh_plan(n_perm: int, target_jaccard: float) -> dict:
+    """Pick the (bands, rows_per_band) layout whose LSH S-curve
+    threshold sits closest to ``target_jaccard`` — the operational
+    sizing question every 100 TB dedup run starts with. Standard
+    banding analysis (Broder 1997 / LSH chapter of Mining of Massive
+    Datasets): with b bands of r rows, a pair of true Jaccard s
+    collides in ≥1 band with probability 1-(1-s^r)^b, and the curve's
+    inflection sits at ~(1/b)^(1/r). This is a pure driver-side
+    function over divisors of ``n_perm`` — use it to parameterize
+    `lsh_candidate_pairs` instead of hand-tuning:
+
+        plan = lsh_plan(n_perm=128, target_jaccard=0.8)
+        pairs = lsh_candidate_pairs(df, 128, plan["bands"])
+
+    Returns bands, rows_per_band, the realized curve threshold, and
+    the miss probability for a pair exactly AT the target (the recall
+    bound the sketch promises)."""
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError("target_jaccard must be in (0, 1)")
+    best = None
+    for bands in range(1, n_perm + 1):
+        if n_perm % bands:
+            continue
+        rows = n_perm // bands
+        threshold = (1.0 / bands) ** (1.0 / rows)
+        cand = (abs(threshold - target_jaccard), bands, rows, threshold)
+        if best is None or cand < best:
+            best = cand
+    _, bands, rows, threshold = best
+    miss_at_target = (1.0 - target_jaccard ** rows) ** bands
+    return {
+        "bands": bands,
+        "rows_per_band": rows,
+        "curve_threshold": threshold,
+        "miss_prob_at_target": miss_at_target,
+    }

@@ -721,3 +721,31 @@ def jl_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def rh_lsh_plan(
+    cos_threshold: float, planes_per_band: int, target_recall: float = 0.999
+) -> dict:
+    """Bands needed for the random-hyperplane LSH to reach
+    ``target_recall`` on pairs at ``cos_threshold`` — the sizing
+    companion to `embedding_near_dup_pairs_lsh` (as `dedup.lsh_plan`
+    is to the MinHash variant). Per band, a pair at angle θ =
+    arccos(s) collides with probability p = (1-θ/π)^ppb (Charikar
+    2002); b bands miss it with (1-p)^b, so b =
+    ⌈ln(1-recall)/ln(1-p)⌉. Driver-side pure math; pass the result's
+    ``bands`` to the operator. Also returns the per-band collision
+    probability and the realized recall at the threshold."""
+    if not -1.0 < cos_threshold < 1.0:
+        raise ValueError("cos_threshold must be in (-1, 1)")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    theta = math.acos(cos_threshold)
+    p_band = (1.0 - theta / math.pi) ** planes_per_band
+    if p_band <= 0.0:
+        raise ValueError("per-band collision probability is 0 at this threshold")
+    bands = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
+    return {
+        "bands": bands,
+        "p_band": p_band,
+        "recall_at_threshold": 1.0 - (1.0 - p_band) ** bands,
+    }

@@ -1544,3 +1544,42 @@ def test_ivf_recall_is_monotone_in_nprobe(spark):
         assert r2[qk] <= r6[qk] <= r_all[qk], qk
     assert all(v == 1.0 for v in r_all.values())  # full probe = exact
     assert sum(r6.values()) > sum(r2.values())  # strictly better somewhere
+
+
+def test_lsh_planners_pick_sane_layouts():
+    """The two driver-side LSH sizing helpers: (a) the MinHash banding
+    planner picks the divisor layout whose S-curve threshold is closest
+    to the target and reports the exact miss probability; (b) the
+    random-hyperplane planner returns the minimal band count reaching
+    the target recall at the cosine threshold — cross-checked against
+    the closed-form collision math and the catalog's shipped
+    parameterization (32 bands at ppb=4 for weak 0.35 similarity)."""
+    import math
+
+    from kafka_streams_learning_spark.operators.dedup import lsh_plan
+    from kafka_streams_learning_spark.operators.similarity import rh_lsh_plan
+
+    p = lsh_plan(8, 0.5)
+    assert (p["bands"], p["rows_per_band"]) == (4, 2)
+    assert abs(p["curve_threshold"] - 0.5) < 1e-12
+    assert abs(p["miss_prob_at_target"] - (1 - 0.25) ** 4) < 1e-12
+    # layout always consistent and threshold monotone-approached
+    for n, t in [(128, 0.8), (64, 0.3), (16, 0.95)]:
+        q = lsh_plan(n, t)
+        assert q["bands"] * q["rows_per_band"] == n
+        assert 0.0 < q["miss_prob_at_target"] < 1.0
+
+    r = rh_lsh_plan(0.9, 4)
+    theta = math.acos(0.9)
+    p_band = (1 - theta / math.pi) ** 4
+    assert abs(r["p_band"] - p_band) < 1e-12
+    assert r["recall_at_threshold"] >= 0.999
+    assert (1 - p_band) ** (r["bands"] - 1) > 1e-3  # minimal: one fewer misses
+    # the catalog's weak-similarity parameterization falls out of the math
+    assert rh_lsh_plan(0.35, 4, 0.99)["bands"] in (31, 32)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lsh_plan(8, 1.5)
+    with _pytest.raises(ValueError):
+        rh_lsh_plan(0.9, 4, target_recall=2.0)
