@@ -382,6 +382,13 @@ def embedding_near_dup_pairs_lsh(
     from kafka_streams_learning_spark.functions import hashing
     from kafka_streams_learning_spark.operators.materialize import materialized
 
+    # zero-norm vectors never survive re-scoring (normalized_vectors
+    # excludes them, so the candidate joins drop their pairs) — excluding
+    # them BEFORE bucketing keeps the star-closure guarantee airtight: an
+    # anchor is always scoreable, so a capped-out member's star pair can
+    # never silently vanish at the scoring join. Output is identical
+    # either way; the bucket table just stops carrying dead rows.
+    df = df.filter(norm(F.col(vec_col)) > 0)
     bb = rh_band_buckets(df, bands, planes_per_band, dim, id_col, vec_col)
     overflow = None
     if bucket_cap is not None:

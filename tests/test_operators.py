@@ -1583,3 +1583,23 @@ def test_lsh_planners_pick_sane_layouts():
         lsh_plan(8, 1.5)
     with _pytest.raises(ValueError):
         rh_lsh_plan(0.9, 4, target_recall=2.0)
+
+
+def test_embedding_lsh_zero_norm_never_anchors(spark):
+    """A zero-norm vector can never score, so it must not occupy bucket
+    slots or anchor star pairs: a hot bucket whose hash-order anchor
+    WOULD be a zero-norm vector still links every capped-out member to
+    a scoreable anchor (the closure-exactness edge the r10 pre-filter
+    closes)."""
+    from kafka_streams_learning_spark.operators import similarity
+
+    base = [1.0] * 16
+    rows = [(i, [x * (1.0 + i) for x in base]) for i in range(40)]
+    rows += [(100 + i, [0.0] * 16) for i in range(5)]  # zero-norm riders
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.embedding_near_dup_pairs_lsh(
+        df, threshold=0.99, bands=4, planes_per_band=4, dim=16, bucket_cap=5
+    ).collect()
+    covered = {r.vec_a for r in got} | {r.vec_b for r in got}
+    assert covered == set(range(40))  # all real members, no zero-norm ids
+    assert all(abs(r.score - 1.0) < 1e-9 for r in got)
