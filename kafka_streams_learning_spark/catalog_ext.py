@@ -402,18 +402,33 @@ def _lsh_sql() -> str:
     cap_order = hash60_sql(
         "CAST(band AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)"
     )
+    # r10: the oracle mirrors the star-pair closure too — capped-out
+    # members pair with their bucket's rank-1 anchor, exactly the Spark
+    # overflow arm (window frame pinned to ROWS to match F.first over
+    # rowsBetween(unboundedPreceding, currentRow))
     return f"""
 WITH sig AS ({sig}),
 bb AS (
   {band_selects}
+), ranked AS (
+  SELECT doc_id, band, bucket,
+         row_number() OVER w AS rk,
+         first_value(doc_id) OVER w AS anchor
+  FROM bb
+  WINDOW w AS (PARTITION BY band, bucket
+      ORDER BY {cap_order}, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), kept AS (
-  SELECT doc_id, band, bucket FROM bb
-  QUALIFY row_number() OVER (PARTITION BY band, bucket
-      ORDER BY {cap_order}, doc_id) <= {MINHASH_BUCKET_CAP}
+  SELECT doc_id, band, bucket FROM ranked WHERE rk <= {MINHASH_BUCKET_CAP}
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM kept a JOIN kept b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT least(anchor, doc_id) AS doc_a, greatest(anchor, doc_id) AS doc_b
+  FROM ranked WHERE rk > {MINHASH_BUCKET_CAP}
+)
 """
 
 
@@ -1067,24 +1082,44 @@ def _x26_sql() -> str:
             )
             terms.append(f"(CASE WHEN {dot} >= 0 THEN {2**j} ELSE 0 END)")
         bucket = " + ".join(terms)
+        # nz mirrors Spark's r10 norm>0 pre-filter: zero-norm vectors
+        # never bucket, so they can't occupy cap slots or anchor stars
         band_selects.append(
-            f"SELECT vec_id, {b} AS band, ({bucket}) AS bucket FROM embeddings"
+            f"SELECT vec_id, {b} AS band, ({bucket}) AS bucket FROM nz"
         )
     bb_union = "\n  UNION ALL\n  ".join(band_selects)
     cap_order = hash60_sql(
         "CAST(band AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR)"
     )
+    # r10: ranked/star arms mirror the Spark star-pair closure — every
+    # capped-out member emits one candidate against its bucket's rank-1
+    # anchor; star candidates re-score exactly like join candidates
     return f"""
-WITH bb AS (
+WITH nz AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE list_sum(list_transform(embedding,
+          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0
+), bb AS (
   {bb_union}
+), ranked AS (
+  SELECT vec_id, band, bucket,
+         row_number() OVER w AS rk,
+         first_value(vec_id) OVER w AS anchor
+  FROM bb
+  WINDOW w AS (PARTITION BY band, bucket
+      ORDER BY {cap_order}, vec_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), kept AS (
-  SELECT vec_id, band, bucket FROM bb
-  QUALIFY row_number() OVER (PARTITION BY band, bucket
-      ORDER BY {cap_order}, vec_id) <= {NEARDUP_BUCKET_CAP}
+  SELECT vec_id, band, bucket FROM ranked WHERE rk <= {NEARDUP_BUCKET_CAP}
 ), cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM kept a JOIN kept b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT DISTINCT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM kept a JOIN kept b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    UNION ALL
+    SELECT least(anchor, vec_id) AS vec_a, greatest(anchor, vec_id) AS vec_b
+    FROM ranked WHERE rk > {NEARDUP_BUCKET_CAP}
+  )
 ), n AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE) /
@@ -3480,6 +3515,11 @@ def clear_model_caches() -> None:
     _CENTROID_CACHE.clear()
     _SAMPLED_CENTROID_CACHE.clear()
     _NB_MODEL_CACHE.clear()
+    # the memoized embeddings count is model-derived state too: x13's
+    # centroid modulus must re-derive alongside the centroids after a
+    # fixture regeneration, or the stale modulus mismatches the oracle's
+    # live-table count (r10 review finding)
+    _IVF_MOD_CACHE.clear()
 
 
 def warm_shared_artifacts(spark: SparkSession, sf: str) -> dict[str, float]:

@@ -171,6 +171,11 @@ def lsh_candidate_pairs(
     shingle→minhash pipeline would run once here and once in the caller
     (x53's calibration join does exactly this)."""
     assert n_perm % bands == 0, "n_perm must divide evenly into bands"
+    if bucket_cap is not None and bucket_cap < 1:
+        # cap < 1 would make the rank-1 member its own star anchor and
+        # emit (x, x) self-pairs, breaking the a < b contract; "disable
+        # pairing" is not a meaningful request — use a filter instead
+        raise ValueError("bucket_cap must be >= 1 (or None for uncapped)")
     rows = n_perm // bands
     if sig is None:
         sig = minhash_signatures(df, n_perm, k, text_col, id_col)

@@ -382,6 +382,10 @@ def embedding_near_dup_pairs_lsh(
     from kafka_streams_learning_spark.functions import hashing
     from kafka_streams_learning_spark.operators.materialize import materialized
 
+    if bucket_cap is not None and bucket_cap < 1:
+        # same contract as dedup.lsh_candidate_pairs: cap < 1 would make
+        # the rank-1 member its own star anchor (self-pair emission)
+        raise ValueError("bucket_cap must be >= 1 (or None for uncapped)")
     # zero-norm vectors never survive re-scoring (normalized_vectors
     # excludes them, so the candidate joins drop their pairs) — excluding
     # them BEFORE bucketing keeps the star-closure guarantee airtight: an

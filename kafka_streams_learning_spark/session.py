@@ -41,18 +41,43 @@ _BASE_CONF: dict[str, str] = {
 
 
 def _default_driver_mem() -> str:
-    """Half of MemAvailable, capped at 24g (the measured-good size for
-    the 128 GiB probe box), floored at 2g. Unreadable /proc/meminfo
-    (non-Linux) falls back to a conservative 4g."""
+    """Half of the effective memory budget, capped at 24g (the
+    measured-good size for the 128 GiB probe box), floored at 2g. The
+    budget is min(host MemAvailable, cgroup limit): inside a
+    cgroup-limited container /proc/meminfo reports the HOST's memory,
+    so without the cgroup check a 24g heap in an 8 GiB container would
+    be OOM-killed — the exact failure this fallback exists to prevent.
+    Unreadable sources (non-Linux) fall back to a conservative 4g.
+    Note for benchmarking: on hosts with < ~48 GiB free the derived
+    heap varies with ambient pressure — pin SPARK_GRAFT_DRIVER_MEM for
+    run-to-run comparability (bench artifacts record the resolved
+    value)."""
+    budget_kb = None
     try:
         with open("/proc/meminfo") as fh:
             for line in fh:
                 if line.startswith("MemAvailable:"):
-                    avail_gb = int(line.split()[1]) // (1024 * 1024)
-                    return f"{min(24, max(2, avail_gb // 2))}g"
+                    budget_kb = int(line.split()[1])
+                    break
     except OSError:
         pass
-    return "4g"
+    for path in ("/sys/fs/cgroup/memory.max",
+                 "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            with open(path) as fh:
+                raw = fh.read().strip()
+            if raw != "max":
+                limit_kb = int(raw) // 1024
+                # ignore the kernel's "no limit" sentinel (~2^63)
+                if limit_kb < (1 << 40):
+                    budget_kb = min(budget_kb or limit_kb, limit_kb)
+            break
+        except (OSError, ValueError):
+            continue
+    if budget_kb is None:
+        return "4g"
+    avail_gb = budget_kb // (1024 * 1024)
+    return f"{min(24, max(2, avail_gb // 2))}g"
 
 
 def get_spark(

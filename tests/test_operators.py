@@ -1603,3 +1603,22 @@ def test_embedding_lsh_zero_norm_never_anchors(spark):
     covered = {r.vec_a for r in got} | {r.vec_b for r in got}
     assert covered == set(range(40))  # all real members, no zero-norm ids
     assert all(abs(r.score - 1.0) < 1e-9 for r in got)
+
+
+def test_bucket_cap_below_one_rejected(spark):
+    """cap < 1 would make the rank-1 member its own star anchor and emit
+    (x, x) self-pairs — both LSH variants reject it up front."""
+    import pytest as _pytest
+
+    from kafka_streams_learning_spark.operators import dedup, similarity
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="bucket_cap"):
+        dedup.lsh_candidate_pairs(docs, 4, 4, bucket_cap=0)
+    with _pytest.raises(ValueError, match="bucket_cap"):
+        similarity.embedding_near_dup_pairs_lsh(
+            emb, 0.5, bands=2, planes_per_band=2, dim=2, bucket_cap=0
+        )

@@ -288,9 +288,11 @@ def test_containment_pairs_no_cartesian_and_single_sketch_scan(spark):
     df = _df(spark, "x48_containment_pairs")
     plan = E.formatted_plan(df)
     assert "CartesianProduct" not in plan
-    # the rolling-hash chain evaluates ascii codes per char; its absence
-    # from THIS plan proves every consumer reads the materialized parquet
-    assert "ascii(" not in plan
+    # the rolling-hash sketch is an ArrowEvalPython stage since r10; its
+    # absence from THIS plan proves every consumer reads the materialized
+    # parquet instead of re-planning the expensive pass per arm (the old
+    # `ascii(` probe went vacuous when the fold left the JVM)
+    assert "ArrowEvalPython" not in plan and "ascii(" not in plan
     # the df-cap arm ran once, inside the pruned-postings materialization:
     # the pair join reads ONLY mat-x48-pruned (both sides), never re-plans
     # the postings count / corpus count subtree
