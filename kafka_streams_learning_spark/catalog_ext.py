@@ -3531,24 +3531,42 @@ def warm_shared_artifacts(spark: SparkSession, sf: str) -> dict[str, float]:
     x61, x63, x14, x67, x47 all jumped with zero code changes). Warming
     here pins those one-time costs to an explicit, separately-reported
     setup step, so a per-query regression in BENCH_r*.json is a real
-    regression. Covers the documented shared caches: the two LSH pair
-    tables, both k-means models, the IVF modulus count, the CCNet
-    bucket staging, and the NB model tables (consumers listed at each
-    cache site)."""
+    regression. Iterates `_SHARED_CACHE_WARMERS`, the one registry every
+    module-level shared cache must appear in (ADVICE r10: the previous
+    hardcoded step list meant a future shared materialization silently
+    reverted to first-consumer attribution; a test now sweeps this
+    module for `*_CACHE` globals and asserts registry coverage)."""
     import time as _time
 
-    steps: dict[str, object] = {
-        "mh_pairs": lambda: _mh_pairs(spark, sf),
-        "emb_pairs": lambda: _emb_pairs(spark, sf),
-        "centroids": lambda: _trained_centroids(spark, sf),
-        "sampled_centroids": lambda: _sampled_centroids(spark, sf),
-        "ivf_mod": lambda: _ivf_centroid_mod(spark, sf),
-        "ccnet_buckets": lambda: _ccnet_buckets_shared(spark, sf),
-        "nb_model": lambda: nb_model(spark, sf),
-    }
     out: dict[str, float] = {}
-    for name, fn in steps.items():
+    for name, (_cache, fn) in _SHARED_CACHE_WARMERS.items():
         t0 = _time.time()
-        fn()
+        fn(spark, sf)
         out[name] = round(_time.time() - t0, 3)
     return out
+
+
+# One registry for every module-level shared cache: step label ->
+# (cache global name, warmer). `warm_shared_artifacts` iterates it and
+# `tests/test_operators.py::test_every_shared_cache_has_a_warmup_step`
+# asserts every `*_CACHE` dict defined in this module is claimed by
+# exactly one entry — adding a shared materialization without a warm
+# step is a test failure, not a silent bench-attribution regression.
+_SHARED_CACHE_WARMERS: dict[str, tuple[str, object]] = {
+    "mh_pairs": ("_MH_PAIRS_CACHE", lambda spark, sf: _mh_pairs(spark, sf)),
+    "emb_pairs": ("_EMB_PAIRS_CACHE", lambda spark, sf: _emb_pairs(spark, sf)),
+    "centroids": (
+        "_CENTROID_CACHE", lambda spark, sf: _trained_centroids(spark, sf)
+    ),
+    "sampled_centroids": (
+        "_SAMPLED_CENTROID_CACHE",
+        lambda spark, sf: _sampled_centroids(spark, sf),
+    ),
+    "ivf_mod": (
+        "_IVF_MOD_CACHE", lambda spark, sf: _ivf_centroid_mod(spark, sf)
+    ),
+    "ccnet_buckets": (
+        "_BUCKETS_CACHE", lambda spark, sf: _ccnet_buckets_shared(spark, sf)
+    ),
+    "nb_model": ("_NB_MODEL_CACHE", lambda spark, sf: nb_model(spark, sf)),
+}

@@ -40,13 +40,18 @@ _BASE_CONF: dict[str, str] = {
 }
 
 
-def _default_driver_mem() -> str:
+def _default_driver_mem(
+    meminfo: str = "/proc/meminfo", cgroup_root: str = "/sys/fs/cgroup"
+) -> str:
     """Half of the effective memory budget, capped at 24g (the
     measured-good size for the 128 GiB probe box), floored at 2g. The
-    budget is min(host MemAvailable, cgroup limit): inside a
-    cgroup-limited container /proc/meminfo reports the HOST's memory,
-    so without the cgroup check a 24g heap in an 8 GiB container would
-    be OOM-killed — the exact failure this fallback exists to prevent.
+    budget is min(host MemAvailable, cgroup limit minus the cgroup's
+    current usage): inside a cgroup-limited container /proc/meminfo
+    reports the HOST's memory, so without the cgroup check a 24g heap
+    in an 8 GiB container would be OOM-killed — and a container already
+    holding most of its limit gets the remaining headroom, not half the
+    nominal limit (ADVICE r10). Halving the budget leaves the other
+    half for Python/Arrow worker processes outside the JVM.
     Unreadable sources (non-Linux) fall back to a conservative 4g.
     Note for benchmarking: on hosts with < ~48 GiB free the derived
     heap varies with ambient pressure — pin SPARK_GRAFT_DRIVER_MEM for
@@ -54,23 +59,39 @@ def _default_driver_mem() -> str:
     value)."""
     budget_kb = None
     try:
-        with open("/proc/meminfo") as fh:
+        with open(meminfo) as fh:
             for line in fh:
                 if line.startswith("MemAvailable:"):
                     budget_kb = int(line.split()[1])
                     break
     except OSError:
         pass
-    for path in ("/sys/fs/cgroup/memory.max",
-                 "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+    for limit_path, usage_path in (
+        (f"{cgroup_root}/memory.max", f"{cgroup_root}/memory.current"),
+        (f"{cgroup_root}/memory/memory.limit_in_bytes",
+         f"{cgroup_root}/memory/memory.usage_in_bytes"),
+    ):
         try:
-            with open(path) as fh:
+            with open(limit_path) as fh:
                 raw = fh.read().strip()
             if raw != "max":
                 limit_kb = int(raw) // 1024
                 # ignore the kernel's "no limit" sentinel (~2^63)
                 if limit_kb < (1 << 40):
-                    budget_kb = min(budget_kb or limit_kb, limit_kb)
+                    # MemAvailable is the HOST's headroom; the cgroup
+                    # limit is a ceiling on THIS container. What the JVM
+                    # can actually claim is limit minus what the cgroup
+                    # already holds (ADVICE r10: a container at 80% of
+                    # its limit must not derive a half-of-limit heap).
+                    headroom_kb = limit_kb
+                    try:
+                        with open(usage_path) as fh:
+                            headroom_kb = max(
+                                0, limit_kb - int(fh.read().strip()) // 1024
+                            )
+                    except (OSError, ValueError):
+                        pass
+                    budget_kb = min(budget_kb or headroom_kb, headroom_kb)
             break
         except (OSError, ValueError):
             continue

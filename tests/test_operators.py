@@ -1122,10 +1122,12 @@ def test_bench_line_stays_under_driver_capture():
     assert len(short) == len(names), "short bench keys collided"
     line = json.dumps(
         {
-            "metric": "total_query_seconds",
+            "metric": "steady_state_query_seconds",
             "value": 999999.999,
             "unit": "sec",
             "queries": short,
+            "setup": 99999.999,
+            "all_in_wall": 999999.999,
             "sf": 0.1,
         },
         separators=(",", ":"),
@@ -1622,3 +1624,53 @@ def test_bucket_cap_below_one_rejected(spark):
         similarity.embedding_near_dup_pairs_lsh(
             emb, 0.5, bands=2, planes_per_band=2, dim=2, bucket_cap=0
         )
+
+
+def test_default_driver_mem_subtracts_cgroup_usage(tmp_path):
+    """ADVICE r10: a container already holding most of its cgroup limit
+    must derive its heap from the remaining headroom (limit - current),
+    not from half the nominal limit — else the JVM overcommits and the
+    OOM killer fires at launch."""
+    from kafka_streams_learning_spark.session import _default_driver_mem
+
+    gib = 1024 * 1024 * 1024
+    meminfo = tmp_path / "meminfo"
+    # host reports plenty available; the cgroup is the binding constraint
+    meminfo.write_text("MemTotal: 131072000 kB\nMemAvailable: 100000000 kB\n")
+    cg = tmp_path / "cgroup"
+    cg.mkdir()
+    (cg / "memory.max").write_text(f"{32 * gib}\n")
+    (cg / "memory.current").write_text(f"{24 * gib}\n")
+    # headroom = 32 - 24 = 8 GiB -> half = 4g (not half-of-32 = 16g)
+    assert _default_driver_mem(str(meminfo), str(cg)) == "4g"
+
+    # unreadable usage file falls back to the bare limit (old behavior)
+    (cg / "memory.current").unlink()
+    assert _default_driver_mem(str(meminfo), str(cg)) == "16g"
+
+    # usage above limit (races happen) clamps to the 2g floor, never negative
+    (cg / "memory.current").write_text(f"{40 * gib}\n")
+    assert _default_driver_mem(str(meminfo), str(cg)) == "2g"
+
+    # "max" sentinel: host MemAvailable wins, capped at 24g
+    (cg / "memory.max").write_text("max\n")
+    assert _default_driver_mem(str(meminfo), str(cg)) == "24g"
+
+
+def test_every_shared_cache_has_a_warmup_step():
+    """ADVICE r10: warm_shared_artifacts used to hardcode its step list,
+    so a new shared cache silently reverted to first-consumer bench
+    attribution. The registry + this sweep make that a test failure."""
+    import kafka_streams_learning_spark.catalog_ext as ce
+
+    cache_globals = {
+        n for n, v in vars(ce).items()
+        if n.endswith("_CACHE") and isinstance(v, dict)
+    }
+    claimed = {cache for cache, _fn in ce._SHARED_CACHE_WARMERS.values()}
+    assert claimed == cache_globals, (
+        f"unclaimed caches: {cache_globals - claimed}; "
+        f"stale registry rows: {claimed - cache_globals}"
+    )
+    # one entry per cache — a duplicate claim would hide a missing warmer
+    assert len(claimed) == len(ce._SHARED_CACHE_WARMERS)

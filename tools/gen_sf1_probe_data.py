@@ -92,30 +92,36 @@ N_EVENTS = 1_000_000  # 10x the sf0.1 events table (streaming growth probe)
 N_USERS = 15_000      # users scale with events (fixture keeps ~67 events/user)
 
 
-def gen_events(rng: np.random.Generator) -> pa.Table:
+def gen_events(
+    rng: np.random.Generator,
+    n_events: int = N_EVENTS,
+    n_users: int = N_USERS,
+) -> pa.Table:
     """Shape-matched 10x events: same schema/ranges as the sf0.1 fixture
     (30-day window, 5 uniform event types, value in [0, ~560], ~67
     events per user) so streaming replay rows exercise a true decade of
-    input growth, not just a bigger file of the same keys."""
+    input growth, not just a bigger file of the same keys. `n_events` /
+    `n_users` scale the decade (VERDICT r10 item 4 asks for a SECOND
+    decade, 10M/150k, for the reorder-buffer growth class)."""
     base = np.datetime64("2024-01-01T00:00:00", "us")
     span_us = 30 * 24 * 3600 * 1_000_000
-    ts = base + rng.integers(0, span_us, size=N_EVENTS).astype("timedelta64[us]")
+    ts = base + rng.integers(0, span_us, size=n_events).astype("timedelta64[us]")
     ts.sort()
     types = rng.choice(
-        ["signup", "click", "error", "view", "purchase"], size=N_EVENTS
+        ["signup", "click", "error", "view", "purchase"], size=n_events
     )
     return pa.table({
-        "event_id": pa.array(range(N_EVENTS), pa.int64()),
+        "event_id": pa.array(range(n_events), pa.int64()),
         "ts": pa.array(ts),
         "user_id": pa.array(
-            rng.integers(0, N_USERS, size=N_EVENTS), pa.int64()
+            rng.integers(0, n_users, size=n_events), pa.int64()
         ),
         "event_type": pa.array([str(x) for x in types], pa.string()),
         "value": pa.array(
-            np.round(rng.random(N_EVENTS) * 560.0, 2), pa.float64()
+            np.round(rng.random(n_events) * 560.0, 2), pa.float64()
         ),
         "props": pa.array(
-            [f'{{"k":{int(i % 7)}}}' for i in range(N_EVENTS)], pa.string()
+            [f'{{"k":{int(i % 7)}}}' for i in range(n_events)], pa.string()
         ),
     })
 
@@ -129,7 +135,19 @@ def main() -> int:
     ev_dst = os.path.join(out, "events.parquet")
     if os.path.islink(ev_dst):
         os.unlink(ev_dst)  # replace the old sf0.1 symlink with real 10x data
-    if not os.path.exists(ev_dst):
+    # Reuse an existing file only if its parquet footer says it IS the
+    # current decade (ADVICE r10: a stale/truncated file from an older
+    # N_EVENTS or an interrupted run would silently invalidate the probe).
+    # Generation is seeded and deterministic, so regeneration is safe.
+    reuse = False
+    if os.path.exists(ev_dst):
+        try:
+            reuse = pq.read_metadata(ev_dst).num_rows == N_EVENTS
+        except Exception:
+            reuse = False
+        if not reuse:
+            os.unlink(ev_dst)
+    if not reuse:
         pq.write_table(gen_events(rng), ev_dst)
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem"):
