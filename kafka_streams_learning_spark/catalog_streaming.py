@@ -359,17 +359,24 @@ FROM s GROUP BY user_id, sess
 # partition-dependent). Complete-mode memory sink = the final KTable.
 
 
-def _s08(spark: SparkSession, sf: str) -> DataFrame:
+def s08_dedup_groups(stream: DataFrame) -> DataFrame:
+    """The s08 stateful plan over ANY documents stream — factored out so
+    the kill-and-resume recovery test (tests/test_streaming.py) drives
+    the exact catalog construction, not a test-local copy."""
     from kafka_streams_learning_spark.functions.text import fingerprint
 
-    stream = shared_replay_table(
-        spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"
-    )
-    groups = (
+    return (
         stream.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
+
+
+def _s08(spark: SparkSession, sf: str) -> DataFrame:
+    stream = shared_replay_table(
+        spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"
+    )
+    groups = s08_dedup_groups(stream)
     name = _fresh_name("s08_out")
     runner.run_to_memory(groups, name, "complete", state_partitions=STATE_SHARDS)
     return spark.table(name)
@@ -605,14 +612,15 @@ def _s12(spark: SparkSession, sf: str) -> DataFrame:
 # regardless of arrival order (min/count are order-free).
 
 
-def _s15(spark: SparkSession, sf: str) -> DataFrame:
+def s15_neardup_groups(stream: DataFrame) -> DataFrame:
+    """The s15 stateful plan over ANY documents stream — factored out so
+    the kill-and-resume recovery test (tests/test_streaming.py) drives
+    the exact catalog construction (the r10 star-pair/zero-norm changes
+    touched this signature family, VERDICT r10 item 7)."""
     from kafka_streams_learning_spark.catalog_ext import JACCARD_K, MINHASH_PERMS
     from kafka_streams_learning_spark.functions.hashing import hash32, perm_hash
     from kafka_streams_learning_spark.functions.text import word_shingles
 
-    stream = shared_replay_table(
-        spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"
-    )
     harr = F.transform(
         word_shingles(F.col("text"), JACCARD_K), lambda s: hash32(s)
     )
@@ -621,11 +629,18 @@ def _s15(spark: SparkSession, sf: str) -> DataFrame:
         for i in range(MINHASH_PERMS)
     ]
     bucket = F.md5(F.concat_ws("_", *mins))
-    groups = (
+    return (
         stream.select(F.col("doc_id"), bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
     )
+
+
+def _s15(spark: SparkSession, sf: str) -> DataFrame:
+    stream = shared_replay_table(
+        spark, sf, "documents", REPLAY_CHUNKS, order_by="doc_id"
+    )
+    groups = s15_neardup_groups(stream)
     name = _fresh_name("s15_out")
     runner.run_to_memory(groups, name, "complete", state_partitions=STATE_SHARDS)
     return spark.table(name)
