@@ -974,3 +974,52 @@ def test_dedup_state_kill_and_resume_matches_uninterrupted(spark, tmpdir):
         keepers = {r[1]: r[2] for r in resumed}  # keep_id -> count
         assert keepers[0] == 3, keepers  # docs 0, 3 (pre) + 20 (post)
         assert keepers[1] == 2, keepers  # doc 1 (pre) + 21 (post)
+
+
+def test_fraud_alert_auto_dispatch_picks_tws_when_protobuf_present(
+    spark, tmpdir, monkeypatch
+):
+    """VERDICT r10 item 8: `fraud_alert_stream(impl="auto")` must select
+    the Spark-4 `transformWithStateInPandas` arm the moment the
+    environment gains protobuf, and the battle-tested
+    `applyInPandasWithState` arm otherwise — with no silent third
+    behavior and loud rejection of unknown impl values."""
+    base = ts("2024-01-01T00:00:00")
+    stage_explicit_chunks(
+        spark, [[("c1", 1, 600.0, base)]], EVENTS_SCHEMA, tmpdir
+    )
+    stream = replay_stream(spark, tmpdir, EVENTS_SCHEMA)
+
+    with pytest.raises(ValueError, match="impl"):
+        stateful.fraud_alert_stream(stream, "key", 500.0, impl="rocksdb")
+
+    # plan-shape probe: which stateful operator did dispatch choose?
+    def node(df):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert ("transformWithStateInPandas" in plan) or (
+            "applyInPandasWithState" in plan or "FlatMapGroupsInPandasWithState" in plan
+        ), plan
+        return "tws" if "transformWithStateInPandas" in plan else "apply"
+
+    forced_apply = stateful.fraud_alert_stream(stream, "key", 500.0, impl="apply")
+    assert node(forced_apply) == "apply"
+
+    if stateful._has_protobuf():
+        # real-protobuf environment: auto must pick tws end-to-end
+        assert node(stateful.fraud_alert_stream(stream, "key", 500.0)) == "tws"
+    else:
+        # sandbox: auto falls back to apply; forcing tws fails loudly
+        assert node(stateful.fraud_alert_stream(stream, "key", 500.0)) == "apply"
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful.fraud_alert_stream(stream, "key", 500.0, impl="tws")
+        # simulate protobuf appearing: auto must route to the tws arm
+        # (the arm's own gate re-fires because protobuf is truly absent —
+        # proving dispatch reached it, not the apply fallback)
+        monkeypatch.setattr(stateful, "_has_protobuf", lambda: True)
+
+        def tws_marker(*a, **k):
+            raise RuntimeError("tws-arm-reached")
+
+        monkeypatch.setattr(stateful, "fraud_alert_stream_tws", tws_marker)
+        with pytest.raises(RuntimeError, match="tws-arm-reached"):
+            stateful.fraud_alert_stream(stream, "key", 500.0)
