@@ -29,9 +29,15 @@ DEFAULT_ROWS = [
     "x48_containment_pairs",
 ]
 
+# Override with SCALE_PROBE_DIRS="sf1=/path,sf10=/path" to probe a
+# different pair of scales (e.g. the second events decade sf1 -> sf10,
+# VERDICT r10 item 4). Growth ratio is always last/first.
 SF_DIRS = [
-    ("sf0.1", "/root/testdata/sf0.1"),
-    ("sf1", "/root/repo/.scratch/sf1"),
+    tuple(pair.split("=", 1))
+    for pair in os.environ.get(
+        "SCALE_PROBE_DIRS",
+        "sf0.1=/root/testdata/sf0.1,sf1=/root/repo/.scratch/sf1",
+    ).split(",")
 ]
 
 
@@ -59,12 +65,12 @@ def main() -> int:
             spark.catalog.clearCache()
         out[sf_name] = timings
 
+    first, last = SF_DIRS[0][0], SF_DIRS[-1][0]
     ratios = {
-        n: round(out["sf1"][n] / max(out["sf0.1"][n], 1e-9), 1)
+        n: round(out[last][n] / max(out[first][n], 1e-9), 1)
         for n in rows
     }
-    print(json.dumps({"sf0.1": out["sf0.1"], "sf1": out["sf1"],
-                      "growth_ratio": ratios}))
+    print(json.dumps({**out, "growth_ratio": ratios}))
     return 0
 
 
