@@ -1674,3 +1674,30 @@ def test_every_shared_cache_has_a_warmup_step():
     )
     # one entry per cache — a duplicate claim would hide a missing warmer
     assert len(claimed) == len(ce._SHARED_CACHE_WARMERS)
+
+
+def test_bench_paired_classification_table():
+    """The paired-run protocol's verdict logic (tools/bench_paired.py):
+    unstable A/B pairs are noise (never indicted), stable-but-elevated
+    pairs are real movers only in a CLEAN canary window, and a throttled
+    window indicts nothing."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_paired import classify_pair
+
+    warm = {"q": [1.0, 1.0], "r": [1.0, 1.0], "s": [1.0, 1.0], "t": [0.02, 0.02]}
+    run_a = {"q": 1.05, "r": 5.0, "s": 4.8, "t": 0.09}
+    run_b = {"q": 0.95, "r": 1.1, "s": 5.1, "t": 0.14}
+    # clean window: q stable+in-band (ok), r flaps A/B (unstable, not a
+    # mover), s stable at 5x warm (REAL mover), t is sub-100ms jitter
+    # (floored, ok)
+    unstable, movers = classify_pair(run_a, run_b, warm, host_clean=True)
+    assert unstable == ["r"]
+    assert movers == ["s"]
+    # throttled window: same numbers indict nothing
+    unstable_hot, movers_hot = classify_pair(run_a, run_b, warm, host_clean=False)
+    assert unstable_hot == ["r"] and movers_hot == []
+    # a row with no warm reference can never be a mover (new/renamed)
+    unstable2, movers2 = classify_pair({"new": 9.0}, {"new": 9.1}, {}, True)
+    assert unstable2 == [] and movers2 == []

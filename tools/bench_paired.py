@@ -67,6 +67,32 @@ def _canary(spark, sf_dir, spec) -> float:
     return round(statistics.median(samples), 3)
 
 
+def classify_pair(
+    run_a: dict[str, float],
+    run_b: dict[str, float],
+    warm_band: dict[str, list],
+    host_clean: bool,
+) -> tuple[list[str], list[str]]:
+    """(unstable_rows, real_movers) from a paired run: unstable = A/B
+    disagree beyond PAIR_STABLE_FACTOR (intra-window noise — rerun, not
+    a regression); real mover = A≈B but both sit above the committed
+    warm band in a CLEAN window (a throttled window can indict nothing).
+    Pure so tests can pin the protocol's verdict table."""
+    unstable, real_movers = [], []
+    for name in run_a:
+        a, b = run_a[name], run_b[name]
+        lo = max(min(a, b), 0.1)  # floor: sub-100ms rows jitter multiplicatively
+        if max(a, b) / lo > PAIR_STABLE_FACTOR:
+            unstable.append(name)
+            continue
+        band = warm_band.get(name)
+        if band and host_clean:
+            ref = max(band[1], 0.1)  # warm column of [cold, warm]
+            if min(a, b) / ref > PAIR_STABLE_FACTOR:
+                real_movers.append(name)
+    return sorted(unstable), sorted(real_movers)
+
+
 def _full_pass(spark, sf_dir, specs) -> dict[str, float]:
     timings: dict[str, float] = {}
     for spec in specs:
@@ -137,18 +163,7 @@ def main() -> int:
         with open(warm_path) as f:
             warm_band = json.load(f)["queries"]
 
-    unstable, real_movers = [], []
-    for name in run_a:
-        a, b = run_a[name], run_b[name]
-        lo = max(min(a, b), 0.1)  # floor: sub-100ms rows jitter multiplicatively
-        if max(a, b) / lo > PAIR_STABLE_FACTOR:
-            unstable.append(name)
-            continue
-        band = warm_band.get(name)
-        if band and host_clean:
-            ref = max(band[1], 0.1)  # warm column of [cold, warm]
-            if min(a, b) / ref > PAIR_STABLE_FACTOR:
-                real_movers.append(name)
+    unstable, real_movers = classify_pair(run_a, run_b, warm_band, host_clean)
 
     out = {
         "protocol": "canary / pass A / canary / pass B / canary",
@@ -161,8 +176,8 @@ def main() -> int:
         "total_b": round(sum(run_b.values()), 3),
         "run_a": run_a,
         "run_b": run_b,
-        "unstable_rows": sorted(unstable),
-        "real_movers": sorted(real_movers),
+        "unstable_rows": unstable,
+        "real_movers": real_movers,
         "driver_memory": spark.conf.get("spark.driver.memory", "unset"),
         "sf": sf,
     }
