@@ -345,51 +345,158 @@ def asof_join_stream(df: DataFrame, match_type: str = "purchase") -> DataFrame:
 # watermark advances, so pending rows flush even in batches where the key
 # receives no new data.
 #
-# State is O(pending-per-key) = rows within one disorder bound per key —
-# the same bound a watermarked stream-stream join holds, so this scales
-# exactly as far as Spark's own late-data machinery does.
+# State is O(pending) = rows within one disorder bound — the same bound a
+# watermarked stream-stream join holds, so this scales exactly as far as
+# Spark's own late-data machinery does.
 
-_ORDERED_SLIDING_STATE_SCHEMA = (
-    "buf array<long>, pend_t array<long>, pend_id array<long>"
+# How many reorder-buffer shards a stream is re-keyed onto. The r10
+# second-decade probe (BENCH_NOTES sweep 6) showed the per-USER-keyed
+# reorder buffers were linear with a ~32 µs/event constant that was
+# entirely per-group invocation overhead: ~key-cardinality × batches
+# `applyInPandasWithState` invocations at ~200 µs each (state ser/de +
+# per-group pandas frame). Re-keying onto a bounded shard count makes
+# invocations O(shards × batches) — independent of key cardinality —
+# and lets the per-user logic vectorize across the whole shard. At
+# cluster scale, size this ~ a small multiple of total cores.
+REORDER_SHARDS = 32
+
+_ORDERED_SLIDING_STATE_SCHEMA_SHARDED = (
+    "buf_u array<long>, buf_t array<long>, "
+    "pend_u array<long>, pend_t array<long>, pend_id array<long>"
 )
 
 
-def _released(pend: list, wm_ms: int) -> tuple[list, list]:
-    """Split (ts, id)-sorted pending rows at the watermark: runs strictly
-    below it are complete (late filtering guarantees no more members) and
-    release; the rest stay buffered."""
-    frontier = wm_ms * 1000  # watermark ms → event-time micros
-    lo = [r for r in pend if r[0] < frontier]
-    hi = [r for r in pend if r[0] >= frontier]
-    return lo, hi
+def _collect_chunks(pdfs: Iterator[pd.DataFrame], cols: list[str]):
+    """Gather a shard-group's micro-batch chunks into per-column numpy
+    arrays, dropping flush sentinels (event_id < 0 — watermark carriers
+    only). `ts` is delivered as datetime64[ns] and converted to
+    event-time micros."""
+    parts: list[pd.DataFrame] = []
+    for p in pdfs:
+        if len(p):
+            keep = p[p["event_id"] >= 0]
+            if len(keep):
+                parts.append(keep)
+    if not parts:
+        return None
+    pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+    out = []
+    for c in cols:
+        if c == "ts":
+            out.append(pdf["ts"].to_numpy("datetime64[ns]").astype("int64") // 1000)
+        elif c == "event_type":
+            out.append(pdf[c].to_numpy(object))
+        else:
+            out.append(pdf[c].to_numpy("int64"))
+    return out
 
 
-def _ordered_sliding_fn(lookback_micros: int):
+def _composite(u_rank, t, base: int, span: int):
+    """Segmented-array key: rank(user) * span + (t - base). With
+    span > (t_max - base) + lookback + 2, per-user time windows never
+    cross segment boundaries, so ONE global `searchsorted` answers every
+    per-user range query at once. int64 overflow is guarded by the
+    caller (ranks × span bounded before use)."""
+    return u_rank * span + (t - base)
+
+
+def _ordered_sliding_shard_fn(lookback_micros: int):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.exists:
-            buf, pend_t, pend_id = (list(v) for v in state.get)
+            buf_u, buf_t, pend_u, pend_t, pend_id = (
+                np.asarray(v, dtype="int64") for v in state.get
+            )
         else:
-            buf, pend_t, pend_id = [], [], []
-        for p in pdfs:
-            if not len(p):
-                continue  # empty on timeout invocations
-            keep = p[p["event_id"] >= 0]  # drop flush sentinels (wm only)
-            pend_t.extend((keep["ts"].astype("int64") // 1000).tolist())
-            pend_id.extend(keep["event_id"].astype("int64").tolist())
+            buf_u = buf_t = pend_u = pend_t = pend_id = np.empty(0, "int64")
+        new = _collect_chunks(pdfs, ["user_id", "ts", "event_id"])
+        if new is not None:
+            pend_u = np.concatenate([pend_u, new[0]])
+            pend_t = np.concatenate([pend_t, new[1]])
+            pend_id = np.concatenate([pend_id, new[2]])
         wm_ms = state.getCurrentWatermarkMs()
-        rel, kept = _released(sorted(zip(pend_t, pend_id)), wm_ms)
-        rows = [(t, i, pd.Timestamp(t * 1000)) for t, i in rel]
-        buf, out = _sliding_core(key[0], buf, rows, lookback_micros)
+        frontier = wm_ms * 1000  # watermark ms → event-time micros
+        # Release rows strictly below the watermark frontier: late
+        # filtering guarantees no more members of those (user, ts) runs,
+        # and a run never straddles the frontier (all-or-nothing per ts).
+        rel_mask = pend_t < frontier
+        out = None
+        if rel_mask.any():
+            ru, rt, ri = pend_u[rel_mask], pend_t[rel_mask], pend_id[rel_mask]
+            order = np.lexsort((ri, rt, ru))
+            ru, rt, ri = ru[order], rt[order], ri[order]
+            users = np.unique(ru)  # sorted
+            # split carried window buffers into touched / untouched users
+            touched = np.isin(buf_u, users)
+            tb_u, tb_t = buf_u[touched], buf_t[touched]
+            ub_u, ub_t = buf_u[~touched], buf_t[~touched]
+            lo = int(min(rt.min(), tb_t.min()) if len(tb_t) else rt.min())
+            hi = int(max(rt.max(), tb_t.max()) if len(tb_t) else rt.max())
+            span = hi - lo + lookback_micros + 2
+            if (len(users) + 1) * span > 2**62:
+                raise OverflowError(
+                    "reorder shard composite key overflow: "
+                    f"{len(users)} users x span {span}; raise n_shards"
+                )
+            rel_rank = np.searchsorted(users, ru)
+            rel_c = _composite(rel_rank, rt, lo, span)
+            tb_c = _composite(np.searchsorted(users, tb_u), tb_t, lo, span)
+            comb_c = np.sort(np.concatenate([tb_c, rel_c]))
+            # the count for a released row at time t is #{x : t-Δ ≤ x ≤ t}
+            # over that user's buffer + this release — two binary searches
+            # on the composite array ('right' makes equal-ts runs
+            # symmetric, 'left' keeps the window inclusive at both ends,
+            # matching the batch oracle; see _sliding_core)
+            cnt = np.searchsorted(comb_c, rel_c, "right") - np.searchsorted(
+                comb_c, rel_c - lookback_micros, "left"
+            )
+            out = pd.DataFrame(
+                {
+                    "user_id": ru,
+                    "event_id": ri,
+                    "ts": pd.to_datetime(rt * 1000),
+                    "cnt": cnt,
+                }
+            )
+            # new buffer per touched user: entries within the lookback of
+            # that user's NEWEST released time
+            last_idx = np.searchsorted(ru, users, "right") - 1
+            thr_c = _composite(
+                np.arange(len(users), dtype="int64"),
+                rt[last_idx] - lookback_micros,
+                lo,
+                span,
+            )
+            keep = comb_c >= thr_c[comb_c // span]
+            kept_c = comb_c[keep]
+            nb_u = users[kept_c // span]
+            nb_t = kept_c % span + lo
+            # merge back with untouched buffers, restoring (u, t) lexsort
+            buf_u = np.concatenate([ub_u, nb_u])
+            buf_t = np.concatenate([ub_t, nb_t])
+            order = np.lexsort((buf_t, buf_u))
+            buf_u, buf_t = buf_u[order], buf_t[order]
+            pend_u = pend_u[~rel_mask]
+            pend_t = pend_t[~rel_mask]
+            pend_id = pend_id[~rel_mask]
         state.update(
-            (buf, [t for t, _ in kept], [i for _, i in kept])
+            (
+                buf_u.tolist(),
+                buf_t.tolist(),
+                pend_u.tolist(),
+                pend_t.tolist(),
+                pend_id.tolist(),
+            )
         )
-        if kept:
-            # wake this key only once the watermark actually passes its
-            # oldest pending row — not on every watermark tick (that
-            # would timeout-invoke EVERY buffering key EVERY batch)
-            state.setTimeoutTimestamp(max(wm_ms + 1, kept[0][0] // 1000 + 1))
+        if len(pend_t):
+            # wake this shard only once the watermark passes its oldest
+            # pending row — not on every watermark tick
+            state.setTimeoutTimestamp(
+                max(wm_ms + 1, int(pend_t.min()) // 1000 + 1)
+            )
         if out is not None:
             yield out
 
@@ -397,7 +504,10 @@ def _ordered_sliding_fn(lookback_micros: int):
 
 
 def ordered_sliding_count_stream(
-    df: DataFrame, lookback_micros: int, disorder: str
+    df: DataFrame,
+    lookback_micros: int,
+    disorder: str,
+    n_shards: int = REORDER_SHARDS,
 ) -> DataFrame:
     """`sliding_count_stream` for OUT-OF-ORDER arrival: rows may arrive up
     to `disorder` (a time-interval string, e.g. "1 hour") later than the
@@ -407,6 +517,15 @@ def ordered_sliding_count_stream(
     the bound are dropped by Spark's standard late-data filtering — the
     same grace contract as the windowed aggregations.
 
+    State is keyed by `hash(user_id) % n_shards`, NOT per user: the
+    second-decade probe (BENCH_NOTES sweep 6) measured per-user keying at
+    ~200 µs of invocation overhead per (key × micro-batch), which at 150k
+    users dominated end-to-end cost 10:1. Per-user semantics are preserved
+    inside the shard by segmented binary search (composite keys), so group
+    invocations are O(shards × batches) and the per-event work is one
+    vectorized pass. Shard state stays bounded: pending ≈ disorder-window
+    × shard arrival rate, window buffers ≈ lookback × shard rate.
+
     Emissions are delayed by up to `disorder` + one micro-batch versus the
     ordered-arrival operator, but are bit-identical to it (and to the
     batch oracle) for any arrival order within the bound. Catalog row
@@ -414,61 +533,158 @@ def ordered_sliding_count_stream(
     of the events fixture against q05's batch oracle.
 
     Input columns: (user_id, event_id, ts)."""
+    from pyspark.sql import functions as F
+
     return (
-        df.withWatermark("ts", disorder)
-        .groupBy("user_id")
+        df.withColumn(
+            "_shard", F.pmod(F.xxhash64("user_id"), F.lit(n_shards))
+        )
+        .withWatermark("ts", disorder)
+        .groupBy("_shard")
         .applyInPandasWithState(
-            _ordered_sliding_fn(lookback_micros),
+            _ordered_sliding_shard_fn(lookback_micros),
             outputStructType=SLIDING_OUTPUT_SCHEMA,
-            stateStructType=_ORDERED_SLIDING_STATE_SCHEMA,
+            stateStructType=_ORDERED_SLIDING_STATE_SCHEMA_SHARDED,
             outputMode="append",
             timeoutConf="EventTimeTimeout",
         )
     )
 
 
-_ORDERED_ASOF_STATE_SCHEMA = (
-    "pts long, pid long, "
-    "pend_t array<long>, pend_id array<long>, pend_type array<string>"
+_ORDERED_ASOF_STATE_SCHEMA_SHARDED = (
+    "pu_u array<long>, pu_t array<long>, pu_id array<long>, "
+    "pend_u array<long>, pend_t array<long>, pend_id array<long>, "
+    "pend_type array<string>"
 )
 
 
-def _ordered_asof_fn(match_type: str):
+def _ordered_asof_shard_fn(match_type: str):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.exists:
-            pts, pid, pend_t, pend_id, pend_type = state.get
-            pend = sorted(zip(pend_t, pend_id, pend_type))
-        else:
-            pts, pid, pend = -1, -1, []
-        for p in pdfs:
-            if not len(p):
-                continue  # empty on timeout invocations
-            keep = p[p["event_id"] >= 0]  # drop flush sentinels (wm only)
-            pend.extend(
-                zip(
-                    (keep["ts"].astype("int64") // 1000).tolist(),
-                    keep["event_id"].astype("int64").tolist(),
-                    keep["event_type"].astype(str).tolist(),
-                )
+            pu_u, pu_t, pu_id, pend_u, pend_t, pend_id = (
+                np.asarray(v, dtype="int64") for v in state.get[:6]
             )
+            pend_type = np.asarray(list(state.get[6]), dtype=object)
+        else:
+            pu_u = pu_t = pu_id = pend_u = pend_t = pend_id = np.empty(
+                0, "int64"
+            )
+            pend_type = np.empty(0, object)
+        new = _collect_chunks(pdfs, ["user_id", "ts", "event_id", "event_type"])
+        if new is not None:
+            pend_u = np.concatenate([pend_u, new[0]])
+            pend_t = np.concatenate([pend_t, new[1]])
+            pend_id = np.concatenate([pend_id, new[2]])
+            pend_type = np.concatenate([pend_type, new[3]])
         wm_ms = state.getCurrentWatermarkMs()
-        rel, kept = _released(sorted(pend), wm_ms)
-        rows = [(t, i, pd.Timestamp(t * 1000), e) for t, i, e in rel]
-        pts, pid, out = _asof_core(key[0], pts, pid, rows, match_type)
+        frontier = wm_ms * 1000
+        rel_mask = pend_t < frontier
+        out = None
+        if rel_mask.any():
+            ru, rt, ri = pend_u[rel_mask], pend_t[rel_mask], pend_id[rel_mask]
+            re_ = pend_type[rel_mask]
+            order = np.lexsort((ri, rt, ru))
+            ru, rt, ri, re_ = ru[order], rt[order], ri[order], re_[order]
+            users = np.unique(ru)
+            # candidate purchases: this shard's carried per-user latest
+            # (only for users in this release) + the released purchase rows
+            su_mask = np.isin(pu_u, users)
+            is_p = re_ == match_type
+            # rebase times to a batch-local origin (carried purchases can
+            # be OLDER than anything released) so rank*span can't overflow
+            lo = int(min(rt.min(), pu_t[su_mask].min())) if su_mask.any() \
+                else int(rt.min())
+            hi = int(max(rt.max(), pu_t[su_mask].max())) if su_mask.any() \
+                else int(rt.max())
+            span = hi - lo + 2
+            if (len(users) + 1) * span > 2**62:
+                raise OverflowError(
+                    "reorder shard composite key overflow: "
+                    f"{len(users)} users x span {span}; raise n_shards"
+                )
+            rel_rank = np.searchsorted(users, ru)
+            p_u = np.concatenate([pu_u[su_mask], ru[is_p]])
+            p_t = np.concatenate([pu_t[su_mask], rt[is_p]])
+            p_id = np.concatenate([pu_id[su_mask], ri[is_p]])
+            p_order = np.lexsort((p_id, p_t, p_u))
+            p_u, p_t, p_id = p_u[p_order], p_t[p_order], p_id[p_order]
+            p_c = _composite(np.searchsorted(users, p_u), p_t, lo, span)
+            if not len(p_c):
+                # no purchases anywhere: one sentinel below every segment
+                # (rank -1) keeps the searchsorted/vis algebra branch-free
+                p_c = np.full(1, -1, "int64")
+                p_t = np.zeros(1, "int64")
+                p_id = np.zeros(1, "int64")
+            rel_c = _composite(rel_rank, rt, lo, span)
+            # last purchase STRICTLY before the event ('left' = the
+            # oracle's p.pts < e.ts: a purchase never enriches a
+            # same-timestamp event, including itself; equal-(u,ts)
+            # purchase runs resolve to max id via the lexsort)
+            idx = np.searchsorted(p_c, rel_c, "left") - 1
+            safe = np.where(idx >= 0, idx, 0)
+            vis = (idx >= 0) & (p_c[safe] // span == rel_rank)
+            lp_t = p_t[safe]
+            vis_s = pd.Series(vis)
+            out = pd.DataFrame(
+                {
+                    "event_id": ri,
+                    "user_id": ru,
+                    "ts": pd.to_datetime(rt * 1000),
+                    "event_type": re_.astype(str),
+                    "last_purchase_ts": pd.Series(
+                        pd.to_datetime(lp_t * 1000)
+                    ).where(vis_s, pd.NaT),
+                    # None-bearing int columns must stay nullable Int64,
+                    # not drift to float64 (lossy for large ids)
+                    "last_purchase_id": pd.Series(
+                        p_id[safe], dtype="Int64"
+                    ).where(vis_s, pd.NA),
+                    "micros_since_purchase": pd.Series(
+                        rt - lp_t, dtype="Int64"
+                    ).where(vis_s, pd.NA),
+                }
+            )
+            # new carried latest purchase per touched user = last element
+            # of that user's segment in the (u, t, id)-lexsorted purchases
+            if len(p_u):
+                seg_end = np.searchsorted(p_u, users, "right") - 1
+                seg_start = np.searchsorted(p_u, users, "left")
+                has_p = seg_end >= seg_start
+                nu = users[has_p]
+                nt = p_t[seg_end[has_p]]
+                nid = p_id[seg_end[has_p]]
+            else:
+                nu = nt = nid = np.empty(0, "int64")
+            keep_old = ~np.isin(pu_u, users)
+            pu_u = np.concatenate([pu_u[keep_old], nu])
+            pu_t = np.concatenate([pu_t[keep_old], nt])
+            pu_id = np.concatenate([pu_id[keep_old], nid])
+            p_order = np.argsort(pu_u)
+            pu_u, pu_t, pu_id = pu_u[p_order], pu_t[p_order], pu_id[p_order]
+            pend_u = pend_u[~rel_mask]
+            pend_t = pend_t[~rel_mask]
+            pend_id = pend_id[~rel_mask]
+            pend_type = pend_type[~rel_mask]
         state.update(
             (
-                pts,
-                pid,
-                [t for t, _, _ in kept],
-                [i for _, i, _ in kept],
-                [e for _, _, e in kept],
+                pu_u.tolist(),
+                pu_t.tolist(),
+                pu_id.tolist(),
+                pend_u.tolist(),
+                pend_t.tolist(),
+                pend_id.tolist(),
+                [str(x) for x in pend_type],
             )
         )
-        if kept:
+        if len(pend_t):
             # wake only when the oldest pending row becomes releasable
-            state.setTimeoutTimestamp(max(wm_ms + 1, kept[0][0] // 1000 + 1))
+            state.setTimeoutTimestamp(
+                max(wm_ms + 1, int(pend_t.min()) // 1000 + 1)
+            )
         if out is not None:
             yield out
 
@@ -476,24 +692,37 @@ def _ordered_asof_fn(match_type: str):
 
 
 def ordered_asof_join_stream(
-    df: DataFrame, disorder: str, match_type: str = "purchase"
+    df: DataFrame,
+    disorder: str,
+    match_type: str = "purchase",
+    n_shards: int = REORDER_SHARDS,
 ) -> DataFrame:
     """`asof_join_stream` for OUT-OF-ORDER arrival: the watermark-driven
     reorder buffer releases rows in exact (ts, event_id) order once the
     watermark (delay = `disorder`) proves their run complete, then feeds
-    the identical as-of core — emissions are bit-identical to the
+    the identical as-of semantics — emissions are bit-identical to the
     ordered-arrival operator and the batch x22 oracle for any arrival
     order within the bound; later rows are dropped by Spark's standard
     late-data filtering.
 
+    Sharded like `ordered_sliding_count_stream` (see there): state is
+    keyed by `hash(user_id) % n_shards`, per-user as-of matching runs as
+    one segmented binary search across the shard, and the carried state
+    is one (latest purchase ts, id) pair per user that has purchased.
+
     Input columns: (event_id, user_id, ts, event_type)."""
+    from pyspark.sql import functions as F
+
     return (
-        df.withWatermark("ts", disorder)
-        .groupBy("user_id")
+        df.withColumn(
+            "_shard", F.pmod(F.xxhash64("user_id"), F.lit(n_shards))
+        )
+        .withWatermark("ts", disorder)
+        .groupBy("_shard")
         .applyInPandasWithState(
-            _ordered_asof_fn(match_type),
+            _ordered_asof_shard_fn(match_type),
             outputStructType=ASOF_OUTPUT_SCHEMA,
-            stateStructType=_ORDERED_ASOF_STATE_SCHEMA,
+            stateStructType=_ORDERED_ASOF_STATE_SCHEMA_SHARDED,
             outputMode="append",
             timeoutConf="EventTimeTimeout",
         )
