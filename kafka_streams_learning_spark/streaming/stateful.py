@@ -113,71 +113,25 @@ def fraud_alert_stream(
     )
 
 
+# How many reorder-buffer shards a stream is re-keyed onto. The r10
+# second-decade probe (BENCH_NOTES sweep 6) showed the per-USER-keyed
+# reorder buffers were linear with a ~32 µs/event constant that was
+# entirely per-group invocation overhead: ~key-cardinality × batches
+# `applyInPandasWithState` invocations at ~200 µs each (state ser/de +
+# per-group pandas frame). Re-keying onto a bounded shard count makes
+# invocations O(shards × batches) — independent of key cardinality —
+# and lets the per-user logic vectorize across the whole shard. At
+# cluster scale, size this ~ a small multiple of total cores. It must
+# stay STABLE across restarts of one checkpoint: the shard id is the
+# state key, so changing it orphans existing state.
+REORDER_SHARDS = 32
+
 SLIDING_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, cnt long"
-_SLIDING_STATE_SCHEMA = "buf array<long>"  # event times (micros), newest window only
 
 
-def _sliding_core(
-    key, buf: list, rows: list, lookback_micros: int
-) -> tuple[list, pd.DataFrame | None]:
-    """Vectorized core of the sliding count: `rows` is a (ts, id)-sorted
-    list of (t_micros, event_id, ts) tuples. With the carried buffer
-    prepended (ordered arrival: buffer times never exceed new times), the
-    count for a row at time t is #{x : t - Δ ≤ x ≤ t} — two binary
-    searches on the sorted combined array (`searchsorted` right minus
-    left), no per-row Python walk. `side='right'` on t makes every member
-    of an equal-timestamp run see the WHOLE run — the batch oracle's
-    symmetric tie semantics; `side='left'` on t - Δ keeps the window
-    inclusive at both ends. Returns (new window buffer: times within the
-    lookback of the newest event, emitted frame or None)."""
-    if not rows:
-        return buf, None
-    import numpy as np
-
-    t = np.fromiter((r[0] for r in rows), dtype="int64", count=len(rows))
-    all_t = np.concatenate([np.asarray(buf, dtype="int64"), t])
-    cnt = np.searchsorted(all_t, t, side="right") - np.searchsorted(
-        all_t, t - lookback_micros, side="left"
-    )
-    out = pd.DataFrame(
-        {
-            "user_id": key,
-            "event_id": [r[1] for r in rows],
-            "ts": [r[2] for r in rows],
-            "cnt": cnt,
-        }
-    )
-    new_buf = all_t[all_t >= t[-1] - lookback_micros].tolist()
-    return new_buf, out
-
-
-def _sliding_fn(lookback_micros: int):
-    def fn(
-        key, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        buf: list[int] = list(state.get[0]) if state.exists else []
-        # concat chunks before sorting (a key's batch may span several
-        # Arrow chunks), then sort by ts/id — the streaming analogue of
-        # the batch oracle's ORDER BY
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts", "event_id"]
-        )
-        rows = list(
-            zip(
-                (pdf["ts"].astype("int64") // 1000).tolist(),  # nanos → micros
-                pdf["event_id"].astype("int64").tolist(),
-                pdf["ts"].tolist(),
-            )
-        )
-        buf, out = _sliding_core(key[0], buf, rows, lookback_micros)
-        state.update((buf,))
-        if out is not None:
-            yield out
-
-    return fn
-
-
-def sliding_count_stream(df: DataFrame, lookback_micros: int) -> DataFrame:
+def sliding_count_stream(
+    df: DataFrame, lookback_micros: int, n_shards: int = REORDER_SHARDS
+) -> DataFrame:
     """Streaming event-anchored sliding count (SURVEY §2.6 A4, §7.5ii):
     the Kafka `SlidingWindows` semantic (`CreditCardTransactions.java:
     117-120`) as a custom stateful operator — for each event, the count of
@@ -195,13 +149,26 @@ def sliding_count_stream(df: DataFrame, lookback_micros: int) -> DataFrame:
     micro-batch; a tie split across micro-batches counts asymmetrically —
     inherent to append-only emission.
 
+    Shard-keyed like the reorder variant (see `ordered_sliding_count_
+    stream`): the same shard fn runs with `release_all=True` — every row
+    processes in its arrival batch (no watermark, no pending buffer), and
+    only the per-user lookback windows are carried.
+
     Input columns: (user_id, event_id, ts)."""
-    return df.groupBy("user_id").applyInPandasWithState(
-        _sliding_fn(lookback_micros),
-        outputStructType=SLIDING_OUTPUT_SCHEMA,
-        stateStructType=_SLIDING_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf="NoTimeout",
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn(
+            "_shard", F.pmod(F.xxhash64("user_id"), F.lit(n_shards))
+        )
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            _sliding_shard_fn(lookback_micros, release_all=True),
+            outputStructType=SLIDING_OUTPUT_SCHEMA,
+            stateStructType=_ORDERED_SLIDING_STATE_SCHEMA_SHARDED,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
     )
 
 
@@ -210,103 +177,18 @@ ASOF_OUTPUT_SCHEMA = (
     "last_purchase_ts timestamp, last_purchase_id long, "
     "micros_since_purchase long"
 )
-# latest prior purchase per key: event-time micros + id; -1 = none yet
-_ASOF_STATE_SCHEMA = "pts long, pid long"
 
 
-def _asof_core(
-    key, pts: int, pid: int, rows: list, match_type: str
-) -> tuple[int, int, pd.DataFrame | None]:
-    """Vectorized core of the as-of enrichment: `rows` is a (ts, id)-
-    sorted list of (t_micros, event_id, ts, event_type) tuples. The
-    batch's `match_type` rows plus the carried state purchase form one
-    (ts, id)-lexsorted purchase array; each event's match is then
-    `searchsorted(purchase_ts, t, side='left') - 1` — the last purchase
-    STRICTLY before t. `side='left'` is the oracle's strict inequality
-    (p.pts < e.ts): a purchase never enriches a same-timestamp event,
-    including itself, and a state purchase tying an event's timestamp
-    (an equal-ts run straddling a micro-batch boundary) stays invisible
-    exactly as if the run had arrived whole. The lexsort makes the last
-    array element the (ts DESC, id DESC) argmax, so the tie-on-state
-    merge (max id across batch fragments) falls out of indexing instead
-    of branch logic. Returns (pts, pid, emitted frame or None)."""
-    if not rows:
-        return pts, pid, None
-    import numpy as np
-
-    n = len(rows)
-    t = np.fromiter((r[0] for r in rows), "int64", n)
-    ids = np.fromiter((r[1] for r in rows), "int64", n)
-    is_p = np.fromiter((r[3] == match_type for r in rows), bool, n)
-    p_t, p_id = t[is_p], ids[is_p]
-    if pts >= 0:
-        p_t = np.concatenate([np.array([pts], "int64"), p_t])
-        p_id = np.concatenate([np.array([pid], "int64"), p_id])
-        order = np.lexsort((p_id, p_t))
-        p_t, p_id = p_t[order], p_id[order]
-    idx = np.searchsorted(p_t, t, side="left") - 1
-    vis = pd.Series(idx >= 0)
-    safe = np.where(idx >= 0, idx, 0)
-    if len(p_t):
-        pts, pid = int(p_t[-1]), int(p_id[-1])  # new state: the argmax
-    else:  # no purchases seen yet: every row is unmatched, state unchanged
-        p_t = np.zeros(1, "int64")
-        p_id = np.zeros(1, "int64")
-    lp_t = p_t[safe]
-    out = pd.DataFrame(
-        {
-            "event_id": ids,
-            "user_id": key,
-            "ts": [r[2] for r in rows],
-            "event_type": [r[3] for r in rows],
-            "last_purchase_ts": pd.Series(
-                pd.to_datetime(lp_t * 1000, unit="ns")
-            ).where(vis, pd.NaT),
-            # None-bearing int columns must stay nullable Int64, not
-            # drift to float64 (Arrow would cast lossily for large ids)
-            "last_purchase_id": pd.Series(p_id[safe], dtype="Int64").where(
-                vis, pd.NA
-            ),
-            "micros_since_purchase": pd.Series(t - lp_t, dtype="Int64").where(
-                vis, pd.NA
-            ),
-        }
-    )
-    return pts, pid, out
-
-
-def _asof_fn(match_type: str):
-    def fn(
-        key, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        pts, pid = state.get if state.exists else (-1, -1)
-        # concat chunks before sorting — a key's batch may span several
-        # Arrow chunks
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts", "event_id"]
-        )
-        rows = list(
-            zip(
-                (pdf["ts"].astype("int64") // 1000).tolist(),  # nanos → micros
-                pdf["event_id"].astype("int64").tolist(),
-                pdf["ts"].tolist(),
-                pdf["event_type"].tolist(),
-            )
-        )
-        pts, pid, out = _asof_core(key[0], pts, pid, rows, match_type)
-        state.update((pts, pid))
-        if out is not None:
-            yield out
-
-    return fn
-
-
-def asof_join_stream(df: DataFrame, match_type: str = "purchase") -> DataFrame:
+def asof_join_stream(
+    df: DataFrame,
+    match_type: str = "purchase",
+    n_shards: int = REORDER_SHARDS,
+) -> DataFrame:
     """Streaming point-in-time (as-of) self-enrichment — the streaming
     twin of the batch as-of join (`operators/joins.asof_join`, x22): each
     event is tagged with the key's latest STRICTLY-earlier `match_type`
-    event. Keyed state is O(1) per key — just (ts, id) of the latest
-    match — versus the batch form's union+window shuffle; this is the
+    event. Carried state is one (ts, id) pair per key that has matched —
+    versus the batch form's union+window shuffle; this is the
     feature-store lookup shape at serving latency. Emissions concatenated
     across micro-batches equal the batch result (append-mode streaming ≡
     batch once input is exhausted), which is what the oracle hashes.
@@ -318,13 +200,25 @@ def asof_join_stream(df: DataFrame, match_type: str = "purchase") -> DataFrame:
     handled exactly: enrichment is guarded strictly (state pts < run ts)
     and a tie fold MERGES max ids instead of replacing state.
 
+    Shard-keyed like the reorder variant (see `ordered_asof_join_stream`):
+    the same shard fn runs with `release_all=True` — every row processes
+    in its arrival batch, no watermark, no pending buffer.
+
     Input columns: (event_id, user_id, ts, event_type)."""
-    return df.groupBy("user_id").applyInPandasWithState(
-        _asof_fn(match_type),
-        outputStructType=ASOF_OUTPUT_SCHEMA,
-        stateStructType=_ASOF_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf="NoTimeout",
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn(
+            "_shard", F.pmod(F.xxhash64("user_id"), F.lit(n_shards))
+        )
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            _asof_shard_fn(match_type, release_all=True),
+            outputStructType=ASOF_OUTPUT_SCHEMA,
+            stateStructType=_ORDERED_ASOF_STATE_SCHEMA_SHARDED,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
     )
 
 
@@ -349,16 +243,6 @@ def asof_join_stream(df: DataFrame, match_type: str = "purchase") -> DataFrame:
 # watermarked stream-stream join holds, so this scales exactly as far as
 # Spark's own late-data machinery does.
 
-# How many reorder-buffer shards a stream is re-keyed onto. The r10
-# second-decade probe (BENCH_NOTES sweep 6) showed the per-USER-keyed
-# reorder buffers were linear with a ~32 µs/event constant that was
-# entirely per-group invocation overhead: ~key-cardinality × batches
-# `applyInPandasWithState` invocations at ~200 µs each (state ser/de +
-# per-group pandas frame). Re-keying onto a bounded shard count makes
-# invocations O(shards × batches) — independent of key cardinality —
-# and lets the per-user logic vectorize across the whole shard. At
-# cluster scale, size this ~ a small multiple of total cores.
-REORDER_SHARDS = 32
 
 _ORDERED_SLIDING_STATE_SCHEMA_SHARDED = (
     "buf_u array<long>, buf_t array<long>, "
@@ -400,7 +284,7 @@ def _composite(u_rank, t, base: int, span: int):
     return u_rank * span + (t - base)
 
 
-def _ordered_sliding_shard_fn(lookback_micros: int):
+def _sliding_shard_fn(lookback_micros: int, release_all: bool = False):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -417,8 +301,11 @@ def _ordered_sliding_shard_fn(lookback_micros: int):
             pend_u = np.concatenate([pend_u, new[0]])
             pend_t = np.concatenate([pend_t, new[1]])
             pend_id = np.concatenate([pend_id, new[2]])
-        wm_ms = state.getCurrentWatermarkMs()
-        frontier = wm_ms * 1000  # watermark ms → event-time micros
+        if release_all:
+            wm_ms, frontier = 0, 2**62  # ordered arrival: process the batch now
+        else:
+            wm_ms = state.getCurrentWatermarkMs()
+            frontier = wm_ms * 1000  # watermark ms → event-time micros
         # Release rows strictly below the watermark frontier: late
         # filtering guarantees no more members of those (user, ts) runs,
         # and a run never straddles the frontier (all-or-nothing per ts).
@@ -449,7 +336,7 @@ def _ordered_sliding_shard_fn(lookback_micros: int):
             # over that user's buffer + this release — two binary searches
             # on the composite array ('right' makes equal-ts runs
             # symmetric, 'left' keeps the window inclusive at both ends,
-            # matching the batch oracle; see _sliding_core)
+            # matching the batch oracle)
             cnt = np.searchsorted(comb_c, rel_c, "right") - np.searchsorted(
                 comb_c, rel_c - lookback_micros, "left"
             )
@@ -491,7 +378,7 @@ def _ordered_sliding_shard_fn(lookback_micros: int):
                 pend_id.tolist(),
             )
         )
-        if len(pend_t):
+        if len(pend_t) and not release_all:
             # wake this shard only once the watermark passes its oldest
             # pending row — not on every watermark tick
             state.setTimeoutTimestamp(
@@ -542,7 +429,7 @@ def ordered_sliding_count_stream(
         .withWatermark("ts", disorder)
         .groupBy("_shard")
         .applyInPandasWithState(
-            _ordered_sliding_shard_fn(lookback_micros),
+            _sliding_shard_fn(lookback_micros),
             outputStructType=SLIDING_OUTPUT_SCHEMA,
             stateStructType=_ORDERED_SLIDING_STATE_SCHEMA_SHARDED,
             outputMode="append",
@@ -558,7 +445,7 @@ _ORDERED_ASOF_STATE_SCHEMA_SHARDED = (
 )
 
 
-def _ordered_asof_shard_fn(match_type: str):
+def _asof_shard_fn(match_type: str, release_all: bool = False):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -580,8 +467,11 @@ def _ordered_asof_shard_fn(match_type: str):
             pend_t = np.concatenate([pend_t, new[1]])
             pend_id = np.concatenate([pend_id, new[2]])
             pend_type = np.concatenate([pend_type, new[3]])
-        wm_ms = state.getCurrentWatermarkMs()
-        frontier = wm_ms * 1000
+        if release_all:
+            wm_ms, frontier = 0, 2**62  # ordered arrival: process the batch now
+        else:
+            wm_ms = state.getCurrentWatermarkMs()
+            frontier = wm_ms * 1000
         rel_mask = pend_t < frontier
         out = None
         if rel_mask.any():
@@ -680,7 +570,7 @@ def _ordered_asof_shard_fn(match_type: str):
                 [str(x) for x in pend_type],
             )
         )
-        if len(pend_t):
+        if len(pend_t) and not release_all:
             # wake only when the oldest pending row becomes releasable
             state.setTimeoutTimestamp(
                 max(wm_ms + 1, int(pend_t.min()) // 1000 + 1)
@@ -720,7 +610,7 @@ def ordered_asof_join_stream(
         .withWatermark("ts", disorder)
         .groupBy("_shard")
         .applyInPandasWithState(
-            _ordered_asof_shard_fn(match_type),
+            _asof_shard_fn(match_type),
             outputStructType=ASOF_OUTPUT_SCHEMA,
             stateStructType=_ORDERED_ASOF_STATE_SCHEMA_SHARDED,
             outputMode="append",

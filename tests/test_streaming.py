@@ -276,6 +276,74 @@ def test_ordered_sliding_out_of_order_arrival(spark, tmpdir):
     assert got == {11: 2, 12: 2, 13: 3, 10: 2}
 
 
+def test_reorder_shard_count_invariance(spark, tmpdir):
+    """The shard re-keying (hash(user) % n_shards) is a physical layout
+    choice — results must be IDENTICAL at any shard count, including all
+    users collapsing into one shard (the hardest case for the segmented
+    searchsorted: every per-user window lives in one composite array).
+    Three users with interleaved shuffled arrival, equal-ts ties, and a
+    cross-user equal-timestamp collision; sliding + as-of both pinned."""
+    base = ts("2024-01-01T00:00:00")
+    m = lambda i: base + dt.timedelta(minutes=i)
+    chunks = [
+        [(7, 1, m(4), "view"), (8, 2, m(1), "purchase"), (9, 3, m(4), "view")],
+        [(7, 4, m(1), "purchase"), (9, 5, m(1), "purchase"), (7, 6, m(3), "view")],
+        [(8, 7, m(2), "view"), (9, 8, m(2), "view"), (8, 9, m(2), "purchase")],
+        [(-1, -1, m(30), "view")],
+        [(-1, -2, m(40), "view")],
+    ]
+    # (user_id, event_id, ts, event_type) column order for ASOF_SCHEMA
+    asof_chunks = [
+        [(e, u, t, et) for (u, e, t, et) in ch] for ch in chunks
+    ]
+
+    def run_asof(n):
+        d = tempfile.mkdtemp(prefix="ksl-shardinv-")
+        try:
+            stage_explicit_chunks(spark, asof_chunks, ASOF_SCHEMA, d)
+            stream = replay_stream(spark, d, ASOF_SCHEMA)
+            out = stateful.ordered_asof_join_stream(
+                stream, disorder="10 minutes", n_shards=n
+            )
+            batches = runner.run_collect_batches(out, "append")
+            return sorted(
+                (r.event_id, r.last_purchase_id, r.micros_since_purchase)
+                for b in batches
+                for r in b
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def run_sliding(n):
+        d = tempfile.mkdtemp(prefix="ksl-shardinv-")
+        schema = "user_id long, event_id long, ts timestamp"
+        try:
+            stage_explicit_chunks(
+                spark,
+                [[(u, e, t) for (u, e, t, _) in ch] for ch in chunks],
+                schema,
+                d,
+            )
+            stream = replay_stream(spark, d, schema)
+            out = stateful.ordered_sliding_count_stream(
+                stream,
+                lookback_micros=2 * 60 * 1_000_000,
+                disorder="5 minutes",
+                n_shards=n,
+            )
+            batches = runner.run_collect_batches(out, "append")
+            return sorted((r.event_id, r.cnt) for b in batches for r in b)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    asof_1 = run_asof(1)
+    assert asof_1 == run_asof(5)
+    assert len(asof_1) == 9
+    sliding_1 = run_sliding(1)
+    assert sliding_1 == run_sliding(5)
+    assert len(sliding_1) == 9
+
+
 def test_checkpoint_recovery(spark, tmpdir):
     """§5.2-5: kill the query mid-stream, restart from the same
     checkpoint over a source that has grown — final counts identical to a
