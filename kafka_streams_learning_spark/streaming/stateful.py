@@ -222,26 +222,32 @@ def asof_join_stream(
     )
 
 
-# --- ordered-arrival variants: watermark-driven reorder buffer ---------------
+# --- shard-keyed stateful machinery: sliding windows + as-of, ordered and
+# --- reordered arrival ---------------------------------------------------
 #
-# The plain keyed-state operators above require per-key event-time-ordered
-# ARRIVAL — the guarantee the reference gets for free from Kafka topic
+# One pair of shard fns serves all four operators. The ORDERED-ARRIVAL
+# wrappers above (`sliding_count_stream`, `asof_join_stream`) run them
+# with release_all=True: every row processes in its arrival batch — the
+# per-key ordering guarantee the reference gets for free from Kafka topic
 # partitioning (`joins/StreamStreamJoinExample.java:131-141`: one key, one
-# partition, offset order = append order). A Spark source fed by an
-# out-of-order transport has no such guarantee, so these variants make the
-# contract real code: incoming rows are buffered in keyed state and only
-# released — globally (ts, id)-sorted, in complete equal-timestamp runs —
-# once the watermark proves no earlier row can still arrive. Spark drops
-# rows older than the watermark before the operator (standard late-data
-# filtering), so releasing strictly-below-watermark runs is exact: the
-# released prefix is bit-identical to what ordered arrival would have fed
-# the plain operator. EventTimeTimeout re-invokes buffering keys as the
-# watermark advances, so pending rows flush even in batches where the key
+# partition, offset order = append order). The REORDER wrappers below run
+# them with a watermark: incoming rows are buffered in shard state and
+# only released — (user, ts, id)-sorted, in complete equal-timestamp
+# runs — once the watermark proves no earlier row can still arrive. Spark
+# drops rows older than the watermark before the operator (standard
+# late-data filtering), so releasing strictly-below-watermark runs is
+# exact: the released prefix is bit-identical to what ordered arrival
+# would have fed. EventTimeTimeout re-invokes buffering shards as the
+# watermark advances, so pending rows flush even in batches where a shard
 # receives no new data.
 #
 # State is O(pending) = rows within one disorder bound — the same bound a
-# watermarked stream-stream join holds, so this scales exactly as far as
-# Spark's own late-data machinery does.
+# watermarked stream-stream join holds — plus the per-user carries
+# (lookback windows / latest-match pairs), all held per SHARD: group
+# invocations are O(shards × batches), never O(users × batches), and the
+# per-user semantics are preserved inside the shard by segmented binary
+# search over composite keys (BENCH_NOTES r11 sweep 6 for the measured
+# why).
 
 
 _ORDERED_SLIDING_STATE_SCHEMA_SHARDED = (
