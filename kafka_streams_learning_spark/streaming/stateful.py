@@ -123,7 +123,10 @@ def fraud_alert_stream(
 # and lets the per-user logic vectorize across the whole shard. At
 # cluster scale, size this ~ a small multiple of total cores. It must
 # stay STABLE across restarts of one checkpoint: the shard id is the
-# state key, so changing it orphans existing state.
+# state key, so changing it orphans existing state. (The r11 re-keying
+# itself was such a break: checkpoints written by the per-user-keyed
+# implementation cannot restart on this one — a one-time migration cost,
+# acceptable here because every catalog run creates a fresh checkpoint.)
 REORDER_SHARDS = 32
 
 SLIDING_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, cnt long"
@@ -152,7 +155,9 @@ def sliding_count_stream(
     Shard-keyed like the reorder variant (see `ordered_sliding_count_
     stream`): the same shard fn runs with `release_all=True` — every row
     processes in its arrival batch (no watermark, no pending buffer), and
-    only the per-user lookback windows are carried.
+    only the per-user lookback windows are carried. Negative event_ids
+    are reserved for replay flush sentinels and are dropped (the replay
+    source contract, shared with the reorder variants).
 
     Input columns: (user_id, event_id, ts)."""
     from pyspark.sql import functions as F
@@ -202,7 +207,9 @@ def asof_join_stream(
 
     Shard-keyed like the reorder variant (see `ordered_asof_join_stream`):
     the same shard fn runs with `release_all=True` — every row processes
-    in its arrival batch, no watermark, no pending buffer.
+    in its arrival batch, no watermark, no pending buffer. Negative
+    event_ids are reserved for replay flush sentinels and are dropped
+    (the replay source contract, shared with the reorder variants).
 
     Input columns: (event_id, user_id, ts, event_type)."""
     from pyspark.sql import functions as F
@@ -290,6 +297,67 @@ def _composite(u_rank, t, base: int, span: int):
     return u_rank * span + (t - base)
 
 
+def _sliding_release(ru, rt, tb_u, tb_t, lookback_micros: int):
+    """Pure release-step math for the sliding count: given released rows
+    (`ru`, `rt`) lexsorted by (user, ts, id) and the touched users'
+    carried window buffers (`tb_u`, `tb_t`) sorted by (user, ts), return
+    (cnt aligned to the released rows, new buffer users, new buffer
+    times — (user, ts)-sorted).
+
+    The count for a released row at time t is #{x : t-Δ ≤ x ≤ t} over
+    that user's buffer + this release — two binary searches on the
+    composite array ('right' makes equal-ts runs symmetric, 'left' keeps
+    the window inclusive at both ends, matching the batch oracle). If
+    rank × span would overflow int64 (pathological time ranges), the
+    user set splits in half and recurses — per-user results are
+    independent, so the split is exact and always terminates (a single
+    user needs a >73,000-year time range to overflow)."""
+    import numpy as np
+
+    users = np.unique(ru)  # sorted
+    lo = int(min(rt.min(), tb_t.min()) if len(tb_t) else rt.min())
+    hi = int(max(rt.max(), tb_t.max()) if len(tb_t) else rt.max())
+    span = hi - lo + lookback_micros + 2
+    if (len(users) + 1) * span > 2**62:
+        if len(users) == 1:
+            raise OverflowError(
+                f"single-user composite span {span} overflows int64"
+            )
+        s = int(np.searchsorted(ru, users[len(users) // 2]))
+        b = int(np.searchsorted(tb_u, users[len(users) // 2]))
+        cl, nul, ntl = _sliding_release(
+            ru[:s], rt[:s], tb_u[:b], tb_t[:b], lookback_micros
+        )
+        cr, nur, ntr = _sliding_release(
+            ru[s:], rt[s:], tb_u[b:], tb_t[b:], lookback_micros
+        )
+        # user ranges are disjoint and ordered, so concatenation
+        # preserves the global (user, ts) sort
+        return (
+            np.concatenate([cl, cr]),
+            np.concatenate([nul, nur]),
+            np.concatenate([ntl, ntr]),
+        )
+    rel_c = _composite(np.searchsorted(users, ru), rt, lo, span)
+    tb_c = _composite(np.searchsorted(users, tb_u), tb_t, lo, span)
+    comb_c = np.sort(np.concatenate([tb_c, rel_c]))
+    cnt = np.searchsorted(comb_c, rel_c, "right") - np.searchsorted(
+        comb_c, rel_c - lookback_micros, "left"
+    )
+    # new buffer per touched user: entries within the lookback of that
+    # user's NEWEST released time
+    last_idx = np.searchsorted(ru, users, "right") - 1
+    thr_c = _composite(
+        np.arange(len(users), dtype="int64"),
+        rt[last_idx] - lookback_micros,
+        lo,
+        span,
+    )
+    keep = comb_c >= thr_c[comb_c // span]
+    kept_c = comb_c[keep]
+    return cnt, users[kept_c // span], kept_c % span + lo
+
+
 def _sliding_shard_fn(lookback_micros: int, release_all: bool = False):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -321,30 +389,10 @@ def _sliding_shard_fn(lookback_micros: int, release_all: bool = False):
             ru, rt, ri = pend_u[rel_mask], pend_t[rel_mask], pend_id[rel_mask]
             order = np.lexsort((ri, rt, ru))
             ru, rt, ri = ru[order], rt[order], ri[order]
-            users = np.unique(ru)  # sorted
             # split carried window buffers into touched / untouched users
-            touched = np.isin(buf_u, users)
-            tb_u, tb_t = buf_u[touched], buf_t[touched]
-            ub_u, ub_t = buf_u[~touched], buf_t[~touched]
-            lo = int(min(rt.min(), tb_t.min()) if len(tb_t) else rt.min())
-            hi = int(max(rt.max(), tb_t.max()) if len(tb_t) else rt.max())
-            span = hi - lo + lookback_micros + 2
-            if (len(users) + 1) * span > 2**62:
-                raise OverflowError(
-                    "reorder shard composite key overflow: "
-                    f"{len(users)} users x span {span}; raise n_shards"
-                )
-            rel_rank = np.searchsorted(users, ru)
-            rel_c = _composite(rel_rank, rt, lo, span)
-            tb_c = _composite(np.searchsorted(users, tb_u), tb_t, lo, span)
-            comb_c = np.sort(np.concatenate([tb_c, rel_c]))
-            # the count for a released row at time t is #{x : t-Δ ≤ x ≤ t}
-            # over that user's buffer + this release — two binary searches
-            # on the composite array ('right' makes equal-ts runs
-            # symmetric, 'left' keeps the window inclusive at both ends,
-            # matching the batch oracle)
-            cnt = np.searchsorted(comb_c, rel_c, "right") - np.searchsorted(
-                comb_c, rel_c - lookback_micros, "left"
+            touched = np.isin(buf_u, np.unique(ru))
+            cnt, nb_u, nb_t = _sliding_release(
+                ru, rt, buf_u[touched], buf_t[touched], lookback_micros
             )
             out = pd.DataFrame(
                 {
@@ -354,22 +402,9 @@ def _sliding_shard_fn(lookback_micros: int, release_all: bool = False):
                     "cnt": cnt,
                 }
             )
-            # new buffer per touched user: entries within the lookback of
-            # that user's NEWEST released time
-            last_idx = np.searchsorted(ru, users, "right") - 1
-            thr_c = _composite(
-                np.arange(len(users), dtype="int64"),
-                rt[last_idx] - lookback_micros,
-                lo,
-                span,
-            )
-            keep = comb_c >= thr_c[comb_c // span]
-            kept_c = comb_c[keep]
-            nb_u = users[kept_c // span]
-            nb_t = kept_c % span + lo
             # merge back with untouched buffers, restoring (u, t) lexsort
-            buf_u = np.concatenate([ub_u, nb_u])
-            buf_t = np.concatenate([ub_t, nb_t])
+            buf_u = np.concatenate([buf_u[~touched], nb_u])
+            buf_t = np.concatenate([buf_t[~touched], nb_t])
             order = np.lexsort((buf_t, buf_u))
             buf_u, buf_t = buf_u[order], buf_t[order]
             pend_u = pend_u[~rel_mask]
@@ -451,6 +486,73 @@ _ORDERED_ASOF_STATE_SCHEMA_SHARDED = (
 )
 
 
+def _asof_release(ru, rt, ri, is_p, su_u, su_t, su_id):
+    """Pure release-step math for the as-of enrichment: released rows
+    (`ru`, `rt`, `ri`) lexsorted by (user, ts, id) with purchase mask
+    `is_p`, plus the carried latest purchase per touched user (`su_*`,
+    user-sorted). Returns (lp_t, lp_id, vis — aligned to released rows;
+    nu, nt, nid — the new latest purchase per user that has one,
+    user-sorted).
+
+    Candidate purchases per user = carried latest + this release's
+    purchase rows, (u, ts, id)-lexsorted; each event's match is
+    `searchsorted(candidates, event, 'left') - 1` on composite keys —
+    the last purchase STRICTLY before the event (the oracle's
+    p.pts < e.ts: a purchase never enriches a same-timestamp event,
+    including itself; equal-(u, ts) purchase runs resolve to max id via
+    the lexsort). Times rebase to a batch-local origin (carried
+    purchases can be OLDER than anything released); if rank × span
+    would still overflow int64, the user set splits in half and
+    recurses — per-user independence makes the split exact."""
+    import numpy as np
+
+    users = np.unique(ru)
+    have_su = len(su_t) > 0
+    lo = int(min(rt.min(), su_t.min())) if have_su else int(rt.min())
+    hi = int(max(rt.max(), su_t.max())) if have_su else int(rt.max())
+    span = hi - lo + 2
+    if (len(users) + 1) * span > 2**62:
+        if len(users) == 1:
+            raise OverflowError(
+                f"single-user composite span {span} overflows int64"
+            )
+        s = int(np.searchsorted(ru, users[len(users) // 2]))
+        b = int(np.searchsorted(su_u, users[len(users) // 2]))
+        left = _asof_release(
+            ru[:s], rt[:s], ri[:s], is_p[:s], su_u[:b], su_t[:b], su_id[:b]
+        )
+        right = _asof_release(
+            ru[s:], rt[s:], ri[s:], is_p[s:], su_u[b:], su_t[b:], su_id[b:]
+        )
+        return tuple(
+            np.concatenate([a, c]) for a, c in zip(left, right)
+        )
+    rel_rank = np.searchsorted(users, ru)
+    p_u = np.concatenate([su_u, ru[is_p]])
+    p_t = np.concatenate([su_t, rt[is_p]])
+    p_id = np.concatenate([su_id, ri[is_p]])
+    p_order = np.lexsort((p_id, p_t, p_u))
+    p_u, p_t, p_id = p_u[p_order], p_t[p_order], p_id[p_order]
+    p_c = _composite(np.searchsorted(users, p_u), p_t, lo, span)
+    # new latest purchase per user = last element of that user's segment
+    seg_end = np.searchsorted(p_u, users, "right") - 1
+    has_p = seg_end >= np.searchsorted(p_u, users, "left")
+    nu = users[has_p]
+    nt = p_t[seg_end[has_p]]
+    nid = p_id[seg_end[has_p]]
+    if not len(p_c):
+        # no purchases anywhere: one sentinel below every segment
+        # (rank -1) keeps the searchsorted/vis algebra branch-free
+        p_c = np.full(1, -1, "int64")
+        p_t = np.zeros(1, "int64")
+        p_id = np.zeros(1, "int64")
+    rel_c = _composite(rel_rank, rt, lo, span)
+    idx = np.searchsorted(p_c, rel_c, "left") - 1
+    safe = np.where(idx >= 0, idx, 0)
+    vis = (idx >= 0) & (p_c[safe] // span == rel_rank)
+    return p_t[safe], p_id[safe], vis, nu, nt, nid
+
+
 def _asof_shard_fn(match_type: str, release_all: bool = False):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -485,45 +587,13 @@ def _asof_shard_fn(match_type: str, release_all: bool = False):
             re_ = pend_type[rel_mask]
             order = np.lexsort((ri, rt, ru))
             ru, rt, ri, re_ = ru[order], rt[order], ri[order], re_[order]
-            users = np.unique(ru)
-            # candidate purchases: this shard's carried per-user latest
-            # (only for users in this release) + the released purchase rows
-            su_mask = np.isin(pu_u, users)
+            # carried per-user latest purchases for users in this release
+            su_mask = np.isin(pu_u, np.unique(ru))
             is_p = re_ == match_type
-            # rebase times to a batch-local origin (carried purchases can
-            # be OLDER than anything released) so rank*span can't overflow
-            lo = int(min(rt.min(), pu_t[su_mask].min())) if su_mask.any() \
-                else int(rt.min())
-            hi = int(max(rt.max(), pu_t[su_mask].max())) if su_mask.any() \
-                else int(rt.max())
-            span = hi - lo + 2
-            if (len(users) + 1) * span > 2**62:
-                raise OverflowError(
-                    "reorder shard composite key overflow: "
-                    f"{len(users)} users x span {span}; raise n_shards"
-                )
-            rel_rank = np.searchsorted(users, ru)
-            p_u = np.concatenate([pu_u[su_mask], ru[is_p]])
-            p_t = np.concatenate([pu_t[su_mask], rt[is_p]])
-            p_id = np.concatenate([pu_id[su_mask], ri[is_p]])
-            p_order = np.lexsort((p_id, p_t, p_u))
-            p_u, p_t, p_id = p_u[p_order], p_t[p_order], p_id[p_order]
-            p_c = _composite(np.searchsorted(users, p_u), p_t, lo, span)
-            if not len(p_c):
-                # no purchases anywhere: one sentinel below every segment
-                # (rank -1) keeps the searchsorted/vis algebra branch-free
-                p_c = np.full(1, -1, "int64")
-                p_t = np.zeros(1, "int64")
-                p_id = np.zeros(1, "int64")
-            rel_c = _composite(rel_rank, rt, lo, span)
-            # last purchase STRICTLY before the event ('left' = the
-            # oracle's p.pts < e.ts: a purchase never enriches a
-            # same-timestamp event, including itself; equal-(u,ts)
-            # purchase runs resolve to max id via the lexsort)
-            idx = np.searchsorted(p_c, rel_c, "left") - 1
-            safe = np.where(idx >= 0, idx, 0)
-            vis = (idx >= 0) & (p_c[safe] // span == rel_rank)
-            lp_t = p_t[safe]
+            lp_t, lp_id, vis, nu, nt, nid = _asof_release(
+                ru, rt, ri, is_p,
+                pu_u[su_mask], pu_t[su_mask], pu_id[su_mask],
+            )
             vis_s = pd.Series(vis)
             out = pd.DataFrame(
                 {
@@ -537,28 +607,16 @@ def _asof_shard_fn(match_type: str, release_all: bool = False):
                     # None-bearing int columns must stay nullable Int64,
                     # not drift to float64 (lossy for large ids)
                     "last_purchase_id": pd.Series(
-                        p_id[safe], dtype="Int64"
+                        lp_id, dtype="Int64"
                     ).where(vis_s, pd.NA),
                     "micros_since_purchase": pd.Series(
                         rt - lp_t, dtype="Int64"
                     ).where(vis_s, pd.NA),
                 }
             )
-            # new carried latest purchase per touched user = last element
-            # of that user's segment in the (u, t, id)-lexsorted purchases
-            if len(p_u):
-                seg_end = np.searchsorted(p_u, users, "right") - 1
-                seg_start = np.searchsorted(p_u, users, "left")
-                has_p = seg_end >= seg_start
-                nu = users[has_p]
-                nt = p_t[seg_end[has_p]]
-                nid = p_id[seg_end[has_p]]
-            else:
-                nu = nt = nid = np.empty(0, "int64")
-            keep_old = ~np.isin(pu_u, users)
-            pu_u = np.concatenate([pu_u[keep_old], nu])
-            pu_t = np.concatenate([pu_t[keep_old], nt])
-            pu_id = np.concatenate([pu_id[keep_old], nid])
+            pu_u = np.concatenate([pu_u[~su_mask], nu])
+            pu_t = np.concatenate([pu_t[~su_mask], nt])
+            pu_id = np.concatenate([pu_id[~su_mask], nid])
             p_order = np.argsort(pu_u)
             pu_u, pu_t, pu_id = pu_u[p_order], pu_t[p_order], pu_id[p_order]
             pend_u = pend_u[~rel_mask]

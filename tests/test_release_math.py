@@ -1,0 +1,152 @@
+"""Pure-numpy tests for the shard release-step math
+(`streaming/stateful._sliding_release` / `._asof_release`) — the index
+algebra behind all four shard-keyed stateful operators, checked against
+brute-force per-user oracles without a SparkSession, including the
+int64-overflow recursion path that fixture-scale streaming tests can
+never reach (it needs multi-millennium time ranges)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kafka_streams_learning_spark.streaming.stateful import (
+    _asof_release,
+    _sliding_release,
+)
+
+
+def _brute_sliding(ru, rt, tb_u, tb_t, lookback):
+    cnt = np.empty(len(ru), "int64")
+    for i, (u, t) in enumerate(zip(ru, rt)):
+        pool = np.concatenate([tb_t[tb_u == u], rt[ru == u]])
+        cnt[i] = int(((pool >= t - lookback) & (pool <= t)).sum())
+    nb_u, nb_t = [], []
+    for u in np.unique(ru):
+        pool = np.sort(np.concatenate([tb_t[tb_u == u], rt[ru == u]]))
+        last = rt[ru == u].max()
+        keep = pool[pool >= last - lookback]
+        nb_u.extend([u] * len(keep))
+        nb_t.extend(keep.tolist())
+    return cnt, np.asarray(nb_u, "int64"), np.asarray(nb_t, "int64")
+
+
+def _brute_asof(ru, rt, ri, is_p, su_u, su_t, su_id):
+    n = len(ru)
+    lp_t = np.zeros(n, "int64")
+    lp_id = np.zeros(n, "int64")
+    vis = np.zeros(n, bool)
+    for i in range(n):
+        u, t = ru[i], rt[i]
+        cand = [
+            (su_t[j], su_id[j]) for j in range(len(su_u)) if su_u[j] == u
+        ] + [
+            (rt[j], ri[j]) for j in range(n) if ru[j] == u and is_p[j]
+        ]
+        cand = sorted(c for c in cand if c[0] < t)
+        if cand:
+            lp_t[i], lp_id[i] = cand[-1]
+            vis[i] = True
+    nu, nt, nid = [], [], []
+    for u in np.unique(ru):
+        cand = [
+            (su_t[j], su_id[j]) for j in range(len(su_u)) if su_u[j] == u
+        ] + [
+            (rt[j], ri[j]) for j in range(n) if ru[j] == u and is_p[j]
+        ]
+        if cand:
+            t, i_ = max(cand)
+            nu.append(u), nt.append(t), nid.append(i_)
+    return (
+        lp_t, lp_id, vis,
+        np.asarray(nu, "int64"), np.asarray(nt, "int64"),
+        np.asarray(nid, "int64"),
+    )
+
+
+def _random_release(rng, n_users=6, n_rows=40, t_hi=1000):
+    u = np.sort(rng.integers(0, n_users, n_rows).astype("int64"))
+    t = rng.integers(0, t_hi, n_rows).astype("int64")
+    i = rng.permutation(n_rows).astype("int64")
+    order = np.lexsort((i, t, u))
+    return u[order], t[order], i[order]
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_sliding_release_matches_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    ru, rt, _ = _random_release(rng)
+    n_buf = int(rng.integers(0, 15))
+    tb_u = np.sort(rng.integers(0, 6, n_buf).astype("int64"))
+    tb_t = rng.integers(0, 1000, n_buf).astype("int64")
+    tb_order = np.lexsort((tb_t, tb_u))
+    tb_u, tb_t = tb_u[tb_order], tb_t[tb_order]
+    # buffers must belong to touched users only (the caller's contract)
+    keep = np.isin(tb_u, np.unique(ru))
+    tb_u, tb_t = tb_u[keep], tb_t[keep]
+    lookback = int(rng.integers(1, 300))
+    cnt, nb_u, nb_t = _sliding_release(ru, rt, tb_u, tb_t, lookback)
+    ecnt, enb_u, enb_t = _brute_sliding(ru, rt, tb_u, tb_t, lookback)
+    assert cnt.tolist() == ecnt.tolist()
+    # buffers are per-user sets; compare as sorted pairs
+    assert sorted(zip(nb_u, nb_t)) == sorted(zip(enb_u, enb_t))
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_asof_release_matches_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    ru, rt, ri = _random_release(rng)
+    is_p = rng.random(len(ru)) < 0.3
+    n_su = int(rng.integers(0, 5))
+    su_u = np.unique(rng.integers(0, 6, n_su).astype("int64"))
+    su_u = su_u[np.isin(su_u, np.unique(ru))]
+    su_t = rng.integers(0, 1000, len(su_u)).astype("int64")
+    su_id = rng.integers(1000, 2000, len(su_u)).astype("int64")
+    lp_t, lp_id, vis, nu, nt, nid = _asof_release(
+        ru, rt, ri, is_p, su_u, su_t, su_id
+    )
+    elp_t, elp_id, evis, enu, ent, enid = _brute_asof(
+        ru, rt, ri, is_p, su_u, su_t, su_id
+    )
+    assert vis.tolist() == evis.tolist()
+    # lp_t/lp_id are meaningful ONLY where vis (the shard fn masks the
+    # rest to NULL before emitting)
+    assert lp_t[vis].tolist() == elp_t[evis].tolist()
+    assert lp_id[vis].tolist() == elp_id[evis].tolist()
+    assert list(zip(nu, nt, nid)) == list(zip(enu, ent, enid))
+
+
+def test_sliding_release_overflow_splits_users():
+    """Two users whose combined time range overflows rank x span: the
+    helper must split per user and still return exact counts (each
+    user's own range is tiny)."""
+    far = 2**61
+    ru = np.array([1, 1, 2, 2], "int64")
+    rt = np.array([0, 50, far, far + 50], "int64")
+    tb = np.empty(0, "int64")
+    cnt, nb_u, nb_t = _sliding_release(ru, rt, tb, tb, 100)
+    assert cnt.tolist() == [1, 2, 1, 2]
+    assert sorted(zip(nb_u, nb_t)) == [
+        (1, 0), (1, 50), (2, far), (2, far + 50)
+    ]
+
+
+def test_asof_release_overflow_splits_users():
+    far = 2**61
+    ru = np.array([1, 1, 2, 2], "int64")
+    rt = np.array([0, 50, far, far + 50], "int64")
+    ri = np.array([10, 11, 20, 21], "int64")
+    is_p = np.array([True, False, True, False])
+    e = np.empty(0, "int64")
+    lp_t, lp_id, vis, nu, nt, nid = _asof_release(ru, rt, ri, is_p, e, e, e)
+    assert vis.tolist() == [False, True, False, True]
+    assert lp_id[vis].tolist() == [10, 20]
+    assert list(zip(nu, nt, nid)) == [(1, 0, 10), (2, far, 20)]
+
+
+def test_single_user_pathological_span_raises():
+    ru = np.array([1, 1], "int64")
+    rt = np.array([0, 2**62], "int64")
+    tb = np.empty(0, "int64")
+    with pytest.raises(OverflowError):
+        _sliding_release(ru, rt, tb, tb, 10)
