@@ -726,6 +726,55 @@ def test_ordered_asof_checkpoint_recovery(spark, tmpdir):
     ]
 
 
+def test_ordered_sliding_checkpoint_recovery(spark, tmpdir):
+    """§5.2-5 for the reorder-buffer sliding count: BOTH state pieces —
+    the per-user lookback window buffer and the pending reorder buffer —
+    survive a restart from checkpoint. The pre-crash released event (t0)
+    must still be IN the restored window buffer so the post-crash release
+    of t5 counts it; rows buffered before the crash release after it
+    without re-emitting the pre-crash output."""
+    base = ts("2024-01-01T00:00:00")
+    data_dir = tmpdir + "/data"
+    ckpt = tmpdir + "/ckpt"
+    m = lambda mins: base + dt.timedelta(minutes=mins)
+    schema = "user_id long, event_id long, ts timestamp"
+    lookback = 10 * 60 * 1_000_000
+    stage_explicit_chunks(
+        spark,
+        [[(1, 10, m(0)), (1, 11, m(5))], [(1, 12, m(12))]],
+        schema,
+        data_dir,
+    )
+    out = stateful.ordered_sliding_count_stream(
+        replay_stream(spark, data_dir, schema), lookback, disorder="10 minutes"
+    )
+    run1 = [
+        r
+        for b in runner.run_collect_batches(out, "append", checkpoint=ckpt)
+        for r in b
+    ]
+    assert [(r.event_id, r.cnt) for r in run1] == [(10, 1)]
+
+    # the query dies; later data advances the watermark enough to release
+    # the buffered t5/t12 rows — t5's count must include the RESTORED t0
+    # window-buffer entry, and event 10 must not re-emit
+    stage_explicit_chunks(
+        spark,
+        [[(1, 13, m(40))], [(1, 14, m(60))]],
+        schema,
+        data_dir + "/chunk=99999-extra",
+    )
+    out2 = stateful.ordered_sliding_count_stream(
+        replay_stream(spark, data_dir, schema), lookback, disorder="10 minutes"
+    )
+    run2 = [
+        r
+        for b in runner.run_collect_batches(out2, "append", checkpoint=ckpt)
+        for r in b
+    ]
+    assert [(r.event_id, r.cnt) for r in run2] == [(11, 2), (12, 2), (13, 1)]
+
+
 def test_streaming_neardup_merges_across_batches(spark, tmpdir):
     """s15: a batch-2 document whose MinHash bucket collides with a
     batch-1 document merges into the SAME group (keep_id = first arrival
