@@ -247,7 +247,8 @@ def _s06(spark: SparkSession, sf: str) -> DataFrame:
     )
     counted = stateful.sliding_count_stream(stream, SLIDE_LOOKBACK_MICROS)
     name = _fresh_name("s06_out")
-    runner.run_to_memory(counted, name, "append", state_partitions=STATE_SHARDS)
+    runner.run_to_memory(counted, name, "append", state_partitions=STATE_SHARDS,
+                         shard_count=stateful.REORDER_SHARDS)
     return spark.table(name)
 
 
@@ -404,7 +405,8 @@ def _s09(spark: SparkSession, sf: str) -> DataFrame:
         stream.select("event_id", "user_id", "ts", "event_type")
     )
     name = _fresh_name("s09_out")
-    runner.run_to_memory(enriched, name, "append", state_partitions=STATE_SHARDS)
+    runner.run_to_memory(enriched, name, "append", state_partitions=STATE_SHARDS,
+                         shard_count=stateful.REORDER_SHARDS)
     return spark.table(name)
 
 
@@ -596,7 +598,8 @@ def _s12(spark: SparkSession, sf: str) -> DataFrame:
     )
     enriched = ordered_asof_join_stream(stream, disorder="13 hours")
     name = _fresh_name("s12_out")
-    runner.run_to_memory(enriched, name, "append", state_partitions=STATE_SHARDS)
+    runner.run_to_memory(enriched, name, "append", state_partitions=STATE_SHARDS,
+                         shard_count=stateful.REORDER_SHARDS)
     return spark.table(name)
 
 
@@ -947,7 +950,8 @@ def _s20(spark: SparkSession, sf: str) -> DataFrame:
         stream, SLIDE_LOOKBACK_MICROS, disorder="13 hours"
     )
     name = _fresh_name("s20_out")
-    runner.run_to_memory(counted, name, "append", state_partitions=STATE_SHARDS)
+    runner.run_to_memory(counted, name, "append", state_partitions=STATE_SHARDS,
+                         shard_count=stateful.REORDER_SHARDS)
     return spark.table(name)
 
 

@@ -217,12 +217,27 @@ def stage_explicit_chunks(
     return staging_dir
 
 
-def replay_stream(spark: SparkSession, staging_dir: str, schema) -> DataFrame:
+def replay_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    schema,
+    files_per_trigger: int = 1,
+) -> DataFrame:
     """Open a staged replay directory as a streaming DataFrame, one staged
-    chunk (= one data file) per micro-batch."""
+    chunk (= one data file) per micro-batch by default.
+
+    `files_per_trigger` coalesces consecutive staged chunks into one
+    micro-batch (the chunk-coalescing knob, VERDICT r11 item 2). Replay
+    ORDER across triggers is unchanged — the file source still orders by
+    modification time — only the batch-boundary placement moves, so it is
+    safe exactly for order-insensitive operators (joins, commutative
+    aggregations) whose result does not depend on which rows share a
+    micro-batch. Order-SENSITIVE keyed-state operators (running counts,
+    as-of buffers) and late-data tests that plant a row in a specific
+    chunk must keep the default of 1."""
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .option("recursiveFileLookup", "true")
         .parquet(staging_dir)
     )
@@ -252,6 +267,7 @@ def shared_replay_table(
     chunks: int = 4,
     order_by: str = "ts",
     columns: tuple[str, ...] | None = None,
+    files_per_trigger: int = 1,
 ) -> DataFrame:
     """`replay_table`, but the staged chunks are cached per
     (sf_dir, table, chunks, order_by) for the life of the process.
@@ -278,4 +294,4 @@ def shared_replay_table(
         path = run_staging_dir("replay")
         stage_replay_chunks(df, path, chunks, order_by)
         _SHARED_STAGED[key] = path
-    return replay_stream(spark, path, df.schema)
+    return replay_stream(spark, path, df.schema, files_per_trigger=files_per_trigger)

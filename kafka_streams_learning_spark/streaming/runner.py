@@ -81,15 +81,28 @@ def run_to_memory(
     output_mode: str = "update",
     checkpoint: str | None = None,
     state_partitions: int | None = None,
+    shard_count: int | None = None,
 ) -> None:
     """Run a streaming DataFrame to completion into an in-memory table
-    named `name`; query it afterwards with spark.sql/spark.table."""
+    named `name`; query it afterwards with spark.sql/spark.table.
+
+    `shard_count`: pass the `n_shards` of any shard-keyed stateful
+    operator in `df`'s plan — it is pinned next to the checkpoint via
+    `stateful.pin_shard_count`, so a restart with a different shard
+    count fails fast instead of silently orphaning state."""
     _ensure_state_parallelism(df.sparkSession, state_partitions)
+    ckpt = checkpoint or _checkpoint()
+    if shard_count is not None:
+        from kafka_streams_learning_spark.streaming.stateful import (
+            pin_shard_count,
+        )
+
+        pin_shard_count(ckpt, shard_count)
     q = (
         df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", checkpoint or _checkpoint())
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.processAllAvailable()

@@ -14,6 +14,26 @@ Implementation: `applyInPandasWithState` (stable since Spark 3.4).
 Spark 4's `transformWithStateInPandas` is the successor API; it requires
 the protobuf package at the Python worker, which this container lacks, so
 `fraud_alert_stream_tws` is provided but gated behind an import check.
+
+Operational contracts (apply to every shard-keyed operator below —
+`sliding_count_stream`, `asof_join_stream`, `ordered_sliding_count_stream`,
+`ordered_asof_join_stream`):
+
+- **Shard count is part of the checkpoint format.** The state key is
+  `hash(user_id) % n_shards`; restarting an existing checkpoint with a
+  different `n_shards` re-hashes users onto other shards and silently
+  orphans their state. Use `pin_shard_count(checkpoint_dir, n_shards)`
+  (called automatically by `runner.run_to_memory(shard_count=...)`) to
+  persist the count next to the checkpoint and fail fast on mismatch.
+- **Checkpoint format break (r11).** The r11 shard re-keying changed the
+  grouping key (user_id → _shard) and both state schemas; checkpoints
+  written by the earlier per-user-keyed implementations cannot restart on
+  this code — restarts need fresh checkpoints. (One-time migration;
+  catalog/bench runs always create fresh checkpoints.)
+- **Negative `event_id` is reserved.** Rows with `event_id < 0` are
+  replay flush sentinels (watermark carriers) and are DROPPED by every
+  operator in this module before processing — a caller with legitimate
+  negative ids must remap them first.
 """
 
 from __future__ import annotations
@@ -129,6 +149,48 @@ def fraud_alert_stream(
 # acceptable here because every catalog run creates a fresh checkpoint.)
 REORDER_SHARDS = 32
 
+
+def pin_shard_count(checkpoint_dir: str, n_shards: int) -> None:
+    """Persist the reorder-shard count alongside a checkpoint and fail
+    fast on mismatch (ADVICE r11): `n_shards` is part of the checkpoint
+    FORMAT for the shard-keyed operators — the state key is
+    `hash(user_id) % n_shards`, so restarting an existing checkpoint with
+    a different count silently re-hashes users onto other shards and
+    orphans their state, producing wrong counts/matches with no error.
+
+    Writes `ksl-shard-count.json` into `checkpoint_dir` on first use and
+    raises ValueError if a later start supplies a different count — the
+    same pin-at-first-checkpoint discipline Spark applies to
+    `spark.sql.shuffle.partitions` for stateful queries. A checkpoint
+    that already has offsets but no marker predates the pin: the count
+    cannot be verified, so a warning is logged and the marker is written
+    with the supplied value."""
+    import json
+    import logging
+    import os
+
+    marker = os.path.join(checkpoint_dir, "ksl-shard-count.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            pinned = json.load(fh)["n_shards"]
+        if pinned != n_shards:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} was written with "
+                f"n_shards={pinned}; restarting with n_shards={n_shards} "
+                "would orphan existing shard state — use the pinned count "
+                "or start a fresh checkpoint"
+            )
+        return
+    if os.path.isdir(os.path.join(checkpoint_dir, "offsets")):
+        logging.getLogger(__name__).warning(
+            "checkpoint %s predates the shard-count pin; assuming "
+            "n_shards=%d and writing the marker", checkpoint_dir, n_shards,
+        )
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump({"n_shards": n_shards}, fh)
+
+
 SLIDING_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, cnt long"
 
 
@@ -158,6 +220,10 @@ def sliding_count_stream(
     only the per-user lookback windows are carried. Negative event_ids
     are reserved for replay flush sentinels and are dropped (the replay
     source contract, shared with the reorder variants).
+
+    RESTART INVARIANT: `n_shards` is part of the checkpoint format — it
+    must not change across restarts of one checkpoint (see module
+    docstring / `pin_shard_count`).
 
     Input columns: (user_id, event_id, ts)."""
     from pyspark.sql import functions as F
@@ -210,6 +276,10 @@ def asof_join_stream(
     in its arrival batch, no watermark, no pending buffer. Negative
     event_ids are reserved for replay flush sentinels and are dropped
     (the replay source contract, shared with the reorder variants).
+
+    RESTART INVARIANT: `n_shards` is part of the checkpoint format — it
+    must not change across restarts of one checkpoint (see module
+    docstring / `pin_shard_count`).
 
     Input columns: (event_id, user_id, ts, event_type)."""
     from pyspark.sql import functions as F
@@ -460,6 +530,10 @@ def ordered_sliding_count_stream(
     s20 drives this operator end-to-end on a ±6 h hash-jittered replay
     of the events fixture against q05's batch oracle.
 
+    RESTART INVARIANT: `n_shards` is part of the checkpoint format — it
+    must not change across restarts of one checkpoint (see module
+    docstring / `pin_shard_count`).
+
     Input columns: (user_id, event_id, ts)."""
     from pyspark.sql import functions as F
 
@@ -663,6 +737,10 @@ def ordered_asof_join_stream(
     keyed by `hash(user_id) % n_shards`, per-user as-of matching runs as
     one segmented binary search across the shard, and the carried state
     is one (latest purchase ts, id) pair per user that has purchased.
+
+    RESTART INVARIANT: `n_shards` is part of the checkpoint format — it
+    must not change across restarts of one checkpoint (see module
+    docstring / `pin_shard_count`).
 
     Input columns: (event_id, user_id, ts, event_type)."""
     from pyspark.sql import functions as F

@@ -1140,3 +1140,24 @@ def test_fraud_alert_auto_dispatch_picks_tws_when_protobuf_present(
         monkeypatch.setattr(stateful, "fraud_alert_stream_tws", tws_marker)
         with pytest.raises(RuntimeError, match="tws-arm-reached"):
             stateful.fraud_alert_stream(stream, "key", 500.0)
+
+
+def test_pin_shard_count_fails_fast_on_mismatch(tmpdir):
+    """`pin_shard_count` (ADVICE r11): the shard count is part of the
+    checkpoint format for the shard-keyed stateful operators — the pin
+    writes a marker on first use, accepts a matching restart, and
+    refuses a mismatched one instead of silently orphaning state."""
+    import os
+
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+    stateful.pin_shard_count(ckpt, 32)
+    stateful.pin_shard_count(ckpt, 32)  # same count restarts fine
+    with pytest.raises(ValueError, match="n_shards=32"):
+        stateful.pin_shard_count(ckpt, 16)
+    # a pre-pin checkpoint (offsets exist, no marker) is adopted with a
+    # warning, then pinned
+    legacy = os.path.join(str(tmpdir), "legacy")
+    os.makedirs(os.path.join(legacy, "offsets"))
+    stateful.pin_shard_count(legacy, 8)
+    with pytest.raises(ValueError, match="n_shards=8"):
+        stateful.pin_shard_count(legacy, 32)

@@ -46,10 +46,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from kafka_streams_learning_spark import get_spark
 from kafka_streams_learning_spark.catalog import all_queries
 
-# r10's measured clean-host warm canary (BENCH_NOTES "fingerprint probe
-# back to 0.63 s warm"); a window whose canary exceeds 2x this is
-# classified throttled.
-CANARY_CLEAN_REF_S = 0.63
+# Canary references (VERDICT r11 "what's wrong b"): the canary is
+# measured WARM (one untimed priming run, then median of 3), so on a
+# clean host it reads ~0.15-0.17 s — the r11 paired runs recorded
+# 0.148-0.173. The old single "clean ref" of 0.63 s was the COLD
+# first-touch fingerprint (BENCH_NOTES r10) and made faster-than-ref
+# canaries look mislabeled. Both are recorded; the HOT classification
+# boundary is unchanged (2x the cold ref = 1.26 s) so round-over-round
+# host_clean verdicts stay comparable.
+CANARY_WARM_CLEAN_S = 0.17  # measured warm median, clean host (r11)
+CANARY_COLD_CLEAN_S = 0.63  # first-touch cold fingerprint (r10)
+CANARY_CLEAN_REF_S = CANARY_COLD_CLEAN_S  # back-compat alias
 CANARY_HOT_FACTOR = 2.0
 PAIR_STABLE_FACTOR = 1.5  # |A-B| band inside one clean window
 CANARY_ROW = "x03_fingerprint"
@@ -168,9 +175,17 @@ def main() -> int:
     out = {
         "protocol": "canary / pass A / canary / pass B / canary",
         "canary_row": CANARY_ROW,
-        "canary_clean_ref_s": CANARY_CLEAN_REF_S,
+        # canaries are WARM measurements — compare against warm_clean;
+        # the hot threshold stays pinned to 2x the cold ref for
+        # round-over-round comparability (see constants at top)
+        "canary_warm_clean_s": CANARY_WARM_CLEAN_S,
+        "canary_cold_clean_s": CANARY_COLD_CLEAN_S,
+        "canary_hot_threshold_s": round(
+            CANARY_COLD_CLEAN_S * CANARY_HOT_FACTOR, 3
+        ),
         "canaries": canaries,
         "host_clean": host_clean,
+        "generated_unix": int(time.time()),
         "setup_seconds": setup_seconds,
         "total_a": round(sum(run_a.values()), 3),
         "total_b": round(sum(run_b.values()), 3),

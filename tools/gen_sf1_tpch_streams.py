@@ -101,11 +101,17 @@ def gen_lineitem(rng: np.random.Generator) -> pa.Table:
 def main() -> int:
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1tpch"
     os.makedirs(out, exist_ok=True)
-    rng = np.random.default_rng(SEED)
-    for name, gen, n in (
+    # one INDEPENDENT generator per table (seed sequence [SEED, idx]):
+    # reuse is decided per table, so threading a single rng sequentially
+    # through both generators would make a partial regen (orders reused,
+    # lineitem rebuilt) consume the stream from position 0 and diverge
+    # from a full fresh generation — per-table seeding keeps any subset
+    # regeneration byte-identical to the canonical data (ADVICE r11)
+    for idx, (name, gen, n) in enumerate((
         ("orders", gen_orders, N_ORDERS),
         ("lineitem", gen_lineitem, N_ITEMS),
-    ):
+    )):
+        rng = np.random.default_rng([SEED, idx])
         dst = os.path.join(out, f"{name}.parquet")
         reuse = False
         if os.path.exists(dst):
