@@ -118,6 +118,21 @@ WHERE running_cnt > {ALERT_AFTER}
 # sides replayed as event-time-ordered streams; watermarked join state is
 # purged as the streams advance.
 
+# Chunk coalescing for the interval joins (VERDICT r11 item 2): the
+# r12 trigger-count probe (tools/interval_probe.py, BENCH_NOTES) showed
+# s04+s23 at fpt=1 cost 20.97 s vs 15.18 s with all staged chunks in one
+# data micro-batch — a 28% cut that is pure per-micro-batch machinery
+# (trigger scheduling + one RocksDB state commit round per batch), with
+# bit-identical results (probe asserts hash parity per variant). The
+# interval joins are order-INSENSITIVE — batch-boundary placement can't
+# change an inner/outer join's emitted set as long as no row is dropped,
+# and with one data batch the watermark starts at -inf so nothing can
+# be late — which is exactly when `files_per_trigger` is safe (see
+# sources/replay.py). Order-sensitive rows (running counts, keyed-state
+# buffers, update/complete-mode emission sequences) keep fpt=1.
+# +1 covers any sentinel-bearing extra chunk file in a staging.
+COALESCED_REPLAY_FPT = REPLAY_CHUNKS + 1
+
 
 def _s04(spark: SparkSession, sf: str) -> DataFrame:
     # watermarks require TIMESTAMP (ltz); the fixture dates are NTZ — the
@@ -125,6 +140,7 @@ def _s04(spark: SparkSession, sf: str) -> DataFrame:
     orders = shared_replay_table(
         spark, sf, "orders", REPLAY_CHUNKS, order_by="o_orderdate",
         columns=("o_orderkey", "o_custkey", "o_orderdate"),
+        files_per_trigger=COALESCED_REPLAY_FPT,
     ).select(
         "o_orderkey", "o_custkey",
         F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
@@ -132,6 +148,7 @@ def _s04(spark: SparkSession, sf: str) -> DataFrame:
     items = shared_replay_table(
         spark, sf, "lineitem", REPLAY_CHUNKS, order_by="l_shipdate",
         columns=("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"),
+        files_per_trigger=COALESCED_REPLAY_FPT,
     ).select(
         "l_orderkey", "l_linenumber", "l_extendedprice",
         F.col("l_shipdate").cast("timestamp").alias("l_shipdate"),
@@ -1151,9 +1168,15 @@ def _s23(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_learning_spark.sources.replay import replay_stream
 
     o_stage, l_stage, o_schema, l_schema = _s23_staging(spark, sf)
+    # coalesced replay (see COALESCED_REPLAY_FPT): the flush sentinels
+    # ride the single data batch, the watermark advances at its end, and
+    # the engine's trailing no-data batch still flushes the NULL
+    # emissions — probe-verified hash parity with per-chunk replay
     j = windows.streaming_interval_join(
-        replay_stream(spark, o_stage, o_schema),
-        replay_stream(spark, l_stage, l_schema),
+        replay_stream(spark, o_stage, o_schema,
+                      files_per_trigger=COALESCED_REPLAY_FPT),
+        replay_stream(spark, l_stage, l_schema,
+                      files_per_trigger=COALESCED_REPLAY_FPT),
         "o_orderkey", "l_orderkey", "o_orderdate", "l_shipdate",
         bound="90 days", lower="0 days", upper="90 days", how="left_outer",
     )

@@ -34,6 +34,11 @@ Operational contracts (apply to every shard-keyed operator below —
   replay flush sentinels (watermark carriers) and are DROPPED by every
   operator in this module before processing — a caller with legitimate
   negative ids must remap them first.
+- **`_max_composite` is diagnostics-only.** It is the int64-overflow
+  threshold at which the composite-key release math falls back to the
+  exact user-split recursion; tests and the skew probe LOWER it to force
+  the split path on ordinary data and pin its parity against the
+  unsplit result. Production callers never set it.
 """
 
 from __future__ import annotations
@@ -195,7 +200,8 @@ SLIDING_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, cnt long"
 
 
 def sliding_count_stream(
-    df: DataFrame, lookback_micros: int, n_shards: int = REORDER_SHARDS
+    df: DataFrame, lookback_micros: int, n_shards: int = REORDER_SHARDS,
+    _max_composite: int = 2**62,
 ) -> DataFrame:
     """Streaming event-anchored sliding count (SURVEY §2.6 A4, §7.5ii):
     the Kafka `SlidingWindows` semantic (`CreditCardTransactions.java:
@@ -234,7 +240,8 @@ def sliding_count_stream(
         )
         .groupBy("_shard")
         .applyInPandasWithState(
-            _sliding_shard_fn(lookback_micros, release_all=True),
+            _sliding_shard_fn(lookback_micros, release_all=True,
+                              max_composite=_max_composite),
             outputStructType=SLIDING_OUTPUT_SCHEMA,
             stateStructType=_ORDERED_SLIDING_STATE_SCHEMA_SHARDED,
             outputMode="append",
@@ -254,6 +261,7 @@ def asof_join_stream(
     df: DataFrame,
     match_type: str = "purchase",
     n_shards: int = REORDER_SHARDS,
+    _max_composite: int = 2**62,
 ) -> DataFrame:
     """Streaming point-in-time (as-of) self-enrichment — the streaming
     twin of the batch as-of join (`operators/joins.asof_join`, x22): each
@@ -290,7 +298,8 @@ def asof_join_stream(
         )
         .groupBy("_shard")
         .applyInPandasWithState(
-            _asof_shard_fn(match_type, release_all=True),
+            _asof_shard_fn(match_type, release_all=True,
+                           max_composite=_max_composite),
             outputStructType=ASOF_OUTPUT_SCHEMA,
             stateStructType=_ORDERED_ASOF_STATE_SCHEMA_SHARDED,
             outputMode="append",
@@ -367,7 +376,8 @@ def _composite(u_rank, t, base: int, span: int):
     return u_rank * span + (t - base)
 
 
-def _sliding_release(ru, rt, tb_u, tb_t, lookback_micros: int):
+def _sliding_release(ru, rt, tb_u, tb_t, lookback_micros: int,
+                     max_composite: int = 2**62):
     """Pure release-step math for the sliding count: given released rows
     (`ru`, `rt`) lexsorted by (user, ts, id) and the touched users'
     carried window buffers (`tb_u`, `tb_t`) sorted by (user, ts), return
@@ -388,7 +398,7 @@ def _sliding_release(ru, rt, tb_u, tb_t, lookback_micros: int):
     lo = int(min(rt.min(), tb_t.min()) if len(tb_t) else rt.min())
     hi = int(max(rt.max(), tb_t.max()) if len(tb_t) else rt.max())
     span = hi - lo + lookback_micros + 2
-    if (len(users) + 1) * span > 2**62:
+    if (len(users) + 1) * span > max_composite:
         if len(users) == 1:
             raise OverflowError(
                 f"single-user composite span {span} overflows int64"
@@ -396,10 +406,10 @@ def _sliding_release(ru, rt, tb_u, tb_t, lookback_micros: int):
         s = int(np.searchsorted(ru, users[len(users) // 2]))
         b = int(np.searchsorted(tb_u, users[len(users) // 2]))
         cl, nul, ntl = _sliding_release(
-            ru[:s], rt[:s], tb_u[:b], tb_t[:b], lookback_micros
+            ru[:s], rt[:s], tb_u[:b], tb_t[:b], lookback_micros, max_composite
         )
         cr, nur, ntr = _sliding_release(
-            ru[s:], rt[s:], tb_u[b:], tb_t[b:], lookback_micros
+            ru[s:], rt[s:], tb_u[b:], tb_t[b:], lookback_micros, max_composite
         )
         # user ranges are disjoint and ordered, so concatenation
         # preserves the global (user, ts) sort
@@ -428,7 +438,8 @@ def _sliding_release(ru, rt, tb_u, tb_t, lookback_micros: int):
     return cnt, users[kept_c // span], kept_c % span + lo
 
 
-def _sliding_shard_fn(lookback_micros: int, release_all: bool = False):
+def _sliding_shard_fn(lookback_micros: int, release_all: bool = False,
+                      max_composite: int = 2**62):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -462,7 +473,8 @@ def _sliding_shard_fn(lookback_micros: int, release_all: bool = False):
             # split carried window buffers into touched / untouched users
             touched = np.isin(buf_u, np.unique(ru))
             cnt, nb_u, nb_t = _sliding_release(
-                ru, rt, buf_u[touched], buf_t[touched], lookback_micros
+                ru, rt, buf_u[touched], buf_t[touched], lookback_micros,
+                max_composite,
             )
             out = pd.DataFrame(
                 {
@@ -506,6 +518,7 @@ def ordered_sliding_count_stream(
     lookback_micros: int,
     disorder: str,
     n_shards: int = REORDER_SHARDS,
+    _max_composite: int = 2**62,
 ) -> DataFrame:
     """`sliding_count_stream` for OUT-OF-ORDER arrival: rows may arrive up
     to `disorder` (a time-interval string, e.g. "1 hour") later than the
@@ -544,7 +557,7 @@ def ordered_sliding_count_stream(
         .withWatermark("ts", disorder)
         .groupBy("_shard")
         .applyInPandasWithState(
-            _sliding_shard_fn(lookback_micros),
+            _sliding_shard_fn(lookback_micros, max_composite=_max_composite),
             outputStructType=SLIDING_OUTPUT_SCHEMA,
             stateStructType=_ORDERED_SLIDING_STATE_SCHEMA_SHARDED,
             outputMode="append",
@@ -560,7 +573,8 @@ _ORDERED_ASOF_STATE_SCHEMA_SHARDED = (
 )
 
 
-def _asof_release(ru, rt, ri, is_p, su_u, su_t, su_id):
+def _asof_release(ru, rt, ri, is_p, su_u, su_t, su_id,
+                  max_composite: int = 2**62):
     """Pure release-step math for the as-of enrichment: released rows
     (`ru`, `rt`, `ri`) lexsorted by (user, ts, id) with purchase mask
     `is_p`, plus the carried latest purchase per touched user (`su_*`,
@@ -585,7 +599,7 @@ def _asof_release(ru, rt, ri, is_p, su_u, su_t, su_id):
     lo = int(min(rt.min(), su_t.min())) if have_su else int(rt.min())
     hi = int(max(rt.max(), su_t.max())) if have_su else int(rt.max())
     span = hi - lo + 2
-    if (len(users) + 1) * span > 2**62:
+    if (len(users) + 1) * span > max_composite:
         if len(users) == 1:
             raise OverflowError(
                 f"single-user composite span {span} overflows int64"
@@ -593,10 +607,12 @@ def _asof_release(ru, rt, ri, is_p, su_u, su_t, su_id):
         s = int(np.searchsorted(ru, users[len(users) // 2]))
         b = int(np.searchsorted(su_u, users[len(users) // 2]))
         left = _asof_release(
-            ru[:s], rt[:s], ri[:s], is_p[:s], su_u[:b], su_t[:b], su_id[:b]
+            ru[:s], rt[:s], ri[:s], is_p[:s], su_u[:b], su_t[:b], su_id[:b],
+            max_composite,
         )
         right = _asof_release(
-            ru[s:], rt[s:], ri[s:], is_p[s:], su_u[b:], su_t[b:], su_id[b:]
+            ru[s:], rt[s:], ri[s:], is_p[s:], su_u[b:], su_t[b:], su_id[b:],
+            max_composite,
         )
         return tuple(
             np.concatenate([a, c]) for a, c in zip(left, right)
@@ -627,7 +643,8 @@ def _asof_release(ru, rt, ri, is_p, su_u, su_t, su_id):
     return p_t[safe], p_id[safe], vis, nu, nt, nid
 
 
-def _asof_shard_fn(match_type: str, release_all: bool = False):
+def _asof_shard_fn(match_type: str, release_all: bool = False,
+                   max_composite: int = 2**62):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -667,6 +684,7 @@ def _asof_shard_fn(match_type: str, release_all: bool = False):
             lp_t, lp_id, vis, nu, nt, nid = _asof_release(
                 ru, rt, ri, is_p,
                 pu_u[su_mask], pu_t[su_mask], pu_id[su_mask],
+                max_composite,
             )
             vis_s = pd.Series(vis)
             out = pd.DataFrame(
@@ -724,6 +742,7 @@ def ordered_asof_join_stream(
     disorder: str,
     match_type: str = "purchase",
     n_shards: int = REORDER_SHARDS,
+    _max_composite: int = 2**62,
 ) -> DataFrame:
     """`asof_join_stream` for OUT-OF-ORDER arrival: the watermark-driven
     reorder buffer releases rows in exact (ts, event_id) order once the
@@ -752,7 +771,7 @@ def ordered_asof_join_stream(
         .withWatermark("ts", disorder)
         .groupBy("_shard")
         .applyInPandasWithState(
-            _asof_shard_fn(match_type),
+            _asof_shard_fn(match_type, max_composite=_max_composite),
             outputStructType=ASOF_OUTPUT_SCHEMA,
             stateStructType=_ORDERED_ASOF_STATE_SCHEMA_SHARDED,
             outputMode="append",

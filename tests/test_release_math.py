@@ -150,3 +150,57 @@ def test_single_user_pathological_span_raises():
     tb = np.empty(0, "int64")
     with pytest.raises(OverflowError):
         _sliding_release(ru, rt, tb, tb, 10)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_sliding_release_split_path_parity_with_unsplit(seed):
+    """Forced-split parity (VERDICT r11 item 5): lowering the overflow
+    threshold (`max_composite`) makes ORDINARY data take the exact
+    user-split recursion — the deep-recursion path realistic fixtures
+    never reach. The split result must be bit-identical to the unsplit
+    one on the same inputs, and with a threshold this small the
+    recursion bottoms out at 2-user leaves, exercising every split
+    depth at once."""
+    rng = np.random.default_rng(1000 + seed)
+    ru, rt, _ = _random_release(rng, n_users=9, n_rows=60)
+    n_buf = int(rng.integers(0, 20))
+    tb_u = np.sort(rng.integers(0, 9, n_buf).astype("int64"))
+    tb_t = rng.integers(0, 1000, n_buf).astype("int64")
+    tb_order = np.lexsort((tb_t, tb_u))
+    tb_u, tb_t = tb_u[tb_order], tb_t[tb_order]
+    keep = np.isin(tb_u, np.unique(ru))
+    tb_u, tb_t = tb_u[keep], tb_t[keep]
+    lookback = int(rng.integers(1, 300))
+    full = _sliding_release(ru, rt, tb_u, tb_t, lookback)
+    # smallest legal threshold: a 2-user leaf needs (2+1) * span
+    span = int(rt.max() - min(rt.min(), tb_t.min() if len(tb_t) else rt.min())
+               ) + lookback + 2
+    split = _sliding_release(
+        ru, rt, tb_u, tb_t, lookback, max_composite=3 * span
+    )
+    assert split[0].tolist() == full[0].tolist()
+    assert sorted(zip(split[1], split[2])) == sorted(zip(full[1], full[2]))
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_asof_release_split_path_parity_with_unsplit(seed):
+    rng = np.random.default_rng(2000 + seed)
+    ru, rt, ri = _random_release(rng, n_users=9, n_rows=60)
+    is_p = rng.random(len(ru)) < 0.3
+    n_su = int(rng.integers(0, 6))
+    su_u = np.unique(rng.integers(0, 9, n_su).astype("int64"))
+    su_u = su_u[np.isin(su_u, np.unique(ru))]
+    su_t = rng.integers(0, 1000, len(su_u)).astype("int64")
+    su_id = rng.integers(1000, 2000, len(su_u)).astype("int64")
+    full = _asof_release(ru, rt, ri, is_p, su_u, su_t, su_id)
+    lo = int(min(rt.min(), su_t.min())) if len(su_t) else int(rt.min())
+    span = int(max(rt.max(), su_t.max() if len(su_t) else rt.max())) - lo + 2
+    split = _asof_release(
+        ru, rt, ri, is_p, su_u, su_t, su_id, max_composite=3 * span
+    )
+    f_vis, s_vis = full[2], split[2]
+    assert s_vis.tolist() == f_vis.tolist()
+    assert split[0][s_vis].tolist() == full[0][f_vis].tolist()
+    assert split[1][s_vis].tolist() == full[1][f_vis].tolist()
+    assert list(zip(split[3], split[4], split[5])) == \
+        list(zip(full[3], full[4], full[5]))
