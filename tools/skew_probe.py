@@ -71,6 +71,20 @@ def check_trap() -> dict:
     return {"check": "trap", "events_rows": counts}
 
 
+def _drop_sink_views(spark) -> None:
+    """Release memory-sink result tables between measurements. The first
+    r12 probe run kept every sink view alive across 6 streaming runs at
+    up to 10M output rows each; the accumulated on-heap sink data drove
+    the JVM to ~27 GB RES and the NEXT query's Arrow input serialization
+    into a direct-buffer allocation GC-thrash livelock (one executor
+    thread at 100% CPU in DirectByteBufferOutputStream.grow for 13+ min
+    — the same query ran in 25 s in a fresh session). Probe hygiene:
+    every measured run drops its sink before the next starts."""
+    for t in spark.catalog.listTables():
+        if t.isTemporary:
+            spark.catalog.dropTempView(t.name)
+
+
 def time_rows(spark) -> dict:
     from kafka_streams_learning_spark.catalog import all_queries
 
@@ -87,6 +101,7 @@ def time_rows(spark) -> dict:
             row_times[name] = round(time.time() - t0, 3)
             row_times[name + "_rows"] = n
             spark.catalog.clearCache()
+            _drop_sink_views(spark)
         out[sf_name] = row_times
     ratios = {
         name: round(out["skew10"][name] / max(out["skew1"][name], 1e-9), 2)
@@ -107,14 +122,13 @@ def check_split_parity(spark) -> dict:
     from kafka_streams_learning_spark.streaming import runner, stateful
 
     sample_rows = 200_000
-    base = (
-        spark.read.parquet(os.path.join(SKEW1, "events.parquet"))
-        .orderBy("event_id")
-        .limit(sample_rows)
+    # load_table expects one parquet FILE per table — slice with pyarrow
+    sample_dir = run_staging_dir("skewsample")
+    src = pq.read_table(os.path.join(SKEW1, "events.parquet"))
+    pq.write_table(
+        src.slice(0, sample_rows),
+        os.path.join(sample_dir, "events.parquet"),
     )
-    sample_path = run_staging_dir("skewsample") + "/events.parquet"
-    base.coalesce(1).write.mode("overwrite").parquet(sample_path)
-    sample_dir = os.path.dirname(sample_path)
 
     results = {}
     for op_name, build in (
@@ -144,6 +158,7 @@ def check_split_parity(spark) -> dict:
             name = f"skewprobe_{op_name}_{'split' if mc != 2**62 else 'full'}"
             runner.run_to_memory(out, name, "append", state_partitions=8)
             rows = sorted(map(tuple, spark.table(name).collect()))
+            _drop_sink_views(spark)
             outs.append(rows)
         match = outs[0] == outs[1]
         results[op_name] = {
@@ -163,8 +178,9 @@ def main() -> int:
 
     spark = get_spark("skew-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(check_split_parity(spark)), flush=True)
+    # linearity first: its timings deserve the freshest session
     print(json.dumps(time_rows(spark)), flush=True)
+    print(json.dumps(check_split_parity(spark)), flush=True)
     return 0
 
 
