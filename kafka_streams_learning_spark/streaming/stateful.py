@@ -25,11 +25,15 @@ Operational contracts (apply to every shard-keyed operator below —
   orphans their state. Use `pin_shard_count(checkpoint_dir, n_shards)`
   (called automatically by `runner.run_to_memory(shard_count=...)`) to
   persist the count next to the checkpoint and fail fast on mismatch.
-- **Checkpoint format break (r11).** The r11 shard re-keying changed the
-  grouping key (user_id → _shard) and both state schemas; checkpoints
-  written by the earlier per-user-keyed implementations cannot restart on
-  this code — restarts need fresh checkpoints. (One-time migration;
-  catalog/bench runs always create fresh checkpoints.)
+- **Checkpoint format breaks (r11, r12).** The r11 shard re-keying
+  changed the grouping key (user_id → _shard) and both state schemas;
+  r12 re-typed the shard state columns from array<long>/array<string>
+  to packed binary blobs (see the note at
+  `_ORDERED_SLIDING_STATE_SCHEMA_SHARDED`: list-typed state made the
+  JVM-side pickle decode quadratic in buffer length under key skew).
+  Checkpoints written by earlier versions cannot restart on this code —
+  restarts need fresh checkpoints. (Catalog/bench runs always create
+  fresh checkpoints.)
 - **Negative `event_id` is reserved.** Rows with `event_id < 0` are
   replay flush sentinels (watermark carriers) and are DROPPED by every
   operator in this module before processing — a caller with legitimate
@@ -336,10 +340,61 @@ def asof_join_stream(
 # why).
 
 
+# Shard state is stored as PACKED BINARY blobs, not array<long> columns
+# (r12). The state round-trip for applyInPandasWithState moves values as
+# pickle: a large list-typed column makes the JVM-side unpickle QUADRATIC
+# in list length (net.razorvine.pickle Unpickler.load_appends calls
+# ArrayList.trimToSize — a full array copy — once per ~1000-item APPENDS
+# frame; the r12 skew probe measured one executor thread burning minutes
+# of CPU there once a hot key pushed a shard's buffers into the 10^5-10^6
+# range). A binary column unpickles as ONE byte[] copy, so the packed
+# encoding keeps the state round-trip linear no matter how skewed the
+# keys are: int64 arrays pack to raw little-endian bytes
+# (np.ndarray.tobytes / np.frombuffer), string arrays to a pickled list
+# the JVM never parses. CHECKPOINT FORMAT BREAK (r12): checkpoints
+# written by the array<long>-typed r11 state cannot restart on this
+# code (see module docstring).
 _ORDERED_SLIDING_STATE_SCHEMA_SHARDED = (
-    "buf_u array<long>, buf_t array<long>, "
-    "pend_u array<long>, pend_t array<long>, pend_id array<long>"
+    "buf_u binary, buf_t binary, "
+    "pend_u binary, pend_t binary, pend_id binary"
 )
+
+
+def _pack_i64(a) -> bytes:
+    """int64 numpy array -> raw little-endian bytes (linear, no pickle
+    list framing)."""
+    import numpy as np
+
+    return np.ascontiguousarray(a, dtype="<i8").tobytes()
+
+
+def _unpack_i64(b) -> "np.ndarray":
+    """Inverse of _pack_i64. Returns a read-only view over the state
+    bytes — every downstream op here (mask-index, concatenate, lexsort)
+    allocates fresh arrays, nothing mutates in place."""
+    import numpy as np
+
+    if not b:
+        return np.empty(0, "int64")
+    return np.frombuffer(b, dtype="<i8")
+
+
+def _pack_str(a) -> bytes:
+    """object/str numpy array -> pickled list bytes. Python-side pickle
+    of a str list is linear C; the JVM stores the blob opaquely."""
+    import pickle
+
+    return pickle.dumps([str(x) for x in a], protocol=4)
+
+
+def _unpack_str(b) -> "np.ndarray":
+    import pickle
+
+    import numpy as np
+
+    if not b:
+        return np.empty(0, object)
+    return np.asarray(pickle.loads(b), dtype=object)
 
 
 def _collect_chunks(pdfs: Iterator[pd.DataFrame], cols: list[str]):
@@ -447,7 +502,7 @@ def _sliding_shard_fn(lookback_micros: int, release_all: bool = False,
 
         if state.exists:
             buf_u, buf_t, pend_u, pend_t, pend_id = (
-                np.asarray(v, dtype="int64") for v in state.get
+                _unpack_i64(v) for v in state.get
             )
         else:
             buf_u = buf_t = pend_u = pend_t = pend_id = np.empty(0, "int64")
@@ -494,11 +549,11 @@ def _sliding_shard_fn(lookback_micros: int, release_all: bool = False,
             pend_id = pend_id[~rel_mask]
         state.update(
             (
-                buf_u.tolist(),
-                buf_t.tolist(),
-                pend_u.tolist(),
-                pend_t.tolist(),
-                pend_id.tolist(),
+                _pack_i64(buf_u),
+                _pack_i64(buf_t),
+                _pack_i64(pend_u),
+                _pack_i64(pend_t),
+                _pack_i64(pend_id),
             )
         )
         if len(pend_t) and not release_all:
@@ -566,10 +621,11 @@ def ordered_sliding_count_stream(
     )
 
 
+# packed-binary like the sliding schema (see the r12 note there)
 _ORDERED_ASOF_STATE_SCHEMA_SHARDED = (
-    "pu_u array<long>, pu_t array<long>, pu_id array<long>, "
-    "pend_u array<long>, pend_t array<long>, pend_id array<long>, "
-    "pend_type array<string>"
+    "pu_u binary, pu_t binary, pu_id binary, "
+    "pend_u binary, pend_t binary, pend_id binary, "
+    "pend_type binary"
 )
 
 
@@ -652,9 +708,9 @@ def _asof_shard_fn(match_type: str, release_all: bool = False,
 
         if state.exists:
             pu_u, pu_t, pu_id, pend_u, pend_t, pend_id = (
-                np.asarray(v, dtype="int64") for v in state.get[:6]
+                _unpack_i64(v) for v in state.get[:6]
             )
-            pend_type = np.asarray(list(state.get[6]), dtype=object)
+            pend_type = _unpack_str(state.get[6])
         else:
             pu_u = pu_t = pu_id = pend_u = pend_t = pend_id = np.empty(
                 0, "int64"
@@ -717,13 +773,13 @@ def _asof_shard_fn(match_type: str, release_all: bool = False,
             pend_type = pend_type[~rel_mask]
         state.update(
             (
-                pu_u.tolist(),
-                pu_t.tolist(),
-                pu_id.tolist(),
-                pend_u.tolist(),
-                pend_t.tolist(),
-                pend_id.tolist(),
-                [str(x) for x in pend_type],
+                _pack_i64(pu_u),
+                _pack_i64(pu_t),
+                _pack_i64(pu_id),
+                _pack_i64(pend_u),
+                _pack_i64(pend_t),
+                _pack_i64(pend_id),
+                _pack_str(pend_type),
             )
         )
         if len(pend_t) and not release_all:
