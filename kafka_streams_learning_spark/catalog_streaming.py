@@ -264,8 +264,11 @@ def _s06(spark: SparkSession, sf: str) -> DataFrame:
     )
     counted = stateful.sliding_count_stream(stream, SLIDE_LOOKBACK_MICROS)
     name = _fresh_name("s06_out")
+    # arrow_batch_rows: rows are 3-4 narrow columns; big chunks keep the
+    # per-chunk state re-send bounded under hot-key skew (see runner)
     runner.run_to_memory(counted, name, "append", state_partitions=STATE_SHARDS,
-                         shard_count=stateful.REORDER_SHARDS)
+                         shard_count=stateful.REORDER_SHARDS,
+                         arrow_batch_rows=500_000)
     return spark.table(name)
 
 
@@ -422,8 +425,11 @@ def _s09(spark: SparkSession, sf: str) -> DataFrame:
         stream.select("event_id", "user_id", "ts", "event_type")
     )
     name = _fresh_name("s09_out")
+    # arrow_batch_rows: rows are 3-4 narrow columns; big chunks keep the
+    # per-chunk state re-send bounded under hot-key skew (see runner)
     runner.run_to_memory(enriched, name, "append", state_partitions=STATE_SHARDS,
-                         shard_count=stateful.REORDER_SHARDS)
+                         shard_count=stateful.REORDER_SHARDS,
+                         arrow_batch_rows=500_000)
     return spark.table(name)
 
 
@@ -615,8 +621,11 @@ def _s12(spark: SparkSession, sf: str) -> DataFrame:
     )
     enriched = ordered_asof_join_stream(stream, disorder="13 hours")
     name = _fresh_name("s12_out")
+    # arrow_batch_rows: rows are 3-4 narrow columns; big chunks keep the
+    # per-chunk state re-send bounded under hot-key skew (see runner)
     runner.run_to_memory(enriched, name, "append", state_partitions=STATE_SHARDS,
-                         shard_count=stateful.REORDER_SHARDS)
+                         shard_count=stateful.REORDER_SHARDS,
+                         arrow_batch_rows=500_000)
     return spark.table(name)
 
 
@@ -967,8 +976,11 @@ def _s20(spark: SparkSession, sf: str) -> DataFrame:
         stream, SLIDE_LOOKBACK_MICROS, disorder="13 hours"
     )
     name = _fresh_name("s20_out")
+    # arrow_batch_rows: rows are 3-4 narrow columns; big chunks keep the
+    # per-chunk state re-send bounded under hot-key skew (see runner)
     runner.run_to_memory(counted, name, "append", state_partitions=STATE_SHARDS,
-                         shard_count=stateful.REORDER_SHARDS)
+                         shard_count=stateful.REORDER_SHARDS,
+                         arrow_batch_rows=500_000)
     return spark.table(name)
 
 

@@ -19,6 +19,19 @@ from pyspark.sql import SparkSession
 # - Arrow enabled: every Pandas-UDF boundary is Arrow-batched.
 _BASE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # Arrow chunk size for Python-boundary transfers (default 10k).
+    # applyInPandasWithState re-serializes a group's FULL state value
+    # into every chunk's state-info row (ApplyInPandasWithStateWriter.
+    # buildStateInfoRow pickles GroupState.getOption per
+    # finalizeCurrentChunk), so per-batch input volume is
+    # O(rows + state_size * rows/chunk) — under hot-key skew, where one
+    # shard's reorder buffers reach 10^5-10^6 entries, the 10k default
+    # made that re-send term dominate (r12 skew probe: executor thread
+    # pinned in DirectByteBufferOutputStream.grow feeding one group).
+    # 100k cuts the multiplier 10x; at ~50 B/row it is still only ~5 MB
+    # of Arrow batch per chunk, safe for every mapInPandas/pandas_udf
+    # path (all kernels here are batch-size-invariant).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "100000",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -82,6 +82,7 @@ def run_to_memory(
     checkpoint: str | None = None,
     state_partitions: int | None = None,
     shard_count: int | None = None,
+    arrow_batch_rows: int | None = None,
 ) -> None:
     """Run a streaming DataFrame to completion into an in-memory table
     named `name`; query it afterwards with spark.sql/spark.table.
@@ -89,8 +90,20 @@ def run_to_memory(
     `shard_count`: pass the `n_shards` of any shard-keyed stateful
     operator in `df`'s plan — it is pinned next to the checkpoint via
     `stateful.pin_shard_count`, so a restart with a different shard
-    count fails fast instead of silently orphaning state."""
-    _ensure_state_parallelism(df.sparkSession, state_partitions)
+    count fails fast instead of silently orphaning state.
+
+    `arrow_batch_rows`: per-query override of
+    `spark.sql.execution.arrow.maxRecordsPerBatch` (restored after the
+    run). applyInPandasWithState re-serializes a group's FULL state into
+    every input chunk's state-info row, so a query whose keyed state is
+    large (reorder buffers under a hot key) must keep chunks-per-group
+    LOW: per-batch input bytes ≈ data + state_size * ceil(group_rows /
+    this value), and Spark's single-buffer input writer degrades
+    catastrophically past ~1 GiB (DirectByteBufferOutputStream's
+    doubling overflows Int there and falls back to copy-per-write).
+    Narrow rows (a few int64s) tolerate large values cheaply."""
+    spark = df.sparkSession
+    _ensure_state_parallelism(spark, state_partitions)
     ckpt = checkpoint or _checkpoint()
     if shard_count is not None:
         from kafka_streams_learning_spark.streaming.stateful import (
@@ -98,16 +111,24 @@ def run_to_memory(
         )
 
         pin_shard_count(ckpt, shard_count)
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior_arrow = spark.conf.get(arrow_key, None)
+    if arrow_batch_rows is not None:
+        spark.conf.set(arrow_key, str(arrow_batch_rows))
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        if arrow_batch_rows is not None and prior_arrow is not None:
+            spark.conf.set(arrow_key, prior_arrow)
 
 
 def run_collect_batches(

@@ -380,11 +380,28 @@ def _unpack_i64(b) -> "np.ndarray":
 
 
 def _pack_str(a) -> bytes:
-    """object/str numpy array -> pickled list bytes. Python-side pickle
-    of a str list is linear C; the JVM stores the blob opaquely."""
+    """object/str numpy array -> dictionary-encoded blob. Event-type
+    columns have tiny vocabularies, so (vocab, uint16 codes) is ~8x
+    smaller than a pickled string list — and state SIZE matters more
+    than usual here: applyInPandasWithState re-serializes the full
+    state value into every input chunk's state-info row, so each state
+    byte is re-sent rows/chunk times per micro-batch. Falls back to a
+    raw pickled list when a shard's pending vocabulary exceeds uint16
+    (tag "r"). The JVM stores the blob opaquely either way."""
     import pickle
 
-    return pickle.dumps([str(x) for x in a], protocol=4)
+    import numpy as np
+    import pandas as pd
+
+    if not len(a):
+        return b""
+    codes, vocab = pd.factorize(np.asarray(a, dtype=object))
+    if len(vocab) < 65535:
+        return pickle.dumps(
+            ("d", [str(x) for x in vocab], codes.astype("<u2").tobytes()),
+            protocol=4,
+        )
+    return pickle.dumps(("r", [str(x) for x in a]), protocol=4)
 
 
 def _unpack_str(b) -> "np.ndarray":
@@ -394,7 +411,11 @@ def _unpack_str(b) -> "np.ndarray":
 
     if not b:
         return np.empty(0, object)
-    return np.asarray(pickle.loads(b), dtype=object)
+    obj = pickle.loads(b)
+    if obj[0] == "r":
+        return np.asarray(obj[1], dtype=object)
+    _tag, vocab, codes = obj
+    return np.asarray(vocab, dtype=object)[np.frombuffer(codes, "<u2")]
 
 
 def _collect_chunks(pdfs: Iterator[pd.DataFrame], cols: list[str]):

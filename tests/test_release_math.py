@@ -204,3 +204,27 @@ def test_asof_release_split_path_parity_with_unsplit(seed):
     assert split[1][s_vis].tolist() == full[1][f_vis].tolist()
     assert list(zip(split[3], split[4], split[5])) == \
         list(zip(full[3], full[4], full[5]))
+
+
+def test_state_string_codec_roundtrip():
+    """Dictionary-encoded string state blobs (r12): roundtrip through
+    _pack_str/_unpack_str must be identity for empty, small-vocab (the
+    dict path) and huge-vocab (the raw fallback) arrays — state bytes
+    feed the release math, so a codec bug is a correctness bug."""
+    from kafka_streams_learning_spark.streaming.stateful import (
+        _pack_str,
+        _unpack_str,
+    )
+
+    empty = np.empty(0, object)
+    assert _unpack_str(_pack_str(empty)).tolist() == []
+    small = np.asarray(["view", "purchase", "view", "click"] * 1000, object)
+    out = _unpack_str(_pack_str(small))
+    assert out.tolist() == small.tolist()
+    # >= 65535 distinct values forces the raw-list fallback (tag "r")
+    big = np.asarray([f"t{i}" for i in range(70000)], object)
+    blob = _pack_str(big)
+    import pickle
+
+    assert pickle.loads(blob)[0] == "r"
+    assert _unpack_str(blob).tolist() == big.tolist()
