@@ -206,6 +206,7 @@ SLIDING_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, cnt long"
 def sliding_count_stream(
     df: DataFrame, lookback_micros: int, n_shards: int = REORDER_SHARDS,
     _max_composite: int = 2**62,
+    _max_state_bytes: int | None = None,
 ) -> DataFrame:
     """Streaming event-anchored sliding count (SURVEY §2.6 A4, §7.5ii):
     the Kafka `SlidingWindows` semantic (`CreditCardTransactions.java:
@@ -245,7 +246,9 @@ def sliding_count_stream(
         .groupBy("_shard")
         .applyInPandasWithState(
             _sliding_shard_fn(lookback_micros, release_all=True,
-                              max_composite=_max_composite),
+                              max_composite=_max_composite,
+                              max_state_bytes=_max_state_bytes
+                              or MAX_STATE_BYTES_PER_SHARD),
             outputStructType=SLIDING_OUTPUT_SCHEMA,
             stateStructType=_ORDERED_SLIDING_STATE_SCHEMA_SHARDED,
             outputMode="append",
@@ -266,6 +269,7 @@ def asof_join_stream(
     match_type: str = "purchase",
     n_shards: int = REORDER_SHARDS,
     _max_composite: int = 2**62,
+    _max_state_bytes: int | None = None,
 ) -> DataFrame:
     """Streaming point-in-time (as-of) self-enrichment — the streaming
     twin of the batch as-of join (`operators/joins.asof_join`, x22): each
@@ -303,7 +307,9 @@ def asof_join_stream(
         .groupBy("_shard")
         .applyInPandasWithState(
             _asof_shard_fn(match_type, release_all=True,
-                           max_composite=_max_composite),
+                           max_composite=_max_composite,
+                           max_state_bytes=_max_state_bytes
+                           or MAX_STATE_BYTES_PER_SHARD),
             outputStructType=ASOF_OUTPUT_SCHEMA,
             stateStructType=_ORDERED_ASOF_STATE_SCHEMA_SHARDED,
             outputMode="append",
@@ -418,6 +424,32 @@ def _unpack_str(b) -> "np.ndarray":
     return np.asarray(vocab, dtype=object)[np.frombuffer(codes, "<u2")]
 
 
+# Hard budget on one shard's packed state (512 MiB). Spark's
+# applyInPandasWithState transport re-serializes a group's FULL state
+# into every input Arrow chunk's state-info row, and its single-buffer
+# input writer degrades to copy-per-write past ~1 GiB of buffered input
+# (DirectByteBufferOutputStream's doubling overflows Int32) — in
+# practice an unbounded livelock, not an error. A shard whose packed
+# state crosses this budget is therefore guaranteed to be heading for
+# that cliff on its next big batch; failing LOUDLY with sizing guidance
+# beats hanging a cluster. The r12 skew probe hit exactly this with a
+# 50%-hot-key decade before the budget existed (BENCH_NOTES r12).
+MAX_STATE_BYTES_PER_SHARD = 512 << 20
+
+
+def _check_state_budget(blobs, max_state_bytes: int) -> None:
+    total = sum(len(b) for b in blobs)
+    if total > max_state_bytes:
+        raise RuntimeError(
+            f"shard state is {total >> 20} MiB packed, over the "
+            f"{max_state_bytes >> 20} MiB per-shard budget: Spark's "
+            "state transport re-sends the full state per input chunk "
+            "and livelocks past ~1 GiB of buffered input. Reduce rows "
+            "per micro-batch (trigger cadence), raise n_shards, or "
+            "raise arrow_batch_rows so chunks-per-group stays small."
+        )
+
+
 def _collect_chunks(pdfs: Iterator[pd.DataFrame], cols: list[str]):
     """Gather a shard-group's micro-batch chunks into per-column numpy
     arrays, dropping flush sentinels (event_id < 0 — watermark carriers
@@ -515,7 +547,8 @@ def _sliding_release(ru, rt, tb_u, tb_t, lookback_micros: int,
 
 
 def _sliding_shard_fn(lookback_micros: int, release_all: bool = False,
-                      max_composite: int = 2**62):
+                      max_composite: int = 2**62,
+                      max_state_bytes: int = MAX_STATE_BYTES_PER_SHARD):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -568,15 +601,15 @@ def _sliding_shard_fn(lookback_micros: int, release_all: bool = False,
             pend_u = pend_u[~rel_mask]
             pend_t = pend_t[~rel_mask]
             pend_id = pend_id[~rel_mask]
-        state.update(
-            (
-                _pack_i64(buf_u),
-                _pack_i64(buf_t),
-                _pack_i64(pend_u),
-                _pack_i64(pend_t),
-                _pack_i64(pend_id),
-            )
+        blobs = (
+            _pack_i64(buf_u),
+            _pack_i64(buf_t),
+            _pack_i64(pend_u),
+            _pack_i64(pend_t),
+            _pack_i64(pend_id),
         )
+        _check_state_budget(blobs, max_state_bytes)
+        state.update(blobs)
         if len(pend_t) and not release_all:
             # wake this shard only once the watermark passes its oldest
             # pending row — not on every watermark tick
@@ -595,6 +628,7 @@ def ordered_sliding_count_stream(
     disorder: str,
     n_shards: int = REORDER_SHARDS,
     _max_composite: int = 2**62,
+    _max_state_bytes: int | None = None,
 ) -> DataFrame:
     """`sliding_count_stream` for OUT-OF-ORDER arrival: rows may arrive up
     to `disorder` (a time-interval string, e.g. "1 hour") later than the
@@ -633,7 +667,9 @@ def ordered_sliding_count_stream(
         .withWatermark("ts", disorder)
         .groupBy("_shard")
         .applyInPandasWithState(
-            _sliding_shard_fn(lookback_micros, max_composite=_max_composite),
+            _sliding_shard_fn(lookback_micros, max_composite=_max_composite,
+                              max_state_bytes=_max_state_bytes
+                              or MAX_STATE_BYTES_PER_SHARD),
             outputStructType=SLIDING_OUTPUT_SCHEMA,
             stateStructType=_ORDERED_SLIDING_STATE_SCHEMA_SHARDED,
             outputMode="append",
@@ -721,7 +757,8 @@ def _asof_release(ru, rt, ri, is_p, su_u, su_t, su_id,
 
 
 def _asof_shard_fn(match_type: str, release_all: bool = False,
-                   max_composite: int = 2**62):
+                   max_composite: int = 2**62,
+                   max_state_bytes: int = MAX_STATE_BYTES_PER_SHARD):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -792,17 +829,17 @@ def _asof_shard_fn(match_type: str, release_all: bool = False,
             pend_t = pend_t[~rel_mask]
             pend_id = pend_id[~rel_mask]
             pend_type = pend_type[~rel_mask]
-        state.update(
-            (
-                _pack_i64(pu_u),
-                _pack_i64(pu_t),
-                _pack_i64(pu_id),
-                _pack_i64(pend_u),
-                _pack_i64(pend_t),
-                _pack_i64(pend_id),
-                _pack_str(pend_type),
-            )
+        blobs = (
+            _pack_i64(pu_u),
+            _pack_i64(pu_t),
+            _pack_i64(pu_id),
+            _pack_i64(pend_u),
+            _pack_i64(pend_t),
+            _pack_i64(pend_id),
+            _pack_str(pend_type),
         )
+        _check_state_budget(blobs, max_state_bytes)
+        state.update(blobs)
         if len(pend_t) and not release_all:
             # wake only when the oldest pending row becomes releasable
             state.setTimeoutTimestamp(
@@ -820,6 +857,7 @@ def ordered_asof_join_stream(
     match_type: str = "purchase",
     n_shards: int = REORDER_SHARDS,
     _max_composite: int = 2**62,
+    _max_state_bytes: int | None = None,
 ) -> DataFrame:
     """`asof_join_stream` for OUT-OF-ORDER arrival: the watermark-driven
     reorder buffer releases rows in exact (ts, event_id) order once the
@@ -848,7 +886,9 @@ def ordered_asof_join_stream(
         .withWatermark("ts", disorder)
         .groupBy("_shard")
         .applyInPandasWithState(
-            _asof_shard_fn(match_type, max_composite=_max_composite),
+            _asof_shard_fn(match_type, max_composite=_max_composite,
+                           max_state_bytes=_max_state_bytes
+                           or MAX_STATE_BYTES_PER_SHARD),
             outputStructType=ASOF_OUTPUT_SCHEMA,
             stateStructType=_ORDERED_ASOF_STATE_SCHEMA_SHARDED,
             outputMode="append",

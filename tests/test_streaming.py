@@ -1161,3 +1161,29 @@ def test_pin_shard_count_fails_fast_on_mismatch(tmpdir):
     stateful.pin_shard_count(legacy, 8)
     with pytest.raises(ValueError, match="n_shards=8"):
         stateful.pin_shard_count(legacy, 32)
+
+
+def test_state_budget_guard_fails_loudly(spark, tmpdir):
+    """The per-shard packed-state budget (r12): a shard whose state
+    would cross the budget must FAIL with sizing guidance instead of
+    sailing toward Spark's >1 GiB input-transport livelock. Forced here
+    by shrinking the budget to a few bytes on ordinary data."""
+    base = ts("2024-01-01T00:00:00")
+    schema = "user_id long, event_id long, ts timestamp"
+    rows = [[(u, 100 + u, base + dt.timedelta(minutes=u)) for u in range(50)]]
+    stage_explicit_chunks(spark, rows, schema, tmpdir)
+    stream = replay_stream(spark, tmpdir, schema)
+    # budget is PER SHARD: 50 users spread over 32 shards leave only a
+    # couple of 8-byte buffer entries per shard, so the forced budget
+    # must sit below one entry pair
+    out = stateful.sliding_count_stream(
+        stream, 60 * 60 * 1_000_000, _max_state_bytes=8
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(Exception, match="per-shard budget") as ei:
+        runner.run_to_memory(out, "budget_guard_out", "append",
+                             state_partitions=4)
+    assert isinstance(ei.value, StreamingQueryException) or "budget" in str(
+        ei.value
+    )
