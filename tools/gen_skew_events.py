@@ -10,9 +10,11 @@ users), so one shard's composite-key segments hold a single dominant
 user — the shape that stresses the segmented-searchsorted release math
 and (with `_max_composite` lowered) the exact user-split fallback.
 
-Two decades, shape-matched to the fixture events table otherwise (same
-schema, 30-day window, 5 event types, value in [0, 560]):
+Three decades, shape-matched to the fixture events table otherwise
+(same schema, 30-day window, 5 event types, value in [0, 560]):
 
+  skew01: 100k events / 150k users (hot user ~50k rows — the DuckDB
+          hash-gate scale; see the note at DECADES)
   skew1:  1M events / 150k users  (hot user ~500k rows)
   skew10: 10M events / 150k users (hot user ~5M rows)
 
