@@ -1187,3 +1187,59 @@ def test_state_budget_guard_fails_loudly(spark, tmpdir):
     assert isinstance(ei.value, StreamingQueryException) or "budget" in str(
         ei.value
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_interval_join_coalescing_invariance(spark, tmpdir, seed):
+    """Chunk coalescing (files_per_trigger > 1, the r12 s04/s23 change)
+    must be result-invariant for the interval joins: the emitted set for
+    BOTH inner and left-outer variants is identical whether the staged
+    chunks replay one-per-micro-batch or all in one data batch. Randomized
+    small replays so the invariance is pinned structurally, not just on
+    the TPC-H fixture the probe used."""
+    import random
+
+    rng = random.Random(seed)
+    base = ts("2024-01-01T00:00:00")
+    flush = base + dt.timedelta(days=2)
+    o_schema = "o_key string, o_id long, o_ts timestamp"
+    p_schema = "p_key string, p_amount double, p_ts timestamp"
+    orders = [
+        (str(k), 10 + i, base + dt.timedelta(minutes=rng.randrange(0, 120)))
+        for i, k in enumerate(rng.choices(range(6), k=12))
+    ]
+    pays = [
+        (str(k), float(i), base + dt.timedelta(minutes=rng.randrange(0, 150)))
+        for i, k in enumerate(rng.choices(range(6), k=12))
+    ]
+    orders.sort(key=lambda r: r[2])
+    pays.sort(key=lambda r: r[2])
+
+    def run(fpt: int, how: str, tag: str):
+        od = f"{tmpdir}/o_{tag}"
+        pdir = f"{tmpdir}/p_{tag}"
+        stage_explicit_chunks(
+            spark,
+            [orders[:4], orders[4:8], orders[8:] + [("F", -1, flush)]],
+            o_schema, od,
+        )
+        stage_explicit_chunks(
+            spark,
+            [pays[:4], pays[4:8], pays[8:] + [("Fp", 0.0, flush)]],
+            p_schema, pdir,
+        )
+        j = windows.streaming_interval_join(
+            replay_stream(spark, od, o_schema, files_per_trigger=fpt),
+            replay_stream(spark, pdir, p_schema, files_per_trigger=fpt),
+            "o_key", "p_key", "o_ts", "p_ts", "30 minutes", how=how,
+        )
+        batches = runner.run_collect_batches(j, "append")
+        return sorted(
+            (r.o_key, r.o_id, r.p_amount)
+            for b in batches for r in b if r.o_key != "F"
+        )
+
+    for how in ("inner", "left_outer"):
+        per_chunk = run(1, how, f"{how}_fpt1")
+        coalesced = run(4, how, f"{how}_fpt4")
+        assert coalesced == per_chunk, how
