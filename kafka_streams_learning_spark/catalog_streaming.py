@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_learning_spark.catalog import QuerySpec
+from kafka_streams_learning_spark.sources import replay
 from kafka_streams_learning_spark.sources.replay import (
     run_staging_dir,
     shared_replay_table,
@@ -153,8 +154,11 @@ WHERE running_cnt > {ALERT_AFTER}
 # be late — which is exactly when `files_per_trigger` is safe (see
 # sources/replay.py). Order-sensitive rows (running counts, keyed-state
 # buffers, update/complete-mode emission sequences) keep fpt=1.
-# +1 covers any sentinel-bearing extra chunk file in a staging.
-COALESCED_REPLAY_FPT = REPLAY_CHUNKS + 1
+# The trigger size is derived from the staged data-file count at stream
+# open (replay.ALL_STAGED_ONE_BATCH), not hard-coded from REPLAY_CHUNKS:
+# a chunk written with >1 part file or a staging that scales chunk count
+# would silently degrade a fixed value to multi-batch replay (ADVICE r12).
+COALESCED_REPLAY_FPT = replay.ALL_STAGED_ONE_BATCH
 
 
 def _s04(spark: SparkSession, sf: str) -> DataFrame:

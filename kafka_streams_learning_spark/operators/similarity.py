@@ -35,10 +35,21 @@ def brute_force_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 50_000,
+    force: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (self-matches
     excluded). Deterministic ranking: (cosine desc, neighbor id asc).
-    Returns (query_id, neighbor_id, rank, score)."""
+    Returns (query_id, neighbor_id, rank, score).
+
+    This is the exact calibration arm: with a query set that scales with
+    the corpus (the catalog's ``ANN_QUERY_MOD`` sampling) the cross join
+    is O(N²/mod), so a corpus past ``max_rows`` raises
+    ``ExactArmSizeError`` unless ``force=True`` — same mechanical guard
+    as ``embedding_near_dup_pairs``; the scale paths are ``ivf_topk`` /
+    ``lsh_topk`` / ``ann_jl_topk``."""
+    _guard_exact_arm(corpus, max_rows, force, "brute_force_topk",
+                     "ivf_topk/lsh_topk/ann_jl_topk")
     q = broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")

@@ -217,6 +217,25 @@ def stage_explicit_chunks(
     return staging_dir
 
 
+# files_per_trigger sentinel: replay every already-staged data file in one
+# micro-batch, deriving the count from the staging on disk at open time.
+ALL_STAGED_ONE_BATCH = -1
+
+
+def staged_data_file_count(staging_dir: str) -> int:
+    """Count the parquet data files under a staging directory — the unit
+    `maxFilesPerTrigger` actually batches (one per chunk when staging
+    coalesce(1) holds, more if a chunk ever splits into part files)."""
+    n = 0
+    for _root, _dirs, files in os.walk(staging_dir):
+        n += sum(
+            1
+            for f in files
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+    return n
+
+
 def replay_stream(
     spark: SparkSession,
     staging_dir: str,
@@ -234,7 +253,17 @@ def replay_stream(
     aggregations) whose result does not depend on which rows share a
     micro-batch. Order-SENSITIVE keyed-state operators (running counts,
     as-of buffers) and late-data tests that plant a row in a specific
-    chunk must keep the default of 1."""
+    chunk must keep the default of 1.
+
+    Pass `ALL_STAGED_ONE_BATCH` to derive the trigger size from the
+    actual staged data-file count instead of hard-coding chunk
+    arithmetic: a chunk that ever splits into multiple part files (or a
+    staging that scales its chunk count with row volume, like the
+    reorder replays do) would silently degrade a hard-coded value back
+    to multi-batch replay — correct for order-insensitive rows, but the
+    measured single-batch benefit quietly disappears (ADVICE r12)."""
+    if files_per_trigger == ALL_STAGED_ONE_BATCH:
+        files_per_trigger = max(1, staged_data_file_count(staging_dir))
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)

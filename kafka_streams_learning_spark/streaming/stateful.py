@@ -159,6 +159,19 @@ def fraud_alert_stream(
 REORDER_SHARDS = 32
 
 
+def _tag_shard_count(df: DataFrame, n_shards: int) -> DataFrame:
+    """Attach the operator's shard count to the returned DataFrame so
+    `runner.run_to_memory` can pin the checkpoint automatically (ADVICE
+    r12: callers that forgot to thread `shard_count` through silently
+    lost the restart protection the pin exists for). The tag is a plain
+    Python attribute — any further transformation creates a NEW
+    DataFrame object and drops it, which is the safe direction: an
+    untagged stateful plan triggers the runner's warning instead of a
+    possibly-wrong auto-pin."""
+    df._ksl_shard_count = n_shards
+    return df
+
+
 def pin_shard_count(checkpoint_dir: str, n_shards: int) -> None:
     """Persist the reorder-shard count alongside a checkpoint and fail
     fast on mismatch (ADVICE r11): `n_shards` is part of the checkpoint
@@ -239,7 +252,7 @@ def sliding_count_stream(
     Input columns: (user_id, event_id, ts)."""
     from pyspark.sql import functions as F
 
-    return (
+    return _tag_shard_count(
         df.withColumn(
             "_shard", F.pmod(F.xxhash64("user_id"), F.lit(n_shards))
         )
@@ -253,7 +266,8 @@ def sliding_count_stream(
             stateStructType=_ORDERED_SLIDING_STATE_SCHEMA_SHARDED,
             outputMode="append",
             timeoutConf="NoTimeout",
-        )
+        ),
+        n_shards,
     )
 
 
@@ -300,7 +314,7 @@ def asof_join_stream(
     Input columns: (event_id, user_id, ts, event_type)."""
     from pyspark.sql import functions as F
 
-    return (
+    return _tag_shard_count(
         df.withColumn(
             "_shard", F.pmod(F.xxhash64("user_id"), F.lit(n_shards))
         )
@@ -314,7 +328,8 @@ def asof_join_stream(
             stateStructType=_ORDERED_ASOF_STATE_SCHEMA_SHARDED,
             outputMode="append",
             timeoutConf="NoTimeout",
-        )
+        ),
+        n_shards,
     )
 
 
@@ -401,13 +416,25 @@ def _pack_str(a) -> bytes:
 
     if not len(a):
         return b""
-    codes, vocab = pd.factorize(np.asarray(a, dtype=object))
+    arr = np.asarray(a, dtype=object)
+    codes, vocab = pd.factorize(arr)
+    if (codes == -1).any():
+        # factorize encodes null/NaN as code -1; astype('<u2') would wrap
+        # it to 65535 and _unpack_str would index past the vocab AFTER the
+        # corrupt blob is checkpointed. The raw fallback would instead
+        # stringify None, silently diverging from this path. Fail at pack
+        # time, before anything reaches the state store.
+        raise ValueError(
+            "null value in a string state column reaching _pack_str; "
+            "string state (e.g. event_type) must be non-null — filter or "
+            "coalesce upstream before the stateful operator."
+        )
     if len(vocab) < 65535:
         return pickle.dumps(
             ("d", [str(x) for x in vocab], codes.astype("<u2").tobytes()),
             protocol=4,
         )
-    return pickle.dumps(("r", [str(x) for x in a]), protocol=4)
+    return pickle.dumps(("r", [str(x) for x in arr]), protocol=4)
 
 
 def _unpack_str(b) -> "np.ndarray":
@@ -660,7 +687,7 @@ def ordered_sliding_count_stream(
     Input columns: (user_id, event_id, ts)."""
     from pyspark.sql import functions as F
 
-    return (
+    return _tag_shard_count(
         df.withColumn(
             "_shard", F.pmod(F.xxhash64("user_id"), F.lit(n_shards))
         )
@@ -674,7 +701,8 @@ def ordered_sliding_count_stream(
             stateStructType=_ORDERED_SLIDING_STATE_SCHEMA_SHARDED,
             outputMode="append",
             timeoutConf="EventTimeTimeout",
-        )
+        ),
+        n_shards,
     )
 
 
@@ -879,7 +907,7 @@ def ordered_asof_join_stream(
     Input columns: (event_id, user_id, ts, event_type)."""
     from pyspark.sql import functions as F
 
-    return (
+    return _tag_shard_count(
         df.withColumn(
             "_shard", F.pmod(F.xxhash64("user_id"), F.lit(n_shards))
         )
@@ -893,7 +921,8 @@ def ordered_asof_join_stream(
             stateStructType=_ORDERED_ASOF_STATE_SCHEMA_SHARDED,
             outputMode="append",
             timeoutConf="EventTimeTimeout",
-        )
+        ),
+        n_shards,
     )
 
 

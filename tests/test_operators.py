@@ -415,6 +415,15 @@ def test_exact_arm_guards_raise_above_bound(spark):
         dedup.sketch_calibration(docs, 4, k=3, max_rows=10)
     dedup.sketch_calibration(docs, 4, k=3, max_rows=10, force=True).count()
 
+    # x09's brute-force arm carries the same guard (r12 verdict: the docs
+    # claimed it and the code didn't — this pins code and docs together)
+    with _pytest.raises(ExactArmSizeError, match="ivf_topk"):
+        similarity.brute_force_topk(emb, emb.limit(2), k=3, max_rows=10)
+    assert similarity.brute_force_topk(
+        emb, emb.limit(2), k=3, max_rows=10, force=True
+    ).count() > 0
+    assert similarity.brute_force_topk(emb, emb.limit(2), k=3, max_rows=50).count() > 0
+
 
 def test_hash_split_stable_and_exhaustive(spark):
     """Every row gets exactly one split, and an assignment never changes

@@ -228,3 +228,12 @@ def test_state_string_codec_roundtrip():
 
     assert pickle.loads(blob)[0] == "r"
     assert _unpack_str(blob).tolist() == big.tolist()
+    # nulls fail AT PACK TIME (ADVICE r12): factorize would encode None
+    # as -1, the uint16 cast would wrap it to 65535, and _unpack_str
+    # would index past the vocab only AFTER the corrupt blob was
+    # checkpointed; the raw fallback would instead stringify None —
+    # divergent paths. A loud error beats either.
+    import pytest
+
+    with pytest.raises(ValueError, match="non-null"):
+        _pack_str(np.asarray(["view", None, "click"], object))

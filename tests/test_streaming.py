@@ -1189,6 +1189,115 @@ def test_state_budget_guard_fails_loudly(spark, tmpdir):
     )
 
 
+def test_state_budget_boundary_under_budget_completes(spark, tmpdir):
+    """Complement of the fails-loudly test (VERDICT r12 item 6): a shard
+    whose packed state sits exactly AT the budget completes with correct
+    counts, and one byte less fails — pins the guard's boundary so a
+    packing change can't make it silently over-trigger. Single user →
+    one shard; k buffered events in-window pack to exactly 2 int64
+    arrays of k entries (buf_u, buf_t; pend arrays empty ⇒ b"")."""
+    base = ts("2024-01-01T00:00:00")
+    schema = "user_id long, event_id long, ts timestamp"
+    k = 10
+    rows = [[(7, 100 + i, base + dt.timedelta(seconds=i)) for i in range(k)]]
+    exact_state_bytes = 2 * 8 * k
+
+    def run(budget: int, name: str):
+        d = f"{tmpdir}/{name}"
+        stage_explicit_chunks(spark, rows, schema, d)
+        out = stateful.sliding_count_stream(
+            replay_stream(spark, d, schema),
+            60 * 60 * 1_000_000,
+            _max_state_bytes=budget,
+        )
+        runner.run_to_memory(out, name, "append", state_partitions=4)
+        return spark.table(name)
+
+    got = run(exact_state_bytes, "budget_at_bound")
+    assert sorted(r.cnt for r in got.collect()) == list(range(1, k + 1))
+    with pytest.raises(Exception, match="per-shard budget"):
+        run(exact_state_bytes - 1, "budget_below_bound")
+
+
+def test_shard_count_tag_auto_pins_checkpoint(spark, tmpdir):
+    """The shard-keyed operators tag their output with n_shards and
+    run_to_memory pins the checkpoint from the tag when the caller
+    doesn't pass shard_count (ADVICE r12) — a restart with a different
+    count then fails fast even for callers that forgot to thread it."""
+    import json
+    import os
+
+    base = ts("2024-01-01T00:00:00")
+    schema = "user_id long, event_id long, ts timestamp"
+    rows = [[(u, 100 + u, base + dt.timedelta(minutes=u)) for u in range(5)]]
+    stage_explicit_chunks(spark, rows, schema, f"{tmpdir}/stage")
+    out = stateful.sliding_count_stream(
+        replay_stream(spark, f"{tmpdir}/stage", schema),
+        60 * 60 * 1_000_000,
+        n_shards=6,
+    )
+    assert out._ksl_shard_count == 6
+    ckpt = f"{tmpdir}/ckpt"
+    runner.run_to_memory(out, "tag_pin_out", "append",
+                         checkpoint=ckpt, state_partitions=4)
+    with open(os.path.join(ckpt, "ksl-shard-count.json")) as fh:
+        assert json.load(fh)["n_shards"] == 6
+    with pytest.raises(ValueError, match="n_shards=6"):
+        stateful.pin_shard_count(ckpt, 12)
+
+
+def test_arrow_batch_override_unsets_when_previously_unset(spark, tmpdir):
+    """run_to_memory's per-query arrow.maxRecordsPerBatch override must
+    not leak session-wide when the session never set the key (ADVICE
+    r12): after the run the key is unset again, not pinned to the
+    override."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior = spark.conf.get(key, None)
+    spark.conf.unset(key)
+    try:
+        base = ts("2024-01-01T00:00:00")
+        rows = [[("a", 1, 10.0, base)]]
+        stage_explicit_chunks(spark, rows, EVENTS_SCHEMA, f"{tmpdir}/a")
+        stream = replay_stream(spark, f"{tmpdir}/a", EVENTS_SCHEMA)
+        runner.run_to_memory(
+            stream.groupBy("key").count(), "arrow_unset_out", "complete",
+            arrow_batch_rows=12345,
+        )
+        assert spark.conf.get(key, None) is None
+    finally:
+        if prior is not None:
+            spark.conf.set(key, prior)
+
+
+def test_all_staged_one_batch_derives_file_count(spark, tmpdir):
+    """ALL_STAGED_ONE_BATCH (ADVICE r12): the coalesced-replay trigger
+    size comes from the staged data-file count on disk, so every staged
+    chunk lands in ONE micro-batch regardless of chunk arithmetic."""
+    from kafka_streams_learning_spark.sources.replay import (
+        ALL_STAGED_ONE_BATCH,
+        staged_data_file_count,
+    )
+
+    base = ts("2024-01-01T00:00:00")
+    chunks = [
+        [("a", 1, 10.0, base)],
+        [("b", 2, 10.0, base + dt.timedelta(minutes=1))],
+        [("c", 3, 10.0, base + dt.timedelta(minutes=2))],
+    ]
+    stage_explicit_chunks(spark, chunks, EVENTS_SCHEMA, tmpdir)
+    assert staged_data_file_count(tmpdir) == 3
+    stream = replay_stream(
+        spark, tmpdir, EVENTS_SCHEMA,
+        files_per_trigger=ALL_STAGED_ONE_BATCH,
+    )
+    batches = runner.run_collect_batches(
+        stream.select("key", "record_id"), "append"
+    )
+    data_batches = [b for b in batches if b]
+    assert len(data_batches) == 1
+    assert sorted(r.key for r in data_batches[0]) == ["a", "b", "c"]
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_interval_join_coalescing_invariance(spark, tmpdir, seed):
     """Chunk coalescing (files_per_trigger > 1, the r12 s04/s23 change)

@@ -45,6 +45,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kafka_streams_learning_spark import get_spark
 from kafka_streams_learning_spark.catalog import all_queries
+from kafka_streams_learning_spark.gitinfo import (
+    code_fingerprint as _code_fingerprint,
+    git_head as _git_head,
+)
 
 # Canary references (VERDICT r11 "what's wrong b"): the canary is
 # measured WARM (one untimed priming run, then median of 3), so on a
@@ -186,6 +190,13 @@ def main() -> int:
         "canaries": canaries,
         "host_clean": host_clean,
         "generated_unix": int(time.time()),
+        # code-version stamps: bench.py refuses to stamp these medians
+        # next to single-pass rows benched from a different engine-code
+        # state (a stale paired record is exactly the jitter-vs-cost
+        # confusion the stamping exists to prevent — ADVICE r12).
+        # git_head is forensics; code_fingerprint is the gate.
+        "git_head": _git_head(here),
+        "code_fingerprint": _code_fingerprint(here),
         "setup_seconds": setup_seconds,
         "total_a": round(sum(run_a.values()), 3),
         "total_b": round(sum(run_b.values()), 3),
