@@ -257,8 +257,15 @@ def _s05(spark: SparkSession, sf: str) -> DataFrame:
     )
     dim = ktable.read_snapshot(spark, snapshot_dir).drop("_version")
 
+    # coalesced replay (see COALESCED_REPLAY_FPT): the enrichment join is
+    # stateless and the snapshot is fully materialized BEFORE the orders
+    # replay opens, so batch-boundary placement cannot change the emitted
+    # set — and each micro-batch re-scans + re-broadcasts the static
+    # snapshot side, so one data batch pays that cost once (r13 probe:
+    # join phase 4.32→2.75 s median, hash parity per rep — BENCH_NOTES r13)
     orders = shared_replay_table(
-        spark, sf, "orders", REPLAY_CHUNKS, order_by="o_orderdate"
+        spark, sf, "orders", REPLAY_CHUNKS, order_by="o_orderdate",
+        files_per_trigger=COALESCED_REPLAY_FPT,
     ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
     joined = enrich_join(
         orders.withColumn("c_custkey", F.col("o_custkey")), dim, on="c_custkey"

@@ -49,7 +49,8 @@ def result_hash(df) -> str:
     return h.hexdigest()
 
 
-def run_s05(spark, sf: str, num_buckets: int | None, tag: str) -> tuple[dict, str]:
+def run_s05(spark, sf: str, num_buckets: int | None, tag: str,
+            fpt: int = 1) -> tuple[dict, str]:
     timings: dict[str, float] = {}
     t0 = time.time()
     staged, chlog_schema = _s05_changelog(spark, sf)
@@ -67,7 +68,8 @@ def run_s05(spark, sf: str, num_buckets: int | None, tag: str) -> tuple[dict, st
     t0 = time.time()
     dim = ktable.read_snapshot(spark, snapshot_dir).drop("_version")
     orders = shared_replay_table(
-        spark, sf, "orders", REPLAY_CHUNKS, order_by="o_orderdate"
+        spark, sf, "orders", REPLAY_CHUNKS, order_by="o_orderdate",
+        files_per_trigger=fpt,
     ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
     joined = enrich_join(
         orders.withColumn("c_custkey", F.col("o_custkey")), dim, on="c_custkey"
@@ -90,8 +92,13 @@ def main() -> None:
     spark = get_spark()
     results: dict[str, list[dict]] = {"r12_nb16": [], "r13_adaptive": []}
     for rep in range(reps):
-        t16, h16 = run_s05(spark, sf, 16, f"nb16_{rep}")
-        tad, had = run_s05(spark, sf, None, f"ad_{rep}")
+        from kafka_streams_learning_spark.sources.replay import (
+            ALL_STAGED_ONE_BATCH,
+        )
+
+        t16, h16 = run_s05(spark, sf, 16, f"nb16_{rep}", fpt=1)
+        tad, had = run_s05(spark, sf, None, f"ad_{rep}",
+                           fpt=ALL_STAGED_ONE_BATCH)
         assert h16 == had, f"hash divergence rep {rep}: {h16} != {had}"
         results["r12_nb16"].append(t16)
         results["r13_adaptive"].append(tad)
