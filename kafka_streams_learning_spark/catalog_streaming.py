@@ -116,8 +116,13 @@ def _s03(spark: SparkSession, sf: str) -> DataFrame:
         F.col("value").alias("amount"),
         "ts",
     )
+    # sharded arm since r13: fixture key cardinality grows with SF, and
+    # the per-key arm pays one Arrow invocation per distinct key per
+    # batch (sweep 9: 109.6 s vs 30.2 s at 1M events / 150k keys, rows
+    # bit-identical); parity across arms pinned by
+    # tests/test_streaming.py::test_sharded_fraud_arm_matches_per_key_arm
     alerts = stateful.fraud_alert_stream(
-        stream, "key", ALERT_VALUE_THRESHOLD, ALERT_AFTER
+        stream, "key", ALERT_VALUE_THRESHOLD, ALERT_AFTER, impl="sharded"
     )
     name = _fresh_name("s03_out")
     runner.run_to_memory(alerts, name, "append", state_partitions=STATE_SHARDS)

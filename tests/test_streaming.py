@@ -142,6 +142,62 @@ def test_stateful_fraud_alerts_across_batches(spark, tmpdir):
     assert all("High-value order streak" in r.alert for b in batches for r in b)
 
 
+def test_sharded_fraud_arm_matches_per_key_arm(spark, tmpdir):
+    """`fraud_alert_stream_sharded` (r13, the high-key-cardinality arm)
+    must emit exactly the per-key arm's rows: multi-key batches, a key's
+    counter carried across micro-batches, below-threshold rows skipped,
+    several keys colliding into one shard, and keys unseen by the state
+    yet. Deterministic small replay + a randomized 60-key replay."""
+    import random
+
+    base = ts("2024-01-01T00:00:00")
+
+    def run(chunks, tag, n_shards):
+        d = f"{tmpdir}/{tag}"
+        stage_explicit_chunks(spark, chunks, EVENTS_SCHEMA, d)
+        per_key = stateful.fraud_alert_stream(
+            replay_stream(spark, d, EVENTS_SCHEMA), "key",
+            threshold=500.0, impl="apply",
+        )
+        runner.run_to_memory(per_key, f"pk_{tag}", "append")
+        sharded = stateful.fraud_alert_stream_sharded(
+            replay_stream(spark, d, EVENTS_SCHEMA), "key",
+            threshold=500.0, n_shards=n_shards,
+        )
+        runner.run_to_memory(sharded, f"sh_{tag}", "append")
+        a = sorted(map(tuple, spark.table(f"pk_{tag}").collect()))
+        b = sorted(map(tuple, spark.table(f"sh_{tag}").collect()))
+        assert a == b and a, f"{tag}: sharded arm diverged (or emitted nothing)"
+        return a
+
+    mk = lambda k, i, amt: (k, i, amt, base + dt.timedelta(minutes=i))
+    got = run(
+        [
+            [mk("a", 1, 600.0), mk("b", 2, 700.0), mk("a", 3, 800.0)],
+            [mk("a", 4, 100.0), mk("b", 5, 900.0), mk("a", 6, 950.0)],
+            [mk("a", 7, 990.0), mk("b", 8, 980.0), mk("b", 9, 975.0),
+             mk("b", 10, 970.0)],
+        ],
+        "det", n_shards=2,  # 2 shards × many keys → forced collisions
+    )
+    # spot-pin the semantic, not just arm parity: a's 4th qualifying
+    # record is id 7; b qualifies at 2,5,8,9,10 so fires at 9 and 10
+    assert {(r[0], r[1], r[3]) for r in got} == {
+        ("a", 7, 4), ("b", 9, 4), ("b", 10, 5),
+    }
+
+    rng = random.Random(13)
+    chunks = [
+        [
+            mk(f"k{rng.randrange(60)}", i * 100 + j,
+               float(rng.randrange(0, 1000)))
+            for j in range(80)
+        ]
+        for i in range(4)
+    ]
+    run(chunks, "rand", n_shards=4)
+
+
 ASOF_SCHEMA = "event_id long, user_id long, ts timestamp, event_type string"
 
 
