@@ -548,6 +548,56 @@ def test_stateful_checkpoint_recovery(spark, tmpdir):
     assert flat == [(4, 4), (5, 5)]
 
 
+def test_sharded_fraud_checkpoint_recovery(spark, tmpdir):
+    """Kill-and-resume for the SHARDED fraud arm (r13): its packed
+    (keys, cnts) binary state must survive a restart — counters resume
+    across MULTIPLE keys in one shard, records from run 1 are not
+    replayed, and a pinned checkpoint refuses a mismatched shard count."""
+    base = ts("2024-01-01T00:00:00")
+    data_dir = tmpdir + "/data"
+    ckpt = tmpdir + "/ckpt"
+    mk = lambda k, i, amt: (k, i, amt, base + dt.timedelta(minutes=i))
+    # run 1: a=2 qualifying, b=3 qualifying — no alerts yet (threshold 3)
+    stage_explicit_chunks(
+        spark,
+        [[mk("a", 1, 600.0), mk("b", 2, 700.0), mk("b", 3, 800.0)],
+         [mk("a", 4, 900.0), mk("b", 5, 950.0)]],
+        EVENTS_SCHEMA, data_dir,
+    )
+    alerts = stateful.fraud_alert_stream_sharded(
+        replay_stream(spark, data_dir, EVENTS_SCHEMA), "key",
+        threshold=500.0, n_shards=2,
+    )
+    # the memory sink can't recover a checkpoint — use the foreachBatch
+    # runner (as the per-key recovery test does) and pin manually, as a
+    # direct writeStream user would
+    run1 = runner.run_collect_batches(alerts, "append", checkpoint=ckpt)
+    assert [r for b in run1 for r in b] == []
+    stateful.pin_shard_count(ckpt, 2)
+
+    # the query dies; more records arrive (one per key + a low-value)
+    stage_explicit_chunks(
+        spark,
+        [[mk("a", 6, 100.0), mk("a", 7, 960.0), mk("b", 8, 970.0)]],
+        EVENTS_SCHEMA, data_dir + "/chunk=99999-extra",
+    )
+    alerts2 = stateful.fraud_alert_stream_sharded(
+        replay_stream(spark, data_dir, EVENTS_SCHEMA), "key",
+        threshold=500.0, n_shards=2,
+    )
+    run2 = runner.run_collect_batches(alerts2, "append", checkpoint=ckpt)
+    got = sorted(
+        (r.key, r.record_id, r.running_cnt) for b in run2 for r in b
+    )
+    # a resumes at 3 (no alert: 3 is not > 3); b resumes at 4 → alert
+    assert got == [("b", 8, 4)]
+
+    # restarting the same checkpoint with a different shard count is the
+    # orphaned-state hazard — the pin must refuse it
+    with pytest.raises(ValueError, match="n_shards=2"):
+        stateful.pin_shard_count(ckpt, 4)
+
+
 def test_interactive_state_store_fetch(spark, tmpdir):
     """IQ1 (`OrderCountTumblingWindow.java:130-145`): fetch one key's
     windowed counts for a window-start range directly from the LIVE state
