@@ -25,10 +25,12 @@ lake-format dependency:
   the same atomic-pointer trick Delta's transaction log performs. Fully
   unreferenced generations are vacuumed after the flip.
 
-At 1000-executor scale `num_buckets` is sized so one bucket ≈ one
-task's worth of dimension data; the per-batch merge job then runs one
-task per *touched* bucket while the fact-side join keeps broadcasting
-the assembled snapshot.
+`num_buckets` is sized so one bucket ≈ one task's worth of dimension
+data — since r13 that is the DEFAULT (`_derive_num_buckets` from the
+first batch's row count; explicit `num_buckets` overrides, and the
+first upsert pins either in the manifest). The per-batch merge job then
+runs one task per *touched* bucket while the fact-side join keeps
+broadcasting the assembled snapshot.
 """
 
 from __future__ import annotations
