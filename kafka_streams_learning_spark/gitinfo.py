@@ -37,12 +37,17 @@ def git_head(repo_dir: str) -> str | None:
 
 
 def code_fingerprint(repo_dir: str) -> str:
-    """md5 over (relpath, content) of every engine source file plus
-    bench.py, sorted by path — identical iff the timing-relevant code is
+    """md5 over (relpath, content) of every engine source file plus the
+    bench harness (bench.py AND tools/bench_paired.py — ADVICE r13: a
+    change to the paired protocol itself must invalidate old paired
+    records), sorted by path — identical iff the timing-relevant code is
     identical, regardless of doc/test/artifact churn in between."""
     h = hashlib.md5()
     pkg = os.path.join(repo_dir, "kafka_streams_learning_spark")
-    paths = [os.path.join(repo_dir, "bench.py")]
+    paths = [
+        os.path.join(repo_dir, "bench.py"),
+        os.path.join(repo_dir, "tools", "bench_paired.py"),
+    ]
     for root, _dirs, files in os.walk(pkg):
         for f in files:
             if f.endswith(".py"):

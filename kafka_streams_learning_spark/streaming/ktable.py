@@ -102,12 +102,24 @@ def upsert_snapshot(
     key: str,
     version_col: str,
     num_buckets: int | None = None,
+    expected_rows: int | None = None,
 ) -> None:
     """One micro-batch of changelog rows → merge into ONLY the buckets the
     batch's keys hash into; every other bucket's files are untouched.
 
-    `num_buckets=None` derives the count from the first batch's size
-    (`_derive_num_buckets`); the first upsert pins it in the manifest."""
+    `num_buckets=None` derives the count from the FIRST batch's size
+    (`_derive_num_buckets`); the first upsert pins it in the manifest.
+    CAVEAT (ADVICE r13): the derivation sees only batch 1 — a changelog
+    replayed chunk-per-batch shows ~1/chunks of the dimension, so the
+    derived count systematically undershoots "one bucket ≈ one task",
+    and a tiny first batch pins 1 bucket for an arbitrarily large
+    dimension forever. When the eventual dimension size is known (or
+    estimable), pass `expected_rows` — the derivation then sizes for the
+    full dimension regardless of how the changelog is chunked — or pass
+    `num_buckets` explicitly. Re-splitting a live snapshot on growth is
+    deliberately NOT supported: the bucket id is the merge key's hash
+    mod the pinned count, so changing it would invalidate every bucket
+    (a full rewrite — at that point, rebuild the snapshot)."""
     spark = batch_df.sparkSession
     manifest = _read_manifest(snapshot_dir)
     # the batch is consumed twice (touched-bucket probe + merge input) —
@@ -115,7 +127,7 @@ def upsert_snapshot(
     batch_df.persist()
     try:
         _upsert_persisted(spark, batch_df, snapshot_dir, key, version_col,
-                          num_buckets, manifest)
+                          num_buckets, manifest, expected_rows)
     finally:
         batch_df.unpersist()
 
@@ -128,10 +140,14 @@ def _upsert_persisted(
     version_col: str,
     num_buckets: int | None,
     manifest: dict | None,
+    expected_rows: int | None = None,
 ) -> None:
     if manifest is None:
         if num_buckets is None:
-            num_buckets = _derive_num_buckets(batch_df.count())
+            num_buckets = _derive_num_buckets(
+                expected_rows if expected_rows is not None
+                else batch_df.count()
+            )
         manifest = {"version": 0, "num_buckets": num_buckets, "buckets": {}}
     nb = manifest["num_buckets"]  # pinned by the first upsert
     bucket_of = F.pmod(F.hash(F.col(key)), F.lit(nb)).cast("int")
@@ -184,9 +200,13 @@ def materialize_ktable(
     key: str,
     version_col: str,
     num_buckets: int | None = None,
+    expected_rows: int | None = None,
 ) -> None:
     """Drive a changelog stream to completion, maintaining the snapshot —
-    the `builder.table()` materialization pass."""
+    the `builder.table()` materialization pass. `expected_rows` sizes the
+    adaptive bucket derivation for the FULL dimension (see
+    `upsert_snapshot`: batch-1-only derivation undershoots on chunked
+    changelogs)."""
     import tempfile
 
     os.makedirs(snapshot_dir, exist_ok=True)
@@ -194,7 +214,8 @@ def materialize_ktable(
         changelog.writeStream.outputMode("append")
         .foreachBatch(
             lambda df, _epoch: upsert_snapshot(
-                df, snapshot_dir, key, version_col, num_buckets
+                df, snapshot_dir, key, version_col, num_buckets,
+                expected_rows=expected_rows,
             )
         )
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ksl-ktbl-"))

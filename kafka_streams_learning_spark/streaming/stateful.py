@@ -117,10 +117,19 @@ def fraud_alert_stream(
     threshold: float,
     alert_after: int = 3,
     impl: str = "auto",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Streaming fraud alerts over a stream with columns
     (key_col, record_id, amount, ts). Emits one alert row per qualifying
     record from the (alert_after+1)-th onward, exactly once per record.
+    Null-keyed records are DROPPED at entry in every arm — the Kafka
+    Streams groupByKey semantics (ref
+    processor/FraudDetectionApp.java:104 groups by user id; Kafka
+    Streams discards null-key records at repartition/groupBy). Before
+    r14 the apply/tws arms processed a null key as an ordinary group
+    while the sharded arm raised from `_pack_str` mid-batch (ADVICE r13)
+    — the entry filter restores the "impl can never change emitted
+    rows" contract.
 
     `impl` selects the state API: "apply" = `applyInPandasWithState`
     (works everywhere), "tws" = `transformWithStateInPandas` (Spark ≥ 4
@@ -131,11 +140,18 @@ def fraud_alert_stream(
     importable, else apply (VERDICT r10 item 8). The apply/tws arms walk
     the identical `_alert_walk` core; the sharded arm's parity with them
     is pinned by tests + the skew probe, so the choice can never change
-    emitted rows."""
+    emitted rows. `n_shards` sizes the sharded arm (default
+    `REORDER_SHARDS`); it is ignored by the per-key arms, whose state
+    key is the user key itself."""
+    from pyspark.sql import functions as F
+
     if impl not in ("auto", "apply", "tws", "sharded"):
         raise ValueError(f"impl must be auto|apply|tws|sharded, got {impl!r}")
+    df = df.where(F.col(key_col).isNotNull())
     if impl == "sharded":
-        return fraud_alert_stream_sharded(df, key_col, threshold, alert_after)
+        return fraud_alert_stream_sharded(
+            df, key_col, threshold, alert_after, n_shards=n_shards
+        )
     if impl == "tws" or (impl == "auto" and _has_protobuf()):
         return fraud_alert_stream_tws(df, key_col, threshold, alert_after)
     return df.groupBy(key_col).applyInPandasWithState(
@@ -283,7 +299,10 @@ def fraud_alert_stream_sharded(
 
     if n_shards is None:
         n_shards = REORDER_SHARDS
-    base = df.select(
+    # same null-key drop as the fraud_alert_stream entry (ADVICE r13):
+    # direct callers of the sharded arm get identical semantics, and a
+    # null key can no longer reach _pack_str mid-batch
+    base = df.where(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("string").alias("key"),
         "record_id", "amount", "ts",
     )

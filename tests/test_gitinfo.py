@@ -40,6 +40,13 @@ def test_code_fingerprint_tracks_engine_source_only():
         assert code_fingerprint(d) == fp1
         with open(os.path.join(pkg, "a.py"), "w") as f:
             f.write("x = 2\n")
-        assert code_fingerprint(d) != fp1
+        fp2 = code_fingerprint(d)
+        assert fp2 != fp1
+        # ADVICE r13: the paired protocol itself is timing-relevant code —
+        # editing tools/bench_paired.py must invalidate old paired records
+        os.makedirs(os.path.join(d, "tools"))
+        with open(os.path.join(d, "tools", "bench_paired.py"), "w") as f:
+            f.write("PAIR_STABLE_FACTOR = 2.0\n")
+        assert code_fingerprint(d) != fp2
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -1710,3 +1710,23 @@ def test_bench_paired_classification_table():
     # a row with no warm reference can never be a mover (new/renamed)
     unstable2, movers2 = classify_pair({"new": 9.0}, {"new": 9.1}, {}, True)
     assert unstable2 == [] and movers2 == []
+
+
+def test_oracle_check_rejects_unknown_query_names():
+    """tools/oracle_check.py must hard-error on a requested row name that
+    matches no catalog entry (VERDICT r13 "what's wrong" #3): a typo'd
+    list used to silently shrink the checked set and still print
+    "FAILURES: none" — indistinguishable from a green gate."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo/tools")
+    from oracle_check import resolve_requested
+
+    catalog = {"q01_uppercase", "s03_stream_fraud_alerts", "x03_fingerprint"}
+    # valid subset passes through untouched
+    assert resolve_requested({"q01_uppercase"}, catalog) == {"q01_uppercase"}
+    # any unknown name is fatal, and the message names the offenders
+    with pytest.raises(SystemExit, match=r"q01_upercase"):
+        resolve_requested({"q01_upercase", "x03_fingerprint"}, catalog)

@@ -198,6 +198,54 @@ def test_sharded_fraud_arm_matches_per_key_arm(spark, tmpdir):
     run(chunks, "rand", n_shards=4)
 
 
+def test_fraud_alert_null_keys_dropped_in_every_arm(spark, tmpdir):
+    """ADVICE r13: the apply/tws arms used to process a null key as an
+    ordinary group while the sharded arm raised from _pack_str mid-batch
+    — impl choice changed behavior on null keys. All arms now DROP
+    null-keyed records at entry (Kafka Streams groupByKey semantics), so
+    the arms stay bit-identical on dirty input too."""
+    base = ts("2024-01-01T00:00:00")
+    mk = lambda k, i, amt: (k, i, amt, base + dt.timedelta(minutes=i))
+    chunks = [
+        [mk("a", 1, 600.0), mk(None, 2, 700.0), mk("a", 3, 800.0),
+         mk(None, 4, 900.0)],
+        [mk("a", 5, 950.0), mk(None, 6, 990.0), mk("a", 7, 990.0)],
+    ]
+    results = {}
+    for impl, n_shards in (("apply", None), ("sharded", 2)):
+        d = f"{tmpdir}/null_{impl}"
+        stage_explicit_chunks(spark, chunks, EVENTS_SCHEMA, d)
+        out = stateful.fraud_alert_stream(
+            replay_stream(spark, d, EVENTS_SCHEMA), "key",
+            threshold=500.0, impl=impl, n_shards=n_shards,
+        )
+        runner.run_to_memory(out, f"null_{impl}", "append")
+        results[impl] = sorted(map(tuple, spark.table(f"null_{impl}").collect()))
+    # a qualifies at 1,3,5,7 → fires at id 7 (4th); the null key would
+    # have qualified at 2,4,6 — had it formed a group, the apply arm
+    # would emit nothing extra here, so ALSO pin that no null key ever
+    # appears and that the sharded arm no longer raises
+    assert results["apply"] == results["sharded"]
+    assert {(r[0], r[1], r[3]) for r in results["apply"]} == {("a", 7, 4)}
+    assert all(r[0] is not None for r in results["apply"])
+
+
+def test_fraud_alert_stream_threads_n_shards(spark, tmpdir):
+    """ADVICE r13: fraud_alert_stream(impl="sharded") must forward
+    n_shards to the sharded arm (callers used to have to bypass the impl
+    switch). Pin via the shard-count tag the runner consumes."""
+    d = f"{tmpdir}/nshards"
+    base = ts("2024-01-01T00:00:00")
+    stage_explicit_chunks(
+        spark, [[("a", 1, 600.0, base)]], EVENTS_SCHEMA, d
+    )
+    out = stateful.fraud_alert_stream(
+        replay_stream(spark, d, EVENTS_SCHEMA), "key",
+        threshold=500.0, impl="sharded", n_shards=7,
+    )
+    assert out._ksl_shard_count == 7
+
+
 ASOF_SCHEMA = "event_id long, user_id long, ts timestamp, event_type string"
 
 
@@ -467,6 +515,40 @@ def test_ktable_changelog_snapshot(spark, tmpdir):
     got = {r.k: r.name for r in snap.collect()}
     # c1 upserted, c2 untouched from v0, c3 inserted at v1
     assert got == {"c1": "new-1", "c2": "old-2", "c3": "only-3"}
+
+
+def test_ktable_expected_rows_sizes_buckets_for_full_dimension(spark, tmpdir):
+    """ADVICE r13: batch-1-only adaptive derivation undershoots when the
+    changelog arrives chunk-per-batch (a tiny first batch would pin 1
+    bucket forever). `expected_rows` must size the manifest's pinned
+    bucket count for the FULL dimension, not the first chunk."""
+    from kafka_streams_learning_spark.streaming import ktable
+
+    schema = "k string, name string, v long"
+    seed = spark.createDataFrame([("k1", "a", 0), ("k2", "b", 0)], schema)
+
+    # without the hint: 2 rows → 1 bucket, pinned forever
+    ktable.upsert_snapshot(
+        seed, tmpdir + "/snap_nohint", key="k", version_col="v"
+    )
+    assert ktable._read_manifest(tmpdir + "/snap_nohint")["num_buckets"] == 1
+
+    # with the hint: sized for the eventual dimension (ceil(3M / 256k) = 12)
+    ktable.upsert_snapshot(
+        seed, tmpdir + "/snap_hint", key="k", version_col="v",
+        expected_rows=3_000_000,
+    )
+    m = ktable._read_manifest(tmpdir + "/snap_hint")
+    assert m["num_buckets"] == ktable._derive_num_buckets(3_000_000) == 12
+    # later batches honor the pinned count, as before
+    ktable.upsert_snapshot(
+        spark.createDataFrame([("k1", "new", 1)], schema),
+        tmpdir + "/snap_hint", key="k", version_col="v",
+    )
+    assert ktable._read_manifest(tmpdir + "/snap_hint")["num_buckets"] == 12
+    got = {r.k: r.name
+           for r in ktable.read_snapshot(spark, tmpdir + "/snap_hint").collect()}
+    assert got == {"k1": "new", "k2": "b"}
 
 
 def test_ktable_upsert_is_incremental_by_bucket(spark, tmpdir):

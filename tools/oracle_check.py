@@ -60,12 +60,36 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def resolve_requested(only: set[str], catalog: set[str]) -> set[str]:
+    """Validate a requested row subset against the catalog.
+
+    A typo'd name must be a hard error, not a silent no-op: PREGATE relies
+    on this tool, and a misnamed row would otherwise shrink the checked set
+    while still printing "FAILURES: none" (VERDICT r13 "what's wrong" #3).
+    """
+    unknown = sorted(only - catalog)
+    if unknown:
+        raise SystemExit(
+            f"oracle_check: unknown query name(s) {unknown} — not in the "
+            f"{len(catalog)}-row catalog; refusing to run a silently "
+            "smaller set"
+        )
+    return only
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    if only:
+        # hard-fail on typos BEFORE the JVM spins up — a wasted session is
+        # cheap, a silently smaller gate is not
+        only = resolve_requested(only, set(qs))
 
     # Deliberately a VANILLA session (no engine confs): the external driver
     # builds its own plain SparkSession, so any catalog query that silently
@@ -77,8 +101,6 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
     for t in (
