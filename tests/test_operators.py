@@ -1712,6 +1712,31 @@ def test_bench_paired_classification_table():
     assert unstable2 == [] and movers2 == []
 
 
+def test_bench_paired_host_clean_requires_both_canaries():
+    """VERDICT r13 item 3: host_clean must gate on the streaming canary
+    too — the r13 batch canary read clean (0.195/0.185/0.172) through a
+    window where every streaming row ran 40-75% hot."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_paired import (
+        CANARY_CLEAN_REF_S,
+        CANARY_HOT_FACTOR,
+        STREAM_CANARY_HOT_THRESHOLD_S,
+        host_is_clean,
+    )
+
+    ok_batch = [CANARY_CLEAN_REF_S] * 3
+    ok_stream = [STREAM_CANARY_HOT_THRESHOLD_S * 0.5] * 3
+    assert host_is_clean(ok_batch, ok_stream)
+    # exactly the r13 blind spot: batch clean, streaming machinery hot
+    hot_stream = ok_stream[:2] + [STREAM_CANARY_HOT_THRESHOLD_S * 1.5]
+    assert not host_is_clean(ok_batch, hot_stream)
+    # and the pre-existing direction still holds
+    hot_batch = ok_batch[:2] + [CANARY_CLEAN_REF_S * CANARY_HOT_FACTOR * 1.1]
+    assert not host_is_clean(hot_batch, ok_stream)
+
+
 def test_oracle_check_rejects_unknown_query_names():
     """tools/oracle_check.py must hard-error on a requested row name that
     matches no catalog entry (VERDICT r13 "what's wrong" #3): a typo'd

@@ -65,6 +65,70 @@ CANARY_HOT_FACTOR = 2.0
 PAIR_STABLE_FACTOR = 1.5  # |A-B| band inside one clean window
 CANARY_ROW = "x03_fingerprint"
 
+# Streaming canary (VERDICT r13 item 3): the batch canary is pure CPU +
+# page cache and read "clean" through the exact r13 window in which
+# every streaming row ran 40-75% above its r12 paired median — it
+# cannot see checkpoint/state-store I/O pressure. This second canary is
+# a fixed 2-micro-batch streaming count (10k rows, 100 keys, fresh
+# checkpoint per sample) whose cost IS that machinery: RocksDB state
+# store open/commit, checkpoint dir writes, micro-batch scheduling.
+# host_clean now requires BOTH canaries inside their bands.
+STREAM_CANARY_WARM_CLEAN_S = 1.1  # measured warm median, clean host (r14:
+# 1.06/1.10/1.11/1.25 across 4 quiet-host medians at 4 state partitions;
+# the same workload read 2.3-3.5 s while a full pytest run loaded the box)
+STREAM_CANARY_HOT_THRESHOLD_S = 2.2  # 2x the clean warm median
+_STREAM_CANARY_SCHEMA = "key string, v long"
+
+
+def _stage_stream_canary(spark) -> str:
+    """Stage the fixed streaming-canary replay once per process: 2 chunks
+    x 5000 rows over 100 keys — deterministic and sf-independent, so the
+    clean band is one number across rounds."""
+    import tempfile
+
+    from kafka_streams_learning_spark.sources.replay import (
+        stage_explicit_chunks,
+    )
+
+    d = tempfile.mkdtemp(prefix="ksl-stream-canary-")
+    chunks = [
+        [(f"k{i % 100}", i) for i in range(c * 5000, (c + 1) * 5000)]
+        for c in range(2)
+    ]
+    stage_explicit_chunks(spark, chunks, _STREAM_CANARY_SCHEMA, d)
+    return d
+
+
+_STREAM_CANARY_SEQ = [0]  # memory-sink names must be unique per run
+
+
+def _stream_canary(spark, staging_dir: str) -> float:
+    """Warm median-of-3 wall seconds for one full 2-batch streaming count
+    run (fresh checkpoint per sample — checkpoint creation + state
+    commits are the signal, not overhead)."""
+    from kafka_streams_learning_spark.sources.replay import replay_stream
+    from kafka_streams_learning_spark.streaming import runner
+    from kafka_streams_learning_spark.streaming.windows import (
+        streaming_count_by_key,
+    )
+
+    samples = []
+    for i in range(4):  # first run primes code/cache paths, untimed
+        _STREAM_CANARY_SEQ[0] += 1
+        name = f"stream_canary_{_STREAM_CANARY_SEQ[0]}"
+        t0 = time.time()
+        counted = streaming_count_by_key(
+            replay_stream(spark, staging_dir, _STREAM_CANARY_SCHEMA), "key"
+        )
+        # 4 state partitions: enough to exercise the RocksDB open/commit
+        # machinery per batch without the 32-task scheduling noise that
+        # made the canary's own variance rival the signal
+        runner.run_to_memory(counted, name, "update", state_partitions=4)
+        if i:
+            samples.append(time.time() - t0)
+        spark.catalog.dropTempView(name)
+    return round(statistics.median(samples), 3)
+
 
 def _canary(spark, sf_dir, spec) -> float:
     """Warm median-of-3 wall seconds for the canary row."""
@@ -76,6 +140,17 @@ def _canary(spark, sf_dir, spec) -> float:
             samples.append(time.time() - t0)
         spark.catalog.clearCache()
     return round(statistics.median(samples), 3)
+
+
+def host_is_clean(canaries: list[float], canaries_stream: list[float]) -> bool:
+    """A window is clean only when BOTH canaries sit inside their bands:
+    the batch canary (CPU/page-cache) AND the streaming canary
+    (checkpoint + state-store I/O). r13's batch-only canary read clean
+    through a window where every streaming row ran 40-75% hot — the
+    blind spot this closes (VERDICT r13 item 3)."""
+    return all(
+        c <= CANARY_CLEAN_REF_S * CANARY_HOT_FACTOR for c in canaries
+    ) and all(s <= STREAM_CANARY_HOT_THRESHOLD_S for s in canaries_stream)
 
 
 def classify_pair(
@@ -159,14 +234,20 @@ def main() -> int:
     warm_streaming_stagings(spark, sf_dir)
     setup_seconds = round(time.time() - t_setup0, 3)
 
+    canary_stage = _stage_stream_canary(spark)
+
     c0 = _canary(spark, sf_dir, canary_spec)
+    s0 = _stream_canary(spark, canary_stage)
     run_a = _full_pass(spark, sf_dir, specs)
     c1 = _canary(spark, sf_dir, canary_spec)
+    s1 = _stream_canary(spark, canary_stage)
     run_b = _full_pass(spark, sf_dir, specs)
     c2 = _canary(spark, sf_dir, canary_spec)
+    s2 = _stream_canary(spark, canary_stage)
 
     canaries = [c0, c1, c2]
-    host_clean = all(c <= CANARY_CLEAN_REF_S * CANARY_HOT_FACTOR for c in canaries)
+    canaries_stream = [s0, s1, s2]
+    host_clean = host_is_clean(canaries, canaries_stream)
 
     warm_band: dict[str, list[float]] = {}
     warm_path = os.path.join(here, "BENCH_WARM.json")
@@ -188,6 +269,9 @@ def main() -> int:
             CANARY_COLD_CLEAN_S * CANARY_HOT_FACTOR, 3
         ),
         "canaries": canaries,
+        "canary_stream": canaries_stream,
+        "canary_stream_warm_clean_s": STREAM_CANARY_WARM_CLEAN_S,
+        "canary_stream_hot_threshold_s": STREAM_CANARY_HOT_THRESHOLD_S,
         "host_clean": host_clean,
         "generated_unix": int(time.time()),
         # code-version stamps: bench.py refuses to stamp these medians
@@ -211,7 +295,8 @@ def main() -> int:
         json.dump(out, f, indent=1)
         f.write("\n")
     print(json.dumps({
-        "canaries": canaries, "host_clean": host_clean,
+        "canaries": canaries, "canary_stream": canaries_stream,
+        "host_clean": host_clean,
         "total_a": out["total_a"], "total_b": out["total_b"],
         "unstable": len(unstable), "real_movers": sorted(real_movers),
     }, separators=(",", ":")))
