@@ -1695,12 +1695,16 @@ def test_bench_paired_classification_table():
     sys.path.insert(0, "/root/repo/tools")
     from bench_paired import classify_pair
 
-    warm = {"q": [1.0, 1.0], "r": [1.0, 1.0], "s": [1.0, 1.0], "t": [0.02, 0.02]}
-    run_a = {"q": 1.05, "r": 5.0, "s": 4.8, "t": 0.09}
-    run_b = {"q": 0.95, "r": 1.1, "s": 5.1, "t": 0.14}
+    warm = {
+        "q": [1.0, 1.0], "r": [1.0, 1.0], "s": [1.0, 1.0],
+        "t": [0.02, 0.02], "u": [0.5, 0.4],
+    }
+    run_a = {"q": 1.05, "r": 5.0, "s": 4.8, "t": 0.09, "u": 0.75}
+    run_b = {"q": 0.95, "r": 1.1, "s": 5.1, "t": 0.14, "u": 0.73}
     # clean window: q stable+in-band (ok), r flaps A/B (unstable, not a
     # mover), s stable at 5x warm (REAL mover), t is sub-100ms jitter
-    # (floored, ok)
+    # (floored, ok), u is 1.8x over a sub-second band but only +0.33 s
+    # absolute — below MOVER_MIN_ABS_S, so protocol noise, not a mover
     unstable, movers = classify_pair(run_a, run_b, warm, host_clean=True)
     assert unstable == ["r"]
     assert movers == ["s"]

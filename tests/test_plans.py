@@ -537,3 +537,16 @@ def test_catalog_wide_plan_antipattern_sweep(spark):
     from .conftest import SF_DIR
 
     assert audit(spark, SF_DIR) == []
+
+
+def test_session_skips_rocksdb_row_count_maintenance(spark):
+    """r14 floor profile: RocksDB's metrics-only numTotalStateRows
+    maintenance costs a get-before-put on every state write (~12% of the
+    interval-join family at sf0.1, where one micro-batch writes ~750k
+    join-state rows). Pin the session default so a refactor can't
+    silently reintroduce it."""
+    from kafka_streams_learning_spark.session import _BASE_CONF
+
+    key = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    assert _BASE_CONF[key] == "false"
+    assert spark.conf.get(key) == "false"

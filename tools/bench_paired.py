@@ -63,6 +63,14 @@ CANARY_COLD_CLEAN_S = 0.63  # first-touch cold fingerprint (r10)
 CANARY_CLEAN_REF_S = CANARY_COLD_CLEAN_S  # back-compat alias
 CANARY_HOT_FACTOR = 2.0
 PAIR_STABLE_FACTOR = 1.5  # |A-B| band inside one clean window
+# A real mover must ALSO exceed the warm band by an absolute margin:
+# sub-second rows jitter multiplicatively (r14 runs flagged x41/x47 at
+# 1.5-1.8x over warm bands that are themselves one-sample readings of
+# 0.37-0.49 s rows — 0.25-0.35 s of "regression", i.e. scheduler noise).
+# A regression that matters at catalog scale shows up in whole seconds;
+# one that never exceeds half a second is below this protocol's
+# resolution and belongs to the single-pass trend lines instead.
+MOVER_MIN_ABS_S = 0.5
 CANARY_ROW = "x03_fingerprint"
 
 # Streaming canary (VERDICT r13 item 3): the batch canary is pure CPU +
@@ -73,10 +81,13 @@ CANARY_ROW = "x03_fingerprint"
 # checkpoint per sample) whose cost IS that machinery: RocksDB state
 # store open/commit, checkpoint dir writes, micro-batch scheduling.
 # host_clean now requires BOTH canaries inside their bands.
-STREAM_CANARY_WARM_CLEAN_S = 1.1  # measured warm median, clean host (r14:
-# 1.06/1.10/1.11/1.25 across 4 quiet-host medians at 4 state partitions;
-# the same workload read 2.3-3.5 s while a full pytest run loaded the box)
-STREAM_CANARY_HOT_THRESHOLD_S = 2.2  # 2x the clean warm median
+STREAM_CANARY_WARM_CLEAN_S = 0.8  # measured warm median, clean host (r14:
+# 0.74/0.74/0.84 in the first full paired run AFTER the
+# trackTotalNumberOfRows=false session default landed — the canary's own
+# state writes got the same cut; pre-conf quiet-host medians were
+# 1.06-1.25, and the 32-partition variant read 2.3-3.5 s while a full
+# pytest run loaded the box — the load discrimination the band exists for)
+STREAM_CANARY_HOT_THRESHOLD_S = 1.6  # 2x the clean warm median
 _STREAM_CANARY_SCHEMA = "key string, v long"
 
 
@@ -174,7 +185,10 @@ def classify_pair(
         band = warm_band.get(name)
         if band and host_clean:
             ref = max(band[1], 0.1)  # warm column of [cold, warm]
-            if min(a, b) / ref > PAIR_STABLE_FACTOR:
+            if (
+                min(a, b) / ref > PAIR_STABLE_FACTOR
+                and min(a, b) - ref > MOVER_MIN_ABS_S
+            ):
                 real_movers.append(name)
     return sorted(unstable), sorted(real_movers)
 
