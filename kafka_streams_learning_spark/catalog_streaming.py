@@ -218,13 +218,20 @@ FROM orders o JOIN lineitem l
 # fixture, so its staging (sort + chunk writes) is cached per sf like
 # shared_replay_table's; the KTable MATERIALIZATION still runs fresh per
 # call — maintaining the snapshot is the behavior s05 measures
-_S05_CHANGELOG: dict[str, tuple[str, object]] = {}
+_S05_CHANGELOG: dict[str, tuple[str, object, int]] = {}
 
 
-def _s05_changelog(spark: SparkSession, sf: str) -> tuple[str, object]:
+def _s05_changelog(spark: SparkSession, sf: str) -> tuple[str, object, int]:
     """Stage (once per process+sf) the 2-version customer changelog that
     s05 replays; split out so the bench warmup can pin the staging cost
-    to setup instead of s05's timing (first-consumer attribution)."""
+    to setup instead of s05's timing (first-consumer attribution).
+
+    Returns (staging_dir, schema, dim_rows): dim_rows is the customer
+    count, computed once at staging time (a parquet-footer count, no
+    scan) and threaded into `materialize_ktable(expected_rows=...)` —
+    the chunked changelog's first batch is HALF the dimension, so the
+    batch-1 adaptive bucket derivation would undershoot 2× at every
+    scale (ADVICE r13; the hint sizes buckets for the full dimension)."""
     import os
 
     from kafka_streams_learning_spark.sources.batch import load_table
@@ -235,6 +242,7 @@ def _s05_changelog(spark: SparkSession, sf: str) -> tuple[str, object]:
         cust = load_table(spark, sf, "customer").select(
             "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
         )
+        dim_rows = cust.count()
         stale = cust.withColumn("c_name", F.lit("STALE")).withColumn(
             "_version", F.lit(0)
         )
@@ -243,7 +251,7 @@ def _s05_changelog(spark: SparkSession, sf: str) -> tuple[str, object]:
         stage_replay_chunks(
             stale.unionByName(fresh), changelog_dir, chunks=2, order_by="_version"
         )
-        cached = (changelog_dir, stale.schema)
+        cached = (changelog_dir, stale.schema, dim_rows)
         _S05_CHANGELOG[sf] = cached
     return cached
 
@@ -254,11 +262,12 @@ def _s05(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_learning_spark.sources.replay import replay_stream
     from kafka_streams_learning_spark.streaming import ktable
 
-    staged, chlog_schema = _s05_changelog(spark, sf)
+    staged, chlog_schema, dim_rows = _s05_changelog(spark, sf)
     snapshot_dir = run_staging_dir("snap")
     ktable.materialize_ktable(
         replay_stream(spark, staged, chlog_schema),
         snapshot_dir, key="c_custkey", version_col="_version",
+        expected_rows=dim_rows,
     )
     dim = ktable.read_snapshot(spark, snapshot_dir).drop("_version")
 

@@ -53,7 +53,7 @@ def run_s05(spark, sf: str, num_buckets: int | None, tag: str,
             fpt: int = 1) -> tuple[dict, str]:
     timings: dict[str, float] = {}
     t0 = time.time()
-    staged, chlog_schema = _s05_changelog(spark, sf)
+    staged, chlog_schema, dim_rows = _s05_changelog(spark, sf)
     timings["staging"] = round(time.time() - t0, 3)
 
     t0 = time.time()
@@ -62,6 +62,7 @@ def run_s05(spark, sf: str, num_buckets: int | None, tag: str,
         replay_stream(spark, staged, chlog_schema),
         snapshot_dir, key="c_custkey", version_col="_version",
         num_buckets=num_buckets,
+        expected_rows=None if num_buckets is not None else dim_rows,
     )
     timings["materialize"] = round(time.time() - t0, 3)
 
