@@ -1741,6 +1741,27 @@ def test_bench_paired_host_clean_requires_both_canaries():
     assert not host_is_clean(hot_batch, ok_stream)
 
 
+def test_bench_paired_pair_symmetry_criterion():
+    """r14: heat that peaks inside one pass and cools before the closing
+    canary leaves the canary triad blind (two observed windows: totals
+    168/267 and 209/161, every canary in-band). A pair whose totals
+    disagree beyond PAIR_TOTAL_SYMMETRY_MAX measured two different
+    hosts and is inadmissible regardless of canary readings."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_paired import pair_is_symmetric
+
+    # clean precedent bands: r12 158.5/149.7, r14 146.8/154.6
+    assert pair_is_symmetric({"a": 158.5}, {"a": 149.7})
+    assert pair_is_symmetric({"a": 146.8}, {"a": 154.6})
+    # the two r14 wavy windows — both directions must fail
+    assert not pair_is_symmetric({"a": 168.2}, {"a": 266.7})
+    assert not pair_is_symmetric({"a": 208.7}, {"a": 161.5})
+    # totals are summed across rows, not compared per-row
+    assert pair_is_symmetric({"a": 1.0, "b": 2.0}, {"a": 2.0, "b": 1.0})
+
+
 def test_oracle_check_rejects_unknown_query_names():
     """tools/oracle_check.py must hard-error on a requested row name that
     matches no catalog entry (VERDICT r13 "what's wrong" #3): a typo'd

@@ -71,6 +71,14 @@ PAIR_STABLE_FACTOR = 1.5  # |A-B| band inside one clean window
 # one that never exceeds half a second is below this protocol's
 # resolution and belongs to the single-pass trend lines instead.
 MOVER_MIN_ABS_S = 0.5
+# Pass-total symmetry bound (r14): heat that arrives MID-pass and cools
+# before the next canary slips past the canary triad entirely — observed
+# twice in one r14 afternoon (A/B totals 168/267 then 209/161, 18-22
+# unstable rows, every canary in-band). Two passes of the same code on a
+# clean host differ by ≤6% on totals (r12 158.5/149.7, r14 146.8/154.6);
+# a pair whose totals disagree >25% measured two different hosts, so it
+# is inadmissible no matter what the canaries read.
+PAIR_TOTAL_SYMMETRY_MAX = 1.25
 CANARY_ROW = "x03_fingerprint"
 
 # Streaming canary (VERDICT r13 item 3): the batch canary is pure CPU +
@@ -162,6 +170,20 @@ def host_is_clean(canaries: list[float], canaries_stream: list[float]) -> bool:
     return all(
         c <= CANARY_CLEAN_REF_S * CANARY_HOT_FACTOR for c in canaries
     ) and all(s <= STREAM_CANARY_HOT_THRESHOLD_S for s in canaries_stream)
+
+
+def pair_is_symmetric(
+    run_a: dict[str, float], run_b: dict[str, float]
+) -> bool:
+    """Third admissibility criterion alongside the two canaries: the
+    pass TOTALS must agree within PAIR_TOTAL_SYMMETRY_MAX. The canaries
+    sample the window only at its edges; a thermal wave that peaks
+    inside one pass and subsides before the closing canary leaves one
+    pass measured on a different effective host than the other (see the
+    constant's comment for the two observed r14 windows)."""
+    ta, tb = sum(run_a.values()), sum(run_b.values())
+    lo = max(min(ta, tb), 0.1)
+    return max(ta, tb) / lo <= PAIR_TOTAL_SYMMETRY_MAX
 
 
 def classify_pair(
@@ -261,7 +283,9 @@ def main() -> int:
 
     canaries = [c0, c1, c2]
     canaries_stream = [s0, s1, s2]
-    host_clean = host_is_clean(canaries, canaries_stream)
+    window_clean = host_is_clean(canaries, canaries_stream)
+    symmetric = pair_is_symmetric(run_a, run_b)
+    host_clean = window_clean and symmetric
 
     warm_band: dict[str, list[float]] = {}
     warm_path = os.path.join(here, "BENCH_WARM.json")
@@ -286,6 +310,13 @@ def main() -> int:
         "canary_stream": canaries_stream,
         "canary_stream_warm_clean_s": STREAM_CANARY_WARM_CLEAN_S,
         "canary_stream_hot_threshold_s": STREAM_CANARY_HOT_THRESHOLD_S,
+        "window_clean": window_clean,
+        "pair_symmetric": symmetric,
+        "pair_total_ratio": round(
+            max(sum(run_a.values()), sum(run_b.values()))
+            / max(min(sum(run_a.values()), sum(run_b.values())), 0.1),
+            3,
+        ),
         "host_clean": host_clean,
         "generated_unix": int(time.time()),
         # code-version stamps: bench.py refuses to stamp these medians
@@ -310,7 +341,7 @@ def main() -> int:
         f.write("\n")
     print(json.dumps({
         "canaries": canaries, "canary_stream": canaries_stream,
-        "host_clean": host_clean,
+        "pair_ratio": out["pair_total_ratio"], "host_clean": host_clean,
         "total_a": out["total_a"], "total_b": out["total_b"],
         "unstable": len(unstable), "real_movers": sorted(real_movers),
     }, separators=(",", ":")))
