@@ -190,18 +190,30 @@ def ivf_topk(
     is a broadcast hash join on cluster id — the corpus itself never
     shuffles more than once, and scored candidates per query are bounded
     by nprobe × average cluster size instead of N. In production the
-    assignment is computed once and persisted alongside the embeddings."""
+    assignment is computed once and persisted alongside the embeddings.
+
+    The per-pair dots stay the aggregate/zip_with FOLD deliberately
+    (r14 negative result): `nv`/`cv` are transform-built expression
+    arrays, not materialized columns, and an unrolled dot_n over them
+    re-evaluates the normalization per element reference — measured 2×
+    SLOWER end to end (1.7 → 3.4 s warm at sf0.1). dot_n only wins over
+    CONCRETE (materialized/broadcast) arrays — see jl_topk, where it
+    does."""
+
+    def _pair_dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     n = normalized_vectors(corpus, id_col, vec_col)
     cent = broadcast(
         n.filter(F.col(id_col) % centroid_mod == 0).select(
             F.col(id_col).alias("cid"), F.col("nv").alias("cv")
         )
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _pair_dot("nv", "cv")
     # scored feeds two plan arms, but deliberately UNpersisted: the probe
     # arm's `id % query_mod` filter pushes below the cross join, so it
     # only re-scores the tiny query subset — caching N×centroids rows to
@@ -225,11 +237,7 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", F.col("cid").alias("cluster"))
     )
-    qdot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("nv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    qdot = _pair_dot("qv", "nv")
     cand = (
         assign.join(probed, "cluster")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -483,14 +491,24 @@ def embedding_near_dup_pairs(
     n = normalized_vectors(df, id_col, vec_col)
     a = n.select(F.col(id_col).alias("vec_a"), F.col("nv").alias("na"))
     b = n.select(F.col(id_col).alias("vec_b"), F.col("nv").alias("nb"))
-    prods = F.zip_with(F.col("na"), F.col("nb"), lambda x, y: x * y)
+    # the fold stays deliberately (r14 negative result): na/nb are
+    # transform-built expression arrays and an unrolled dot re-evaluates
+    # them per element reference — measured 2.5× slower (3.4 → 8.8 s
+    # warm at sf0.1); dot_n only wins over concrete arrays (see jl_topk)
+    score = _pair_score("na", "nb")
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("score", F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x))
+        .withColumn("score", score)
         .filter(F.col("score") >= threshold)
         .select("vec_a", "vec_b", "score")
     )
+
+
+def _pair_score(a: str, b: str):
+    """One aggregate-fold dot product per (already-normalized) pair."""
+    prods = F.zip_with(F.col(a), F.col(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def semantic_near_dup_pairs(
@@ -554,11 +572,10 @@ def semantic_near_dup_pairs(
         )
     a = base.select("cluster", F.col(id_col).alias("vec_a"), F.col("nv").alias("na"))
     b = base.select("cluster", F.col(id_col).alias("vec_b"), F.col("nv").alias("nb"))
-    prods = F.zip_with(F.col("na"), F.col("nb"), lambda x, y: x * y)
     return (
         a.join(b, "cluster")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("score", F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x))
+        .withColumn("score", _pair_score("na", "nb"))
         .filter(F.col("score") >= threshold)
         .select("cluster", "vec_a", "vec_b", "score")
     )
@@ -603,38 +620,86 @@ def jl_project(
     ship as a comma-joined INTEGER string — no float formatting in the
     output, so rows hash identically across engines.
 
-    Scale shape: one narrow per-row expression — ZERO shuffles, no UDF;
-    the out_dim folds share the one vector read inside whole-stage
-    codegen. The ±1 literals live in the plan (out_dim × dim doubles,
-    KBs), not in a join side."""
-    comps = _jl_components(vec_col, out_dim, dim, scale)
-    return df.select(
+    Scale shape: one narrow per-row Arrow stage — ZERO shuffles; all
+    out_dim components of a vector are computed in a single vectorized
+    matrix product (`_jl_snapped_arrow` — see there for why expressions
+    lost this slot in r14 and why the result is bit-identical). The ±1
+    matrix is a deterministic md5 function baked into the kernel, never
+    a join side."""
+    snapped = _jl_snapped_arrow(out_dim, dim, scale)
+    base = df.select(F.col(id_col), snapped(F.col(vec_col)).alias("_jlc"))
+    return base.select(
         F.col(id_col),
-        F.concat_ws(",", *[c.cast("string") for c in comps]).alias("proj_q"),
+        F.concat_ws(
+            ",", *[F.get("_jlc", c).cast("string") for c in range(out_dim)]
+        ).alias("proj_q"),
     )
 
 
-def _jl_components(
-    vec_col: str, out_dim: int, dim: int, scale: int
-) -> list:
-    """The out_dim grid-snapped JL components as LONG columns — the one
-    Spark-side definition both `jl_project` (CSV output) and
-    `jl_project_vectors` (search-ready array) derive from."""
+def _jl_snapped_arrow(out_dim: int, dim: int, scale: int):
+    """The out_dim grid-snapped JL components as ONE `array<long>`-valued
+    Arrow-batched stage — the one Spark-side definition both `jl_project`
+    (CSV output) and `jl_project_vectors` (search-ready array) derive
+    from.
+
+    Why Arrow and not expressions (r14): the previous per-component
+    `aggregate(zip_with(...))` folds evaluate INTERPRETED (~1 µs per
+    element), which measured ~0.9 ms/vector at out_dim=16 × dim=64 — the
+    dominant cost of x50 and of x52's projection stage; and unrolling
+    the folds into literal expression chains re-created the
+    `rh_band_buckets` 170 KB-node codegen blow-up (measured again this
+    round: 1.4 s/query → 9.5 s/query). This is the exact boundary that
+    module's `_dots_fn` already adjudicated: a vectorized matrix product
+    at ~µs/vector, "Python only when the built-ins genuinely can't
+    express it efficiently" (plan_audit allows ArrowEvalPython, forbids
+    BatchEvalPython).
+
+    Bit-exactness for the oracle (the same argument, extended to the
+    snap): the numpy loop runs over DIMENSIONS in order, accumulating
+    `acc = acc + x_j * s_j` from a float64 zero — the identical IEEE
+    sequence as the SQL fold (np.zeros' +0.0 start reproduces the fold's
+    `0.0 + t1` exactly, signed zeros included); inputs widen f32→f64
+    exactly like the fold's cast; and the snap `floor(acc·inv·scale+0.5)`
+    applies the same three float64 ops in the same order before the
+    int64 floor. Pinned by tests/test_properties.py::
+    test_jl_project_matches_python_model (hypothesis, float32 inputs)
+    and the x50/x52 oracle rows. NULL vectors and rows whose length ≠
+    dim yield a NULL component array, exactly like the fold's
+    zip_with null-padding; a row containing a NULL element (or a NaN —
+    impossible under the existing floor-parity oracle contract, which no
+    engine pair would survive) also yields NULL."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    r = np.asarray(
+        [_rademacher(c, dim) for c in range(out_dim)], dtype=np.float64
+    )  # (out_dim, dim)
     inv = 1.0 / math.sqrt(out_dim)
-    comps = []
-    for c in range(out_dim):
-        signs = F.array(*[F.lit(s) for s in _rademacher(c, dim)])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), signs, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        comps.append(
-            F.floor(dot * F.lit(inv) * F.lit(float(scale)) + F.lit(0.5)).cast(
-                "long"
-            )
-        )
-    return comps
+    fscale = float(scale)
+
+    def _fn(vecs):  # pd.Series -> pd.Series (hints omitted: in-function
+        # 'pd' import is invisible to pandas_udf's string-annotation
+        # resolver under `from __future__ import annotations`)
+        res: list = [None] * len(vecs)
+        idx, rows = [], []
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) == dim:
+                x = np.asarray(v, dtype=np.float64)
+                if not np.isnan(x).any():
+                    idx.append(i)
+                    rows.append(x)
+        if rows:
+            x = np.stack(rows)                      # (m, dim)
+            acc = np.zeros((len(rows), out_dim))
+            for j in range(dim):                    # fold order: dim-sequential
+                acc = acc + x[:, j : j + 1] * r[:, j]
+            comps = np.floor(acc * inv * fscale + 0.5).astype(np.int64)
+            for i, a in zip(idx, comps):
+                res[i] = a.tolist()
+        return pd.Series(res)
+
+    return pandas_udf(_fn, "array<long>")
 
 
 def jl_project_vectors(
@@ -649,9 +714,17 @@ def jl_project_vectors(
     components as array<double> (component = quantized integer / scale) —
     both engines search IDENTICAL projected vectors, so candidate sets
     replay exactly."""
-    comps = _jl_components(vec_col, out_dim, dim, scale)
-    proj = F.array(*[c.cast("double") / F.lit(float(scale)) for c in comps])
-    return df.select(F.col(id_col), F.col(vec_col), proj.alias("proj"))
+    snapped = _jl_snapped_arrow(out_dim, dim, scale)
+    base = df.select(
+        F.col(id_col), F.col(vec_col), snapped(F.col(vec_col)).alias("_jlc")
+    )
+    proj = F.array(
+        *[
+            F.get("_jlc", c).cast("double") / F.lit(float(scale))
+            for c in range(out_dim)
+        ]
+    )
+    return base.select(F.col(id_col), F.col(vec_col), proj.alias("proj"))
 
 
 def jl_topk(
@@ -698,12 +771,18 @@ def jl_topk(
     cosine() per pair would refold both 16-element norms for every
     (query, candidate) pair — two-thirds of the candidate-scan flops
     for values that are per-row constants."""
-    from kafka_streams_learning_spark.functions.vectors import dot, norm as vnorm
+    from kafka_streams_learning_spark.functions.vectors import dot_n, norm_n
     from kafka_streams_learning_spark.operators.materialize import materialized
 
+    # norms and the per-pair candidate dot use the UNROLLED fixed-length
+    # dot (vectors.dot_n): the candidate scan evaluates one 16-dim dot
+    # per (query, corpus) pair, and the interpreted fold was the scan's
+    # floor (see _jl_components' unrolling note; bit-exactness argued
+    # there — pscore additionally only feeds the rank ordering, where
+    # ±0.0 compare equal, never the output)
     cp = materialized(
         jl_project_vectors(corpus, out_dim, dim, id_col, vec_col).withColumn(
-            "nrm", vnorm(F.col("proj"))
+            "nrm", norm_n(F.col("proj"), out_dim)
         ),
         tag="x52-proj",
     ).select(
@@ -714,7 +793,7 @@ def jl_topk(
     )
     qp = broadcast(
         jl_project_vectors(queries, out_dim, dim, id_col, vec_col)
-        .withColumn("nrm", vnorm(F.col("proj")))
+        .withColumn("nrm", norm_n(F.col("proj"), out_dim))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
@@ -725,7 +804,7 @@ def jl_topk(
     denom = F.col("q_nrm") * F.col("c_nrm")
     cand = cp.join(qp, F.col("neighbor_id") != F.col("query_id")).withColumn(
         "pscore",
-        F.when(denom > 0, dot(F.col("q_proj"), F.col("c_proj")) / denom),
+        F.when(denom > 0, dot_n(F.col("q_proj"), F.col("c_proj"), out_dim) / denom),
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.col("pscore").desc(), F.col("neighbor_id")

@@ -72,6 +72,26 @@ VARIANTS: dict[str, tuple[dict[str, str], dict[str, str]]] = {
          "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows":
          "false"},
     ),
+    # r14 levers for the write-dominated interval-join state (the floor
+    # profile puts ~90% of s04/s23 in RocksDB write/commit machinery):
+    # bigger memtables = fewer mid-batch flushes; no SST compression =
+    # no codec CPU on the flushes that remain. Both are metrics/layout
+    # choices, not semantics — results must stay hash-identical.
+    "wbuf256": (
+        {},
+        {"spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB": "256",
+         "spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber": "3"},
+    ),
+    "nocomp": (
+        {},
+        {"spark.sql.streaming.stateStore.rocksdb.compression": "none"},
+    ),
+    "wbuf_nocomp": (
+        {},
+        {"spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB": "256",
+         "spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber": "3",
+         "spark.sql.streaming.stateStore.rocksdb.compression": "none"},
+    ),
 }
 
 
