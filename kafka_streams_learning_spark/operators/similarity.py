@@ -777,9 +777,11 @@ def jl_topk(
     # norms and the per-pair candidate dot use the UNROLLED fixed-length
     # dot (vectors.dot_n): the candidate scan evaluates one 16-dim dot
     # per (query, corpus) pair, and the interpreted fold was the scan's
-    # floor (see _jl_components' unrolling note; bit-exactness argued
+    # floor. dot_n is valid here because BOTH sides are CONCRETE arrays
+    # (cp is materialized, qp is a built broadcast relation — see
+    # dot_n's docstring for why that matters); bit-exactness argued
     # there — pscore additionally only feeds the rank ordering, where
-    # ±0.0 compare equal, never the output)
+    # ±0.0 compare equal, never the output
     cp = materialized(
         jl_project_vectors(corpus, out_dim, dim, id_col, vec_col).withColumn(
             "nrm", norm_n(F.col("proj"), out_dim)
