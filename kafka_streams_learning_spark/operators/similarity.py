@@ -194,11 +194,11 @@ def ivf_topk(
 
     The per-pair dots stay the aggregate/zip_with FOLD deliberately
     (r14 negative result): `nv`/`cv` are transform-built expression
-    arrays, not materialized columns, and an unrolled dot_n over them
+    arrays, not materialized columns, and an unrolled dot over them
     re-evaluates the normalization per element reference — measured 2×
-    SLOWER end to end (1.7 → 3.4 s warm at sf0.1). dot_n only wins over
-    CONCRETE (materialized/broadcast) arrays — see jl_topk, where it
-    does."""
+    SLOWER end to end (1.7 → 3.4 s warm at sf0.1). The full
+    width-sweep verdict on unrolling lives in functions/vectors.py's
+    module docstring."""
 
     def _pair_dot(a: str, b: str):
         return F.aggregate(
@@ -494,7 +494,7 @@ def embedding_near_dup_pairs(
     # the fold stays deliberately (r14 negative result): na/nb are
     # transform-built expression arrays and an unrolled dot re-evaluates
     # them per element reference — measured 2.5× slower (3.4 → 8.8 s
-    # warm at sf0.1); dot_n only wins over concrete arrays (see jl_topk)
+    # warm at sf0.1); width-sweep verdict in functions/vectors.py
     score = _pair_score("na", "nb")
     return (
         a.crossJoin(b)
@@ -771,20 +771,19 @@ def jl_topk(
     cosine() per pair would refold both 16-element norms for every
     (query, candidate) pair — two-thirds of the candidate-scan flops
     for values that are per-row constants."""
-    from kafka_streams_learning_spark.functions.vectors import dot_n, norm_n
+    from kafka_streams_learning_spark.functions.vectors import dot, norm as vnorm
     from kafka_streams_learning_spark.operators.materialize import materialized
 
-    # norms and the per-pair candidate dot use the UNROLLED fixed-length
-    # dot (vectors.dot_n): the candidate scan evaluates one 16-dim dot
-    # per (query, corpus) pair, and the interpreted fold was the scan's
-    # floor. dot_n is valid here because BOTH sides are CONCRETE arrays
-    # (cp is materialized, qp is a built broadcast relation — see
-    # dot_n's docstring for why that matters); bit-exactness argued
-    # there — pscore additionally only feeds the rank ordering, where
-    # ±0.0 compare equal, never the output
+    # the 16-dim candidate dot and norms stay the aggregate FOLD: the
+    # r14 unrolled-expression sweep measured the alternatives across
+    # widths — 16 terms NEUTRAL here (same-session A/B 2.4-2.8 s both
+    # arms), 192 terms (x09's cosine) 4× WORSE, 1024 terms (the
+    # projection) catastrophically worse — so the fold is the right
+    # form at every width; the row's r14 win is the Arrow projection
+    # stage, not the pair scan
     cp = materialized(
         jl_project_vectors(corpus, out_dim, dim, id_col, vec_col).withColumn(
-            "nrm", norm_n(F.col("proj"), out_dim)
+            "nrm", vnorm(F.col("proj"))
         ),
         tag="x52-proj",
     ).select(
@@ -795,7 +794,7 @@ def jl_topk(
     )
     qp = broadcast(
         jl_project_vectors(queries, out_dim, dim, id_col, vec_col)
-        .withColumn("nrm", norm_n(F.col("proj"), out_dim))
+        .withColumn("nrm", vnorm(F.col("proj")))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
@@ -806,7 +805,7 @@ def jl_topk(
     denom = F.col("q_nrm") * F.col("c_nrm")
     cand = cp.join(qp, F.col("neighbor_id") != F.col("query_id")).withColumn(
         "pscore",
-        F.when(denom > 0, dot_n(F.col("q_proj"), F.col("c_proj"), out_dim) / denom),
+        F.when(denom > 0, dot(F.col("q_proj"), F.col("c_proj")) / denom),
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.col("pscore").desc(), F.col("neighbor_id")
