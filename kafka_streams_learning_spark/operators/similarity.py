@@ -665,9 +665,17 @@ def _jl_snapped_arrow(out_dim: int, dim: int, scale: int):
     test_jl_project_matches_python_model (hypothesis, float32 inputs)
     and the x50/x52 oracle rows. NULL vectors and rows whose length ≠
     dim yield a NULL component array, exactly like the fold's
-    zip_with null-padding; a row containing a NULL element (or a NaN —
-    impossible under the existing floor-parity oracle contract, which no
-    engine pair would survive) also yields NULL."""
+    zip_with null-padding. A NaN/Inf element (impossible under the
+    floor-parity oracle contract, which no engine pair would survive,
+    but pinned so a loosened contract can't silently diverge — VERDICT
+    r14 item 8) follows the fold's `floor(double)` = Math.floor + JVM
+    (long) cast: NaN → 0, out-of-range/±Inf saturate to Long.MIN/MAX
+    (`_floor_cast_long`, parity test in tests/test_properties.py).
+    Residual, documented divergence: a NULL ELEMENT inside a float
+    vector reaches this kernel as NaN (Arrow's pandas conversion erases
+    the child validity bitmap), so it takes the NaN path where the fold
+    would NULL the row via `acc + NULL` — indistinguishable at this
+    boundary, and doubly unreachable under the contract."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -678,6 +686,20 @@ def _jl_snapped_arrow(out_dim: int, dim: int, scale: int):
     inv = 1.0 / math.sqrt(out_dim)
     fscale = float(scale)
 
+    def _floor_cast_long(snapped):
+        """JVM semantics of Spark's floor(double): (long) Math.floor(x).
+        numpy's astype(int64) is platform-defined on NaN/out-of-range;
+        Java defines NaN → 0 and saturation at Long.MIN/MAX."""
+        hi, lo = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+        out = np.zeros(snapped.shape, dtype=np.int64)  # NaN slots stay 0
+        big = snapped >= 9.223372036854775808e18  # 2**63
+        small = snapped <= -9.223372036854775809e18  # < -2**63
+        mid = ~(big | small | np.isnan(snapped))
+        out[big] = hi
+        out[small] = lo
+        out[mid] = snapped[mid].astype(np.int64)  # exact: in-range doubles
+        return out
+
     def _fn(vecs):  # pd.Series -> pd.Series (hints omitted: in-function
         # 'pd' import is invisible to pandas_udf's string-annotation
         # resolver under `from __future__ import annotations`)
@@ -685,16 +707,14 @@ def _jl_snapped_arrow(out_dim: int, dim: int, scale: int):
         idx, rows = [], []
         for i, v in enumerate(vecs):
             if v is not None and len(v) == dim:
-                x = np.asarray(v, dtype=np.float64)
-                if not np.isnan(x).any():
-                    idx.append(i)
-                    rows.append(x)
+                idx.append(i)
+                rows.append(np.asarray(v, dtype=np.float64))
         if rows:
             x = np.stack(rows)                      # (m, dim)
             acc = np.zeros((len(rows), out_dim))
             for j in range(dim):                    # fold order: dim-sequential
                 acc = acc + x[:, j : j + 1] * r[:, j]
-            comps = np.floor(acc * inv * fscale + 0.5).astype(np.int64)
+            comps = _floor_cast_long(np.floor(acc * inv * fscale + 0.5))
             for i, a in zip(idx, comps):
                 res[i] = a.tolist()
         return pd.Series(res)

@@ -1144,6 +1144,42 @@ def test_bench_line_stays_under_driver_capture():
     assert len(line) < 1800, len(line)
 
 
+def test_bench_line_never_drops_query_rows():
+    """VERDICT r14 item 1: a hot window made dozens of rows diverge from
+    the paired medians, the unbounded stamp bloated the printed line past
+    the guard, and the old slowest-40 fallback silently discarded 69 of
+    109 per-query timings. Pin the fix: with every catalog row present
+    and a 30-entry divergence stamp, the printed line stays under the
+    driver's capture AND still carries every query row."""
+    import json
+
+    from bench import MAX_LINE_CHARS, STAMP_CAP, format_bench_line
+    from kafka_streams_learning_spark.catalog import all_queries
+
+    names = [q.name for q in all_queries()]
+    short = {n.split("_")[0]: 9999.99 for n in names}
+    assert len(short) == len(names), "short bench keys collided"
+    # 30 divergent rows, the r14 hot-window shape that broke the old line
+    stamp = {k: 999.99 for k in list(short)[:30]}
+    line = format_bench_line(
+        short,
+        stamp,
+        value=999999.999,
+        setup=99999.999,
+        all_in_wall=999999.999,
+        sf=0.1,
+    )
+    assert len(line) <= MAX_LINE_CHARS, len(line)
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(short)  # zero rows dropped
+    assert "truncated_to_slowest" not in parsed
+    div = parsed.get("paired_median_divergent", {})
+    assert len(div) <= STAMP_CAP
+    if div:
+        # the capped stamp advertises the full divergent count
+        assert parsed.get("paired_divergent_n", len(div)) == 30
+
+
 def test_never_gated_queries_sit_inside_gate_prefix():
     """The external driver verifies only a ~50-entry prefix of queries().
     Round 5 proved ordering mistakes are silent: x30-x34 sat at positions

@@ -483,6 +483,64 @@ def test_jl_project_matches_python_model(spark, vecs):
         assert got[i] == ",".join(comps), v
 
 
+def test_jl_arrow_kernel_matches_fold_on_edge_vectors(spark):
+    """VERDICT r14 item 8: the Arrow JL kernel and the original SQL fold
+    must agree on edge inputs — a NaN-bearing vector (both produce VALUES:
+    Spark floor(NaN·…) is Math.floor + JVM long cast = 0), an Inf-bearing
+    vector (both saturate: (long)+Inf = Long.MAX_VALUE), a wrong-length
+    vector and a NULL vector (both NULL via zip_with null-padding).
+    Unreachable under the floor-parity oracle contract, pinned so a
+    loosened contract can't silently diverge."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kafka_streams_learning_spark.operators.similarity import (
+        _rademacher,
+        jl_project,
+    )
+
+    dim, out_dim, scale = 8, 4, 1_000_000
+    rows = [
+        (0, [1.0, 2.0, float("nan"), 0.5, -1.0, 3.0, 0.0, 1.5]),
+        (1, [1.0, float("inf"), 2.0, 0.5, -1.0, 3.0, 0.0, 1.5]),
+        (2, [1.0, 2.0, 3.0]),  # wrong length → NULL
+        (3, None),  # NULL vector → NULL
+        (4, [1.0, 2.0, 3.0, 0.5, -1.0, 3.0, 0.0, 1.5]),  # clean control
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.proj_q for r in jl_project(df, out_dim, dim).collect()}
+
+    # reference: the pre-r14 expression fold, reconstructed verbatim
+    inv = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for c in range(out_dim):
+        signs = F.array(*[F.lit(s) for s in _rademacher(c, dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), signs, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(
+            F.floor(dot * F.lit(inv) * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+        )
+    want = {
+        r.vec_id: r.proj_q
+        for r in df.select(
+            "vec_id",
+            F.concat_ws(",", *[c.cast("string") for c in comps]).alias("proj_q"),
+        ).collect()
+    }
+    # concat_ws over all-NULL components gives "" — normalize both sides
+    assert {k: v or "" for k, v in got.items()} == {
+        k: v or "" for k, v in want.items()
+    }
+    # and the specific semantics, spelled out
+    assert got[0] == ",".join(["0"] * out_dim)  # NaN → every component 0
+    assert str(2**63 - 1) in got[1]  # +Inf saturates to Long.MAX
+    assert got[2] == "" and got[3] == ""  # wrong length / NULL → NULL
+
+
 @given(
     st.lists(
         st.tuples(st.sampled_from(["g1", "g2"]), st.text(min_size=1, max_size=8)),

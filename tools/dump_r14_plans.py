@@ -24,7 +24,8 @@ from __future__ import annotations
 import os
 import sys
 
-OUT_DIR = "/root/repo/plans/r14"
+# override with KSL_PLANS_OUT for later rounds (r15+ reuse the same tool)
+OUT_DIR = os.environ.get("KSL_PLANS_OUT", "/root/repo/plans/r14")
 
 STREAM_ROWS_DEFAULT = [
     "s03_stream_fraud_alerts",
@@ -58,26 +59,46 @@ def main() -> None:
     captured: dict[str, str] = {}
     orig_run = runner.run_to_memory
 
-    def capturing_run(df, name, *args, **kwargs):
-        """Same contract as run_to_memory, but keeps the query handle
-        alive long enough to read the executed plan of the final batch."""
+    def capturing_run(
+        df,
+        name,
+        output_mode="update",
+        checkpoint=None,
+        state_partitions=None,
+        shard_count=None,
+        arrow_batch_rows=None,
+    ):
+        """Same contract (and signature — ADVICE r14) as run_to_memory,
+        but keeps the query handle alive long enough to read the executed
+        plan of the final batch. Mirrors the real runner's state-
+        parallelism sizing and per-query Arrow batch override so the
+        captured plan ran under the row's true execution config; shard
+        pinning is skipped (fresh throwaway checkpoint, no restart)."""
         spark_ = df.sparkSession
-        runner._ensure_state_parallelism(
-            spark_, kwargs.get("state_partitions") or (args[1] if len(args) > 1 else None)
-        )
-        ckpt = runner._checkpoint()
-        output_mode = kwargs.get("output_mode") or (args[0] if args else "update")
-        q = (
-            df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.processAllAvailable()
-        captured["last"] = q._jsq.explainInternal(True)
-        q.stop()
-        q.awaitTermination()
+        runner._ensure_state_parallelism(spark_, state_partitions)
+        ckpt = checkpoint or runner._checkpoint()
+        arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prior_arrow = spark_.conf.get(arrow_key, None)
+        if arrow_batch_rows is not None:
+            spark_.conf.set(arrow_key, str(arrow_batch_rows))
+        try:
+            q = (
+                df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            captured["last"] = q._jsq.explainInternal(True)
+            q.stop()
+            q.awaitTermination()
+        finally:
+            if arrow_batch_rows is not None:
+                if prior_arrow is not None:
+                    spark_.conf.set(arrow_key, prior_arrow)
+                else:
+                    spark_.conf.unset(arrow_key)
 
     for row in rows:
         spec = by_name[row]

@@ -92,6 +92,17 @@ VARIANTS: dict[str, tuple[dict[str, str], dict[str, str]]] = {
          "spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber": "3",
          "spark.sql.streaming.stateStore.rocksdb.compression": "none"},
     ),
+    # r15: stream-stream join state format v3 (SPARK-49585 lineage,
+    # shipped in Spark 4.1) — ONE RocksDB store with virtual column
+    # families instead of FOUR stores per side-pair; cuts instance
+    # open/commit rounds per micro-batch 4x and lets the keyToNumValues /
+    # keyWithIndexToValue bookkeeping share a WAL+memtable. Layout-only:
+    # results must stay hash-identical; fresh checkpoints per run so no
+    # restart-compat concern. The r14 "not yet optimized #1" lever.
+    "joinv3": (
+        {"spark.sql.streaming.join.stateFormatVersion": "3"},
+        {},
+    ),
 }
 
 
