@@ -75,6 +75,63 @@ def _fresh_name(prefix: str) -> str:
     return f"{prefix}_{uuid.uuid4().hex[:8]}"
 
 
+# expected interval-join state bytes per sf dir (footer metadata only,
+# cached: the estimate is re-read per catalog run otherwise)
+_IJ_STATE_BYTES: dict[str, int] = {}
+
+_S04_ORDER_COLS = ("o_orderkey", "o_custkey", "o_orderdate")
+_S04_ITEM_COLS = ("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+
+
+def _uncompressed_bytes(path: str, columns: tuple[str, ...]) -> int:
+    """Sum of the named columns' uncompressed data bytes from the parquet
+    footer — a metadata read, no scan (the staged_column_max precedent)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    total = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            if col.path_in_schema in columns:
+                total += col.total_uncompressed_size
+    return total
+
+
+# RocksDB join-state bytes per uncompressed input byte: each buffered row
+# is stored once in keyWithIndexToValue (UnsafeRow: 8-byte slots + null
+# bitmap) plus key bookkeeping in keyToNumValues, on BOTH join sides.
+# Measured on the r15 sf1 probe via lastProgress stateOperators
+# (OPTIMIZATION_r15.md "STATE_SHARDS derivation"); the footer estimate
+# times this factor approximates live state volume well enough for a
+# shard-count decision (the derivation only needs order-of-magnitude).
+IJ_STATE_EXPANSION = 5.0
+
+
+def _interval_join_state_bytes(sf: str) -> int:
+    """Expected stream-stream join state volume for s04/s23: with the
+    coalesced single-batch replay BOTH sides are fully buffered in the
+    join state within the batch, so the state estimate is the projected
+    columns' uncompressed bytes across both inputs (watermark eviction
+    only reclaims them at batch end) times IJ_STATE_EXPANSION. Feeds
+    `derive_state_shards` (VERDICT r14 item 4): shard count scales with
+    state volume instead of staying pinned at the fixture-scale 8
+    forever."""
+    if sf not in _IJ_STATE_BYTES:
+        raw = _uncompressed_bytes(
+            f"{sf}/orders.parquet", _S04_ORDER_COLS
+        ) + _uncompressed_bytes(f"{sf}/lineitem.parquet", _S04_ITEM_COLS)
+        _IJ_STATE_BYTES[sf] = int(raw * IJ_STATE_EXPANSION)
+    return _IJ_STATE_BYTES[sf]
+
+
+def _interval_join_shards(sf: str) -> int:
+    return runner.derive_state_shards(
+        _interval_join_state_bytes(sf), floor=STATE_SHARDS
+    )
+
+
 # s01 — running count per key, streamed (A1 via the streaming engine)
 
 
@@ -171,7 +228,7 @@ def _s04(spark: SparkSession, sf: str) -> DataFrame:
     # cast is interpretation-only under the UTC session timezone
     orders = shared_replay_table(
         spark, sf, "orders", REPLAY_CHUNKS, order_by="o_orderdate",
-        columns=("o_orderkey", "o_custkey", "o_orderdate"),
+        columns=_S04_ORDER_COLS,
         files_per_trigger=COALESCED_REPLAY_FPT,
     ).select(
         "o_orderkey", "o_custkey",
@@ -179,7 +236,7 @@ def _s04(spark: SparkSession, sf: str) -> DataFrame:
     )
     items = shared_replay_table(
         spark, sf, "lineitem", REPLAY_CHUNKS, order_by="l_shipdate",
-        columns=("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"),
+        columns=_S04_ITEM_COLS,
         files_per_trigger=COALESCED_REPLAY_FPT,
     ).select(
         "l_orderkey", "l_linenumber", "l_extendedprice",
@@ -194,7 +251,9 @@ def _s04(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey", "o_custkey", "l_linenumber", "l_extendedprice", "l_shipdate"
     )
     name = _fresh_name("s04_out")
-    runner.run_to_memory(out, name, "append", state_partitions=STATE_SHARDS)
+    runner.run_to_memory(
+        out, name, "append", state_partitions=_interval_join_shards(sf)
+    )
     return spark.table(name)
 
 
@@ -1244,7 +1303,9 @@ def _s23(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey", "o_custkey", "l_linenumber", "l_extendedprice", "l_shipdate"
     )
     name = _fresh_name("s23_out")
-    runner.run_to_memory(out, name, "append", state_partitions=STATE_SHARDS)
+    runner.run_to_memory(
+        out, name, "append", state_partitions=_interval_join_shards(sf)
+    )
     return spark.table(name).filter(F.col("o_orderkey") >= 0)
 
 

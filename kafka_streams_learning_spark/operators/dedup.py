@@ -78,6 +78,7 @@ def ngram_jaccard_pairs(
     semantics; that arm is CALIBRATION-ONLY (x53's ground truth, the x10
     precedent), never the production dedup path."""
     post = _materialized(_shingled(df, text_col, id_col, k), tag="x07-postings")
+    join_key = "shingle"
     if max_df is not None:
         rare = (
             post.groupBy("shingle")
@@ -85,15 +86,36 @@ def ngram_jaccard_pairs(
             .filter(F.col("df_s") <= max_df)
             .select("shingle")
         )
+        # Dictionary-encode the surviving shingles to dense int64 ids
+        # (VERDICT r14 item 5): the pair self-join below shuffles the
+        # postings by its join key, and a multi-word shingle string is
+        # 20-40 bytes against the 8 of a long — guide §2.3 "shuffle keys
+        # and metadata instead of payloads", done EXACTLY (one id per
+        # distinct shingle; the materialized parquet pins the assignment
+        # so every consumer reads the same ids; the emitted pairs carry
+        # doc ids only, so the arbitrary sid values never reach results).
+        # The encode join replaces the previous post⋈rare prune join —
+        # same shuffle, narrower output — so the encoding is free.
+        sdict = _materialized(
+            rare.withColumn("sid", F.monotonically_increasing_id()),
+            tag="x07-dict",
+        )
         # pruned postings feed both self-join sides AND sizes; without
         # this materialization Catalyst replans the df-count arm per
         # consumer (x48 precedent)
-        post = _materialized(post.join(rare, "shingle"), tag="x07-pruned")
+        post = _materialized(
+            post.join(sdict, "shingle").select("id", "sid"), tag="x07-pruned"
+        )
+        join_key = "sid"
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = post.alias("a")
     b = post.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col(f"a.{join_key}") == F.col(f"b.{join_key}"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

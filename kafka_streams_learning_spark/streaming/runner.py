@@ -13,9 +13,36 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
 _SPARK_DEFAULT_SHUFFLE_PARTITIONS = "200"
+
+# Shard-count derivation target (VERDICT r14 item 4): shard count is a
+# state-SIZE decision — every shard is a live RocksDB instance paying an
+# open+commit per micro-batch, so over-sharding small state buys pure
+# fixed cost while under-sharding big state serializes its write volume.
+# The documented sweet spot is ~10-100 MB of state per shard;
+# TARGET_STATE_BYTES_PER_SHARD sits inside that window at the value the
+# r15 big-state probe (sf1 interval join, tools/state_floor_probe.py
+# sweep — OPTIMIZATION_r15.md) measured as the knee. Deployments can
+# still pin `ksl.state.partitions`, which beats every derivation.
+TARGET_STATE_BYTES_PER_SHARD = 48 << 20
+
+
+def derive_state_shards(
+    state_bytes: int | None, floor: int = 8
+) -> int:
+    """Shard count for an expected state volume: ceil(bytes / target),
+    floored at `floor` (the measured flat-bottom for the catalog's
+    tens-of-MB fixture state — fewer shards choke on write volume, more
+    pay per-instance constants). `None`/non-positive estimates (unknown
+    state) keep the floor, so a caller that cannot size its state gets
+    exactly the historical behavior."""
+    if not state_bytes or state_bytes <= 0:
+        return floor
+    return max(floor, math.ceil(state_bytes / TARGET_STATE_BYTES_PER_SHARD))
 
 
 def _checkpoint() -> str:

@@ -1540,3 +1540,36 @@ def test_interval_join_coalescing_invariance(spark, tmpdir, seed):
         per_chunk = run(1, how, f"{how}_fpt1")
         coalesced = run(4, how, f"{how}_fpt4")
         assert coalesced == per_chunk, how
+
+
+def test_derive_state_shards_formula():
+    """VERDICT r14 item 4: shard count is a state-SIZE decision. The
+    derivation is ceil(state_bytes / target) floored at the caller's
+    measured flat-bottom; unknown state keeps the floor exactly."""
+    from kafka_streams_learning_spark.streaming.runner import (
+        TARGET_STATE_BYTES_PER_SHARD as T,
+        derive_state_shards,
+    )
+
+    assert derive_state_shards(None) == 8
+    assert derive_state_shards(0) == 8
+    assert derive_state_shards(1) == 8
+    assert derive_state_shards(8 * T) == 8
+    assert derive_state_shards(8 * T + 1) == 9
+    assert derive_state_shards(12 * T) == 12
+    assert derive_state_shards(3 * T, floor=4) == 4
+
+
+def test_interval_join_shards_stay_floored_at_gate_scales():
+    """The driver benches at sf<=0.1: the derivation must keep the
+    historical 8 shards there (state is tens of MB — the measured flat
+    bottom), so gate hashes, plans, and cross-round bench comparability
+    are untouched; growth beyond the floor is for genuinely big state
+    (sf1 probe, OPTIMIZATION_r15.md)."""
+    from kafka_streams_learning_spark.catalog_streaming import (
+        STATE_SHARDS,
+        _interval_join_shards,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        assert _interval_join_shards(f"/root/testdata/{sf}") == STATE_SHARDS
