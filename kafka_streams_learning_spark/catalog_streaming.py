@@ -103,10 +103,12 @@ def _uncompressed_bytes(path: str, columns: tuple[str, ...]) -> int:
 # is stored once in keyWithIndexToValue (UnsafeRow: 8-byte slots + null
 # bitmap) plus key bookkeeping in keyToNumValues, on BOTH join sides.
 # Measured on the r15 sf1 probe via lastProgress stateOperators
-# (OPTIMIZATION_r15.md "STATE_SHARDS derivation"); the footer estimate
-# times this factor approximates live state volume well enough for a
-# shard-count decision (the derivation only needs order-of-magnitude).
-IJ_STATE_EXPANSION = 5.0
+# memoryUsedBytes: 1.204 GB live state over a 187 MB footer estimate at
+# 8 shards → 6.4, rounded up (OPTIMIZATION_r15.md "STATE_SHARDS
+# derivation"); the footer estimate times this factor approximates live
+# state volume well enough for a shard-count decision (the derivation
+# only needs order-of-magnitude).
+IJ_STATE_EXPANSION = 6.5
 
 
 def _interval_join_state_bytes(sf: str) -> int:

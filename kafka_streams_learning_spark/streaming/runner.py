@@ -25,10 +25,13 @@ _SPARK_DEFAULT_SHUFFLE_PARTITIONS = "200"
 # fixed cost while under-sharding big state serializes its write volume.
 # The documented sweet spot is ~10-100 MB of state per shard;
 # TARGET_STATE_BYTES_PER_SHARD sits inside that window at the value the
-# r15 big-state probe (sf1 interval join, tools/state_floor_probe.py
-# sweep — OPTIMIZATION_r15.md) measured as the knee. Deployments can
-# still pin `ksl.state.partitions`, which beats every derivation.
-TARGET_STATE_BYTES_PER_SHARD = 48 << 20
+# r15 big-state probe measured (sf1 interval join, ~1.2 GB real state:
+# 8 shards 48-53 s, 16 → 26.6-27.9, 32 → 18.9-22.8 — still improving at
+# ~70 MB/shard, so the target sits at 40 MB, deriving ~31 shards there;
+# full table in OPTIMIZATION_r15.md "STATE_SHARDS derivation").
+# Deployments can still pin `ksl.state.partitions`, which beats every
+# derivation.
+TARGET_STATE_BYTES_PER_SHARD = 40 << 20
 
 
 def derive_state_shards(
