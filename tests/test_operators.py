@@ -1816,3 +1816,32 @@ def test_oracle_check_rejects_unknown_query_names():
     # any unknown name is fatal, and the message names the offenders
     with pytest.raises(SystemExit, match=r"q01_upercase"):
         resolve_requested({"q01_upercase", "x03_fingerprint"}, catalog)
+
+
+def test_jaccard_dict_encoding_is_result_neutral(spark):
+    """r15: ngram_jaccard_pairs(max_df=...) dictionary-encodes the pruned
+    shingles to int64 join keys. With a cap no shingle reaches, the prune
+    is vacuous, so the encoded path must emit EXACTLY the string path's
+    (max_df=None) pairs — pinning that the encoding is an internal key
+    substitution, never a result change."""
+    from kafka_streams_learning_spark.operators import dedup
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "completely different words with no shared shingles here"),
+        (5, "quick brown fox jumps over"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def rows(out):
+        return sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 12)) for r in out.collect()
+        )
+
+    got = rows(dedup.ngram_jaccard_pairs(df, 0.1, k=3, max_df=10_000))
+    want = rows(dedup.ngram_jaccard_pairs(df, 0.1, k=3, max_df=None))
+    assert got == want and got, got
+    # the identical pair survives with jaccard exactly 1.0
+    assert (1, 3, 1.0) in got
